@@ -1,0 +1,191 @@
+"""UDA service surface: datasets, full-sync / incremental writers, config.
+
+Mirrors the reference's service layer (``layer.go``) without the HTTP
+transport: named datasets with per-dataset ``label`` and ``batch_size``
+(``layer.go:145-163``), a buffering writer that flushes every
+``batch_size`` entities (W1, ``layer.go:227-238``) and on close (W2),
+full-sync wipe on the start batch (W10, ``layer.go:196-209``), and pure
+upsert for incremental (W11).
+
+Read-side methods the reference declares but answers with
+``LayerNotSupported`` (``layer.go:257-265``) are implemented natively
+here: ``changes`` (S8) and ``entities`` (S9) — this engine owns its
+storage, so reading back is a scan, not a federation problem.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.model import ENTITY_SCHEMA, normalize_entity
+from opencypher_datalayer_spark.storage import ParquetGraphStorage
+from opencypher_datalayer_spark.store import GraphStore
+
+
+@dataclass(frozen=True)
+class BatchInfo:
+    """Full-sync batch metadata (reference ``layer.go:196-209``)."""
+
+    sync_id: str = ""
+    is_start_batch: bool = False
+    is_last_batch: bool = False
+
+
+@dataclass
+class DatasetConfig:
+    name: str
+    label: str
+    batch_size: int = 1000
+
+
+class DatasetWriter:
+    """Buffers entities and applies them in micro-batches (W1/W2).
+
+    One flush == one ``GraphStore.apply_batch`` == the reference's
+    per-batch transaction.
+    """
+
+    def __init__(self, layer: "DataLayer", dataset: DatasetConfig):
+        self._layer = layer
+        self._ds = dataset
+        self._buffer: list[dict] = []
+        self._seq = 0
+
+    def write(self, entity: dict) -> None:
+        row = normalize_entity(entity)
+        row["_seq"] = self._seq
+        self._seq += 1
+        self._buffer.append(row)
+        if len(self._buffer) >= self._ds.batch_size:
+            self._flush()
+
+    def close(self) -> None:
+        if self._buffer:
+            self._flush()
+
+    def _flush(self) -> None:
+        batch = self._layer.spark.createDataFrame(self._buffer, ENTITY_SCHEMA)
+        self._buffer = []
+        self._layer._apply(batch, self._ds)
+
+
+class Dataset:
+    """UDA dataset facade over the shared graph store (S3/S5-S7)."""
+
+    def __init__(self, layer: "DataLayer", config: DatasetConfig):
+        self._layer = layer
+        self.config = config
+
+    @property
+    def name(self) -> str:
+        return self.config.name
+
+    def full_sync(self, batch_info: BatchInfo) -> DatasetWriter:
+        """Wipe (label, source) on the start batch, then write (W10).
+
+        Unlike the reference, wipe+load commits atomically per flush —
+        readers never observe the emptied intermediate state.
+        """
+        if batch_info.is_start_batch:
+            self._layer._wipe(self.config)
+        return DatasetWriter(self._layer, self.config)
+
+    def incremental(self) -> DatasetWriter:
+        """Pure upsert stream, no wipe (W11)."""
+        return DatasetWriter(self._layer, self.config)
+
+
+class DataLayer:
+    """Engine session + dataset registry (S1-S4).
+
+    ``storage_root=None`` keeps the graph in-memory (checkpointed
+    DataFrames) for tests; a path makes every flush a durable atomic
+    commit.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: dict | None = None,
+        storage_root: str | None = None,
+    ):
+        self.spark = spark
+        self.datasets: dict[str, DatasetConfig] = {}
+        self._storage = ParquetGraphStorage(storage_root) if storage_root else None
+        self._store = (
+            self._storage.load(spark) if self._storage else GraphStore.empty(spark)
+        )
+        if config:
+            self.update_configuration(config)
+
+    # -- config (S2) ---------------------------------------------------
+
+    @classmethod
+    def from_config_path(cls, spark: SparkSession, path: str, **kw) -> "DataLayer":
+        with open(path) as f:
+            return cls(spark, json.load(f), **kw)
+
+    def update_configuration(self, config: dict) -> None:
+        """Load/refresh the dataset registry from a UDA-shaped config
+        (same JSON shape as the reference's ``testconfig/config.json``)."""
+        registry: dict[str, DatasetConfig] = {}
+        for d in config.get("dataset_definitions", []):
+            sc = d.get("source_config", {})
+            registry[d["name"]] = DatasetConfig(
+                name=d["name"],
+                label=sc.get("label", d["name"]),
+                batch_size=int(sc.get("batch_size", 1000)),
+            )
+        self.datasets = registry
+
+    # -- registry (S3/S4) ----------------------------------------------
+
+    def dataset(self, name: str) -> Dataset:
+        if name not in self.datasets:
+            raise KeyError(f"dataset {name!r} not found")
+        return Dataset(self, self.datasets[name])
+
+    def dataset_descriptions(self) -> list[dict]:
+        return [{"name": d.name, "label": d.label} for d in self.datasets.values()]
+
+    # -- store access --------------------------------------------------
+
+    @property
+    def store(self) -> GraphStore:
+        return self._store
+
+    def _apply(self, batch: DataFrame, ds: DatasetConfig) -> None:
+        new = self._store.apply_batch(batch, ds.label, ds.name)
+        self._commit(new)
+
+    def _wipe(self, ds: DatasetConfig) -> None:
+        self._commit(self._store.delete_all(ds.label, ds.name))
+
+    def _commit(self, new: GraphStore) -> None:
+        if self._storage is not None:
+            self._storage.commit(new)
+            self._store = self._storage.load(self.spark)
+        else:
+            self._store = new.checkpointed()
+
+    # -- read side (S8/S9 — unsupported in the reference) --------------
+
+    def entities(self, from_gid: str = "", limit: int = 100) -> DataFrame:
+        """Paged node scan ordered by gid; ``from_gid`` is the page token."""
+        nodes = self._store.nodes
+        if from_gid:
+            nodes = nodes.where(F.col("gid") > from_gid)
+        return nodes.orderBy("gid").limit(limit)
+
+    def changes(self, since: int = 0, limit: int = 100) -> tuple[DataFrame, int]:
+        """Change feed: rows of the current snapshot newer than the
+        ``since`` version token. With versioned storage the token is the
+        commit version; in-memory mode degrades to a full snapshot."""
+        version = self._storage.current_version() if self._storage else 0
+        if since >= version and self._storage:
+            return self._store.nodes.limit(0), version
+        return self._store.nodes.orderBy("gid").limit(limit), version

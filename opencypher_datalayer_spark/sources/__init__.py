@@ -1,0 +1,5 @@
+"""Sources: parquet table registry and entity-JSON ingest."""
+
+from opencypher_datalayer_spark.sources.tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

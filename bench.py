@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is timed to completion of an action that materializes every
+result row (count on the final plan). Times include Catalyst planning —
+that is the real per-query cost a user sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from opencypher_datalayer_spark.benchqueries import all_queries
+from opencypher_datalayer_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q_top_customers_per_nation",
+    "q_rollup_lineitem",
+    "g_match_filter",
+    "g_expand_collect",
+    "g_order_region_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "sim_lsh_candidate_pairs",
+    "sim_topk_bruteforce",
+    "text_fingerprint",
+    "text_quality",
+    "ev_sessionize",
+    "ev_asof_join",
+    "ev_tumbling_window",
+    "mm_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,371 @@
+"""Deduplication operators over the ``documents`` table — the core of a
+large-scale training-data pipeline.
+
+Four families, each a different cost/recall point:
+
+- exact: hash-groupBy (one shuffle on the text hash);
+- n-gram Jaccard: shingle explode + shared-shingle candidate join +
+  exact set-overlap — no O(n^2) pair enumeration;
+- MinHash + LSH: fixed-size signatures + banding, so candidate
+  generation is an equi-join on band hashes (the 100 TB path);
+- SimHash: one 64-bit-ish fingerprint per doc, chunk-banded candidate
+  join + exact Hamming filter (lossless for the chosen radius by
+  pigeonhole).
+
+Every hash is *portable*: md5-prefix -> bigint, computable identically
+in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``), so even the LSH pipelines
+have full value-level oracles. MinHash coefficients are seeded Python
+constants inlined into both sides.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.sources.tables import load_table
+
+SHINGLE_K = 8
+P = 1_000_000_007  # modulus keeping a*h+b inside int64
+
+# MinHash: H = BANDS * ROWS_PER_BAND hash functions, seeded deterministically
+BANDS = 4
+ROWS_PER_BAND = 3
+H = BANDS * ROWS_PER_BAND
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, P) for _ in range(H)]
+MINHASH_B = [_rng.randrange(0, P) for _ in range(H)]
+
+# SimHash: 32-bit fingerprint over word tokens, banded into 4 chunks of 8
+# bits; Hamming radius 3 < 4 chunks => chunk-equality banding is lossless.
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 3
+
+
+def _spark_hash64(col) -> F.Column:  # type: ignore[name-defined]
+    """Portable md5-prefix hash -> bigint, reduced mod P (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
+
+
+def _duck_hash64(expr: str) -> str:
+    return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — char n-grams via pure column ops."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+                    f" i -> substring(text, i, {SHINGLE_K}))"
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+_DUCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id, substring(text, i, {SHINGLE_K}) AS sh FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM documents)
+"""
+
+
+# -- exact dedup --------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .orderBy("fp")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY fp
+"""
+
+
+# -- n-gram Jaccard near-dup -------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with 8-gram Jaccard >= 0.8. Candidates come from the shared-
+    shingle join (only pairs with nonzero intersection are ever formed);
+    at scale the shingle join shuffles on the shingle — skew on stop-
+    shingles is handled by AQE skew splitting."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE ROUND(i * 1.0 / (x.n + y.n - i), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- MinHash signatures + LSH banding ----------------------------------
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).withColumn("h", _spark_hash64(F.col("sh")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P)).alias(f"m{i}")
+        for i in range(H)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    return sig.select("doc_id", *[F.col(f"m{i}") for i in range(H)], *band_cols)
+
+
+def _duck_minhash_cte() -> str:
+    mins = ",\n    ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}) AS m{i}" for i in range(H)
+    )
+    bands = ",\n    ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    return f"""
+hashed AS (SELECT doc_id, {_duck_hash64('sh')} AS h FROM s),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {', '.join(f'm{i}' for i in range(H))}, {bands} FROM sig)
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+DEDUP_MINHASH_SIG_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()}
+SELECT * FROM banded ORDER BY doc_id
+"""
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one full LSH band.
+
+    Scale shape: explode signatures to (band_idx, band_hash) rows and
+    self-join on the band bucket — an equi-join, not a cross join; bucket
+    skew (many docs in one band bucket) is the known LSH hot spot and is
+    AQE-split. The Spark and SQL plans differ; the *result* is the same
+    deterministic function of the signatures.
+    """
+    sig = _minhash_sigs(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(BANDS)]),
+                F.array(*[F.col(f"band{b}") for b in range(BANDS)]),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id
+ AND ({' OR '.join(f'a.band{i} = b.band{i}' for i in range(BANDS))})
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- SimHash ------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over word tokens: bit j is the sign of the
+    sum over tokens of +-1 depending on bit j of the token hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    tokens = tokens.withColumn("h", _spark_hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def _duck_simhash_cte() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+toks AS (SELECT doc_id, {_duck_hash64('t')} AS h FROM tok WHERE t <> ''),
+sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+simhashed AS (SELECT doc_id, {fp} AS simhash FROM sums)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash(spark, sf_dir).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_duck_simhash_cte()}
+SELECT doc_id, simhash FROM simhashed ORDER BY doc_id
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming distance {HAMMING_MAX} of each other.
+
+    Spark: pigeonhole banding — split the fingerprint into
+    {SIMHASH_CHUNKS} chunks; any pair within radius {HAMMING_MAX} shares
+    an identical chunk, so candidates come from a chunk equi-join and the
+    exact Hamming filter runs only on candidates. The oracle does the
+    naive pairwise filter — same result, different (non-scalable) plan.
+    """
+    fp = _simhash(spark, sf_dir)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+                        ).alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH {_duck_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simhashed a JOIN simhashed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via hash-groupBy"),
+    "dedup_ngram_jaccard": QueryDef(
+        dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "8-gram Jaccard >= 0.8 near-dup pairs"
+    ),
+    "dedup_minhash_signatures": QueryDef(
+        dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL, f"{H}-perm MinHash signatures + bands"
+    ),
+    "dedup_minhash_lsh_pairs": QueryDef(
+        dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_SQL, "LSH band-bucket candidate pairs"
+    ),
+    "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_SQL, "32-bit SimHash fingerprints"),
+    "dedup_simhash_pairs": QueryDef(
+        dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL, "Hamming<=3 pairs via chunk banding"
+    ),
+}

@@ -1,0 +1,194 @@
+"""Graph query surface (SURVEY §2-R) exercised at scale over a graph
+built from the star schema (``sources.tabular.graph_from_tables``).
+
+Each query drives the engine's graph operators (label scan, expand,
+collect, degree); the oracle reconstructs the same answer relationally
+from the raw tables — which is exactly what makes the graph layer
+testable without a graph database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.operators.graph_ops import expand, match_nodes, out_degree
+from opencypher_datalayer_spark.sources.tabular import NS, graph_from_tables
+
+
+# -- R1: label scan + property filter ----------------------------------
+
+
+def g_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' RETURN c.gid, c.name"""
+    store = graph_from_tables(spark, sf_dir)
+    return (
+        match_nodes(store, label="Customer", mktsegment="BUILDING")
+        .select("gid", F.col("props").getItem("name").alias("name"))
+        .orderBy("gid")
+    )
+
+
+G_MATCH_FILTER_SQL = f"""
+SELECT '{NS}/customer/' || CAST(c_custkey AS VARCHAR) AS gid, c_name AS name
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY gid
+"""
+
+
+# -- R2+R3: optional expand + collect ----------------------------------
+
+
+def g_expand_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer) OPTIONAL MATCH (c)-[:in_nation]->(m)
+    RETURN c.gid, COLLECT(m.gid) — collected list sorted for determinism."""
+    store = graph_from_tables(spark, sf_dir)
+    n = match_nodes(store, label="Customer")
+    return (
+        expand(store, n, rel_type="in_nation", optional=True)
+        .groupBy("gid")
+        .agg(F.array_sort(F.collect_list("m_gid")).alias("targets"))
+        .select("gid", F.col("targets"), F.size("targets").alias("n_targets"))
+        .orderBy("gid")
+    )
+
+
+G_EXPAND_COLLECT_SQL = f"""
+SELECT gid, list_sort(list(target)) AS targets, COUNT(target) AS n_targets
+FROM (
+  SELECT '{NS}/customer/' || CAST(c_custkey AS VARCHAR) AS gid,
+         '{NS}/nation/' || CAST(c_nationkey AS VARCHAR) AS target
+  FROM customer
+)
+GROUP BY gid
+ORDER BY gid
+"""
+
+
+# -- degree over the edge table ----------------------------------------
+
+
+def g_nation_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree of every Nation node over in_nation edges (customers +
+    suppliers pointing at it)."""
+    store = graph_from_tables(spark, sf_dir)
+    deg = (
+        store.edges.where(F.col("rel_type") == "in_nation")
+        .groupBy(F.col("dst").alias("gid"))
+        .agg(F.count("*").alias("in_degree"))
+    )
+    nations = match_nodes(store, label="Nation").select(
+        "gid", F.col("props").getItem("name").alias("name")
+    )
+    return nations.join(deg, "gid", "left").na.fill({"in_degree": 0}).orderBy("gid")
+
+
+G_NATION_IN_DEGREE_SQL = f"""
+WITH deg AS (
+  SELECT dst AS gid, COUNT(*) AS in_degree FROM (
+    SELECT '{NS}/nation/' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+    UNION ALL
+    SELECT '{NS}/nation/' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+  ) GROUP BY dst
+)
+SELECT n.gid, n.name, COALESCE(deg.in_degree, 0) AS in_degree
+FROM (SELECT '{NS}/nation/' || CAST(n_nationkey AS VARCHAR) AS gid, n_name AS name FROM nation) n
+LEFT JOIN deg ON n.gid = deg.gid
+ORDER BY n.gid
+"""
+
+
+# -- 2-hop traversal ----------------------------------------------------
+
+
+def g_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer)-[:in_nation]->(:Nation)-[:in_region]->(r:Region)
+    RETURN r.name, count(c) — two edge-table self-joins, small side broadcast."""
+    store = graph_from_tables(spark, sf_dir)
+    hop1 = store.edges.where(F.col("rel_type") == "in_nation").select(
+        F.col("src").alias("c_gid"), F.col("dst").alias("n_gid")
+    )
+    # restrict hop1 sources to Customer nodes (suppliers also have in_nation)
+    custs = match_nodes(store, label="Customer").select(F.col("gid").alias("c_gid"))
+    hop1 = hop1.join(custs, "c_gid", "left_semi")
+    hop2 = store.edges.where(F.col("rel_type") == "in_region").select(
+        F.col("src").alias("n_gid"), F.col("dst").alias("r_gid")
+    )
+    regions = match_nodes(store, label="Region").select(
+        F.col("gid").alias("r_gid"), F.col("props").getItem("name").alias("region_name")
+    )
+    return (
+        hop1.join(F.broadcast(hop2), "n_gid")
+        .join(F.broadcast(regions), "r_gid")
+        .groupBy("region_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("region_name")
+    )
+
+
+G_TWO_HOP_SQL = """
+SELECT r_name AS region_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region_name
+"""
+
+
+# -- 3-hop motif with aggregation --------------------------------------
+
+
+def g_order_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (o:Order)-[:placed_by]->(c:Customer)-[:in_nation]->(n)-[:in_region]->(r)
+    RETURN r.name, count(o) — order volume by region through the graph."""
+    store = graph_from_tables(spark, sf_dir)
+    placed = store.edges.where(F.col("rel_type") == "placed_by").select(
+        F.col("src").alias("o_gid"), F.col("dst").alias("c_gid")
+    )
+    in_nation = store.edges.where(F.col("rel_type") == "in_nation").select(
+        F.col("src").alias("c_gid"), F.col("dst").alias("n_gid")
+    )
+    # placed_by targets are customers only, so the in_nation join already
+    # restricts to customer sources — no label filter needed.
+    in_region = store.edges.where(F.col("rel_type") == "in_region").select(
+        F.col("src").alias("n_gid"), F.col("dst").alias("r_gid")
+    )
+    regions = match_nodes(store, label="Region").select(
+        F.col("gid").alias("r_gid"), F.col("props").getItem("name").alias("region_name")
+    )
+    return (
+        placed.join(in_nation, "c_gid")
+        .join(F.broadcast(in_region), "n_gid")
+        .join(F.broadcast(regions), "r_gid")
+        .groupBy("region_name")
+        .agg(F.count("*").alias("n_orders"), F.countDistinct("c_gid").alias("n_customers"))
+        .orderBy("region_name")
+    )
+
+
+G_ORDER_REGION_SQL = """
+SELECT r_name AS region_name, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region_name
+"""
+
+
+QUERIES = {
+    "g_match_filter": QueryDef(g_match_filter, G_MATCH_FILTER_SQL, "R1 label scan + filter"),
+    "g_expand_collect": QueryDef(
+        g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"
+    ),
+    "g_nation_in_degree": QueryDef(
+        g_nation_in_degree, G_NATION_IN_DEGREE_SQL, "in-degree over edges"
+    ),
+    "g_two_hop": QueryDef(g_two_hop, G_TWO_HOP_SQL, "2-hop traversal + agg"),
+    "g_order_region_revenue": QueryDef(
+        g_order_region_revenue, G_ORDER_REGION_SQL, "3-hop motif + agg"
+    ),
+}

@@ -1,0 +1,265 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Two paths:
+
+- brute-force cosine: exact, O(n*m) — expressed entirely with
+  ``zip_with`` / ``aggregate`` column expressions (sequential in-array
+  summation, IEEE-deterministic, so it hash-matches DuckDB's list
+  lambdas without tolerance);
+- random-hyperplane LSH: sign-bit bucket from D deterministic
+  hyperplanes (seeded Python constants inlined into both engines) —
+  candidate generation becomes a bucket equi-join, the 100 TB path.
+
+Vectors are cast float->double BEFORE any arithmetic: float32 ops would
+round differently between engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.sources.tables import load_table
+
+DIM = 64
+N_PLANES = 8
+_rng = random.Random(7)
+# hyperplane components in [-1, 1], rounded so the SQL literals are exact
+HYPERPLANES = [[round(_rng.uniform(-1, 1), 6) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+COS_THRESHOLD = 0.4  # synthetic embeddings top out near 0.6 cosine
+TOPK = 5
+N_QUERY = 10  # first N vec_ids serve as the query set for top-k
+
+
+def _vec(col: str = "embedding") -> F.Column:  # type: ignore[name-defined]
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:  # type: ignore[name-defined]
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a) -> F.Column:  # type: ignore[name-defined]
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+_DUCK_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2]))"
+_DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+# -- brute-force cosine pairs ------------------------------------------
+
+
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= {COS_THRESHOLD} (rounded to 6dp before the
+    threshold so the cut is engine-stable)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= COS_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SIM_COSINE_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= {COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# -- brute-force top-k neighbors for a query set ------------------------
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{TOPK} cosine neighbors for the first {N_QUERY} vectors.
+    The query side is tiny => broadcast; ranking tie-breaks on id."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        F.broadcast(queries)
+        .join(cand, F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "c_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROUND({_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY})
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+# -- random-hyperplane LSH buckets --------------------------------------
+
+
+def _plane_literal(p: list[float]) -> F.Column:  # type: ignore[name-defined]
+    return F.array(*[F.lit(x) for x in p])
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucket id per vector: bit j = (v . plane_j) > 0.
+    Bucketing is the shuffle key for candidate generation at scale."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", _vec().alias("v"))
+    bucket = None
+    for j, plane in enumerate(HYPERPLANES):
+        bit = F.when(_dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return emb.select("vec_id", bucket.cast("bigint").alias("bucket")).orderBy("vec_id")
+
+
+def _duck_lsh_bucket_expr() -> str:
+    bits = []
+    for j, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN {_DUCK_DOT.format(a='v', b=lit)} > 0 THEN {2**j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+SIM_LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, {_DUCK_VEC} AS v FROM embeddings)
+SELECT vec_id, CAST({_duck_lsh_bucket_expr()} AS BIGINT) AS bucket
+FROM e ORDER BY vec_id
+"""
+
+
+def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate pairs = same LSH bucket (equi-join on bucket), with
+    exact cosine computed only on candidates — the scale path where the
+    brute-force cross join is replaced by a bucketed shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
+    )
+    bucket = None
+    for j, plane in enumerate(HYPERPLANES):
+        bit = F.when(_dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .select("bucket", "id_a", "id_b", "cosine")
+        .orderBy("bucket", "id_a", "id_b")
+    )
+
+
+SIM_LSH_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, nrm, CAST({_duck_lsh_bucket_expr()} AS BIGINT) AS bucket FROM e)
+SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY bucket, id_a, id_b
+"""
+
+
+# -- centroid aggregation (vector agg over groups) ----------------------
+
+
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector norm + count — element-wise vector aggregate
+    reduced to a scalar so it hashes portably; the full centroid array is
+    the same pattern without the final reduce."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("label", _norm(_vec()).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_CENTROIDS_SQL = f"""
+WITH e AS (SELECT label, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm FROM embeddings)
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "sim_cosine_pairs": QueryDef(
+        sim_cosine_pairs, SIM_COSINE_PAIRS_SQL, f"exact cosine pairs >= {COS_THRESHOLD}"
+    ),
+    "sim_topk_bruteforce": QueryDef(
+        sim_topk_bruteforce, SIM_TOPK_SQL, f"exact top-{TOPK} neighbors, {N_QUERY} queries"
+    ),
+    "sim_lsh_buckets": QueryDef(
+        sim_lsh_buckets, SIM_LSH_BUCKETS_SQL, f"{N_PLANES}-plane sign LSH buckets"
+    ),
+    "sim_lsh_candidate_pairs": QueryDef(
+        sim_lsh_candidate_pairs, SIM_LSH_PAIRS_SQL, "bucketed ANN candidates + exact rerank"
+    ),
+    "sim_label_centroids": QueryDef(
+        sim_label_centroids, SIM_CENTROIDS_SQL, "per-label vector-norm aggregates"
+    ),
+}

@@ -1,0 +1,223 @@
+"""Temporal / event-stream operators over ``events``.
+
+These are the batch expressions of the streaming operators in
+``streaming/`` (identical logic under ``readStream`` + watermark); as
+batch queries they get full DuckDB oracles — including an as-of join
+checked against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.sources.tables import load_table
+
+DEC = "decimal(18,6)"
+
+
+# -- tumbling window aggregation ---------------------------------------
+
+
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window x event_type: count + exact value sum.
+    ``F.window`` is the same operator Structured Streaming uses."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# -- sliding window (1h window, 15m slide) ------------------------------
+
+
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# each event lands in 4 sliding windows: the bucket of (ts - k*15min), k=0..3
+EV_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS window_start,
+         value
+  FROM events, (SELECT unnest([0,1,2,3]) AS k)
+  WHERE event_type = 'purchase')
+SELECT window_start, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+# -- sessionization -----------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization: a >30-minute silence starts a new
+    session. lag + conditional cumsum over a per-user window — one
+    shuffle on user_id, then linear in-partition work."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gapped)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+# -- as-of join ---------------------------------------------------------
+
+
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's most recent prior-or-equal click
+    (checked against DuckDB's native ASOF JOIN).
+
+    Spark lacks a native as-of join; the scalable composition is a
+    union-tag-and-carry-forward: union both sides ordered by time within
+    user, carry the last click timestamp forward with
+    ``last(..., ignorenulls)`` over an unbounded-preceding frame, then
+    keep the purchase rows. One shuffle on user_id, no range explosion.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_click"),
+        F.lit(None).cast("bigint").alias("event_id"), F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_click"), "event_id", "value",
+    )
+    unioned = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts => "prior or equal" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click") == 1, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("is_click") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ev_ts").alias("purchase_ts"),
+            F.col("value").cast(DEC).alias("purchase_value"),
+            "last_click_ts",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    )
+
+
+EV_ASOF_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       CAST(p.value AS DECIMAL(18,6)) AS purchase_value,
+       c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY user_id, purchase_ts, purchase_id
+"""
+
+
+# -- ranked event funnel ------------------------------------------------
+
+
+def ev_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event of each type per user (dedup-by-rank) + per-type counts."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        firsts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("ts").alias("earliest"),
+            F.max("ts").alias("latest"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_FIRST_TOUCH_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, COUNT(*) AS n_users, MIN(ts) AS earliest, MAX(ts) AS latest
+FROM firsts WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "ev_tumbling_window": QueryDef(ev_tumbling_window, EV_TUMBLING_SQL, "5m tumbling window agg"),
+    "ev_sliding_window": QueryDef(ev_sliding_window, EV_SLIDING_SQL, "1h/15m sliding window"),
+    "ev_sessionize": QueryDef(ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization"),
+    "ev_asof_join": QueryDef(ev_asof_join, EV_ASOF_SQL, "as-of join vs native ASOF"),
+    "ev_first_touch": QueryDef(ev_first_touch, EV_FIRST_TOUCH_SQL, "first-touch dedup by rank"),
+}

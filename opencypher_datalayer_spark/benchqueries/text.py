@@ -1,0 +1,213 @@
+"""Text-analysis operators over ``documents``: quality scoring, token
+counting, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (regexp/string/array builtins — JVM-side,
+codegen'd); ratios are single IEEE divisions of exact integers, so the
+oracles hash-match without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.sources.tables import load_table
+
+# language marker words for the stopword-hit heuristic; deterministic
+# tie-break = first in this order
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+_WORD_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"  # BPE-ish token classes
+
+
+def _tokens(col) -> F.Column:  # type: ignore[name-defined]
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+# -- quality stats ------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    n_space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        ((F.length("text") - n_space).cast("double") / n_tokens).alias("avg_token_len"),
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, n_chars,
+       length(toks) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(toks) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+       length(list_distinct(toks)) AS n_unique_tokens,
+       CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks) AS ttr
+FROM t
+ORDER BY doc_id
+"""
+
+
+# -- BPE-ish token count ------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_WORD_RE), 0)).alias("bpeish_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+       length(regexp_extract_all(text, '{_WORD_RE}')) AS bpeish_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- language-ID heuristic ----------------------------------------------
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: score each language by marker-token hits,
+    argmax with deterministic tie-break (marker order, then 'und' for
+    no hits anywhere)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.lower(F.col("text")))
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg lambda via factory: a default-arg lambda would have
+        # arity 2 and F.filter would treat it as the (elem, index) form
+        return lambda t: t.isin(*markers)
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(toks, marker_hits(markers))).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier languages win ties => apply last
+        pred = F.when((best > 0) & (F.col(f"score_{lg}") == best), lg).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", *[f"score_{lg}" for lg in langs], pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def _duck_lang_sql() -> str:
+    score_cols = ",\n       ".join(
+        "length(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST({})".format(", ".join(f"score_{lg}" for lg in langs))
+    pred = "CASE "
+    for lg in langs:
+        pred += f"WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' "
+    pred += "ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+scored AS (SELECT doc_id, lang, {score_cols} FROM t)
+SELECT doc_id, lang, {', '.join(f'score_{lg}' for lg in langs)}, {pred} AS pred_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+# -- document fingerprint -----------------------------------------------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint: md5 over the sorted distinct lowercase
+    token set — robust to word order and repetition."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.lower(F.col("text")))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return (
+        docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- corpus rollup ------------------------------------------------------
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) corpus statistics — the monitoring query a
+    pipeline runs per ingest batch."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens(F.col("text"))
+    return (
+        docs.select("lang", "source", F.length("text").alias("nc"), F.size(toks).alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+            F.sum("nt").alias("total_tokens"),
+            F.min("nc").alias("min_chars"),
+            F.max("nc").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TEXT_CORPUS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       SUM(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS total_tokens,
+       MIN(length(text)) AS min_chars,
+       MAX(length(text)) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "per-doc quality metrics"),
+    "text_token_count": QueryDef(
+        text_token_count, TEXT_TOKEN_COUNT_SQL, "whitespace + BPE-ish token counts"
+    ),
+    "text_lang_id": QueryDef(text_lang_id, _duck_lang_sql(), "stopword-hit language ID"),
+    "text_fingerprint": QueryDef(
+        text_fingerprint, TEXT_FINGERPRINT_SQL, "canonical token-set fingerprint"
+    ),
+    "text_corpus_stats": QueryDef(text_corpus_stats, TEXT_CORPUS_SQL, "per-corpus rollup"),
+}

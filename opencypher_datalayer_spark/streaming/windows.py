@@ -1,0 +1,70 @@
+"""Streaming window aggregations over an event stream.
+
+The transformations are the *same* expressions as the batch versions in
+``benchqueries.temporal`` — that equivalence is the test: a streaming run
+over the finite events table (``availableNow`` trigger) must produce the
+batch answer. Watermarks bound state for late data; in production the
+source is Kafka/files-in-motion, here a parquet directory read as a
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet streaming source needs an explicit schema. ``ts`` arrives as
+# raw nanos (TIMESTAMP(NANOS) parquet, read with nanosAsLong) and is
+# converted with integer division — same as the batch loader.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the table is a single parquet FILE; the file stream source wants a
+    # directory, so stream the parent dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """5-minute tumbling window x event_type with a late-data watermark —
+    identical aggregation to ``benchqueries.temporal.ev_tumbling_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def run_to_memory(agg: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drive a streaming aggregation to completion over the finite input
+    (availableNow) into an in-memory sink; returns the StreamingQuery."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

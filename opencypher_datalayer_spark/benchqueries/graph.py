@@ -179,8 +179,43 @@ ORDER BY region_name
 """
 
 
+# -- the same queries through the Cypher front-end ----------------------
+
+
+def cy_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 via the openCypher parser/planner (plans.cypher)."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (c:Customer {mktsegment: 'BUILDING'}) "
+        "RETURN c.gid AS gid, c.name AS name ORDER BY gid",
+    )
+
+
+def cy_expand_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2+R3 via the Cypher front-end: OPTIONAL MATCH + COLLECT +
+    count with implicit grouping."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[r:in_nation]->(m) "
+        "RETURN c.gid AS gid, collect(m.gid) AS targets, count(r) AS n_targets "
+        "ORDER BY gid",
+    )
+
+
 QUERIES = {
     "g_match_filter": QueryDef(g_match_filter, G_MATCH_FILTER_SQL, "R1 label scan + filter"),
+    "cy_match_filter": QueryDef(
+        cy_match_filter, G_MATCH_FILTER_SQL, "R1 through the Cypher parser"
+    ),
+    "cy_expand_collect": QueryDef(
+        cy_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 through the Cypher parser"
+    ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"
     ),

@@ -1,0 +1,751 @@
+"""A small openCypher read-query engine on DataFrames.
+
+Pipeline: tokenize -> recursive-descent parse -> plan.
+
+Planning model: one growing DataFrame whose columns are namespaced per
+pattern variable (``v__gid``, ``v__label``, ``v__source``, ``v__props``
+for nodes; ``v__rel_type``, ``v__rel_source`` for relationships). Each
+MATCH pattern becomes joins against the store's nodes/edges tables —
+inner for MATCH, left-outer (built as a pre-joined pattern unit) for
+OPTIONAL MATCH, exactly the translation table of SURVEY §2-R. RETURN
+with aggregates applies Cypher's implicit group-by over the
+non-aggregated return terms.
+
+Scale behavior falls out of the translation: label/property predicates
+sit directly on the node scan (partition pruning + parquet pushdown),
+joins are equi-joins on gid keys that AQE can re-plan, and no driver-side
+row iteration exists anywhere.
+
+Property comparisons: property values are stored as strings (the
+reference's JSON value domain); when a Cypher literal is numeric the
+comparison casts the property to double, otherwise it compares as
+string.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.store import GraphStore
+
+
+class CypherError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------------------
+# AST
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+    props: dict[str, object]
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    rel_type: str | None
+
+
+@dataclass
+class PathPat:
+    nodes: list[NodePat]
+    edges: list[EdgePat]  # len(edges) == len(nodes) - 1
+
+
+@dataclass
+class MatchClause:
+    paths: list[PathPat]
+    optional: bool
+    where: "Expr | None"
+
+
+@dataclass
+class ReturnItem:
+    expr: "Expr"
+    alias: str | None
+
+    @property
+    def name(self) -> str:
+        return self.alias or _expr_name(self.expr)
+
+
+@dataclass
+class Query:
+    matches: list[MatchClause]
+    where: "Expr | None"
+    returns: list[ReturnItem]
+    order_by: list[tuple["Expr", bool]] = field(default_factory=list)  # (expr, asc)
+    skip: int | None = None
+    limit: int | None = None
+    distinct: bool = False
+
+
+# Expressions
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Prop:
+    var: str
+    key: str
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Cmp:
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class Bool:
+    op: str  # AND / OR
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class Not:
+    inner: "Expr"
+
+
+@dataclass
+class IsNull:
+    inner: "Expr"
+    negated: bool
+
+
+@dataclass
+class Agg:
+    fn: str  # collect / count / sum / min / max / avg
+    inner: "Expr | None"  # None => count(*)
+    distinct: bool = False
+
+
+Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg
+
+
+def _expr_name(e: Expr) -> str:
+    if isinstance(e, Prop):
+        return f"{e.var}.{e.key}"
+    if isinstance(e, Var):
+        return e.name
+    if isinstance(e, Agg):
+        inner = "*" if e.inner is None else _expr_name(e.inner)
+        return f"{e.fn}({inner})"
+    if isinstance(e, Lit):
+        return str(e.value)
+    return "expr"
+
+
+# ----------------------------------------------------------------------
+# Tokenizer
+# ----------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--)
+  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*-])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "match", "optional", "where", "return", "order", "by", "skip", "limit",
+    "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
+    "asc", "ascending", "desc", "descending", "collect", "count", "sum",
+    "min", "max", "avg",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # string/number/name/kw/sym/arrow
+    text: str
+    value: object = None
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise CypherError(f"cannot tokenize at: {src[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws":
+            continue
+        if kind == "string":
+            toks.append(Tok("string", text, value=text[1:-1].replace("\\'", "'").replace('\\"', '"')))
+        elif kind == "number":
+            toks.append(Tok("number", text, value=float(text) if "." in text else int(text)))
+        elif kind == "name":
+            low = text.lower()
+            toks.append(Tok("kw" if low in _KEYWORDS else "name", text, value=low))
+        else:
+            toks.append(Tok(kind, text))
+    return toks
+
+
+# ----------------------------------------------------------------------
+# Parser
+# ----------------------------------------------------------------------
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- helpers --
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "kw" and t.value in kws
+
+    def at_sym(self, s: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind in ("sym", "arrow") and t.text == s
+
+    def take(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise CypherError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise CypherError(f"expected {kw.upper()} at {self._ctx()}")
+        self.take()
+
+    def expect_sym(self, s: str) -> None:
+        if not self.at_sym(s):
+            raise CypherError(f"expected {s!r} at {self._ctx()}")
+        self.take()
+
+    def _ctx(self) -> str:
+        return " ".join(t.text for t in self.toks[self.i : self.i + 5]) or "<end>"
+
+    # -- grammar --
+    def parse(self) -> Query:
+        matches: list[MatchClause] = []
+        while self.at_kw("match", "optional"):
+            optional = False
+            if self.at_kw("optional"):
+                self.take()
+                optional = True
+            self.expect_kw("match")
+            paths = [self.parse_path()]
+            while self.at_sym(","):
+                self.take()
+                paths.append(self.parse_path())
+            where = None
+            if self.at_kw("where"):
+                self.take()
+                where = self.parse_expr()
+            matches.append(MatchClause(paths, optional, where))
+        if not matches:
+            raise CypherError("query must start with MATCH")
+
+        self.expect_kw("return")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.take()
+            distinct = True
+        returns = [self.parse_return_item()]
+        while self.at_sym(","):
+            self.take()
+            returns.append(self.parse_return_item())
+
+        order_by: list[tuple[Expr, bool]] = []
+        if self.at_kw("order"):
+            self.take()
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.at_kw("asc", "ascending", "desc", "descending"):
+                    asc = self.take().value in ("asc", "ascending")
+                order_by.append((e, asc))
+                if self.at_sym(","):
+                    self.take()
+                    continue
+                break
+        skip = limit = None
+        if self.at_kw("skip"):
+            self.take()
+            skip = int(self.take().value)
+        if self.at_kw("limit"):
+            self.take()
+            limit = int(self.take().value)
+        if self.peek() is not None:
+            raise CypherError(f"unexpected trailing input: {self._ctx()}")
+        return Query(matches, None, returns, order_by, skip, limit, distinct)
+
+    def parse_path(self) -> PathPat:
+        nodes = [self.parse_node()]
+        edges: list[EdgePat] = []
+        while self.at_sym("-[") or self.at_sym("-->"):
+            if self.at_sym("-->"):
+                self.take()
+                edges.append(EdgePat(None, None))
+            else:
+                self.take()
+                var = rel = None
+                t = self.peek()
+                if t and t.kind == "name":
+                    var = self.take().text
+                if self.at_sym(":"):
+                    self.take()
+                    rel = self.take().text
+                self.expect_sym("]->")
+                edges.append(EdgePat(var, rel))
+            nodes.append(self.parse_node())
+        return PathPat(nodes, edges)
+
+    def parse_node(self) -> NodePat:
+        self.expect_sym("(")
+        var = label = None
+        props: dict[str, object] = {}
+        t = self.peek()
+        if t and t.kind == "name":
+            var = self.take().text
+        if self.at_sym(":"):
+            self.take()
+            label = self.take().text
+        if self.at_sym("{"):
+            self.take()
+            while not self.at_sym("}"):
+                key = self.take().text
+                self.expect_sym(":")
+                v = self.take()
+                if v.kind not in ("string", "number") and not (
+                    v.kind == "kw" and v.value in ("true", "false", "null")
+                ):
+                    raise CypherError(f"bad property literal {v.text!r}")
+                props[key] = (
+                    v.value
+                    if v.kind in ("string", "number")
+                    else {"true": True, "false": False, "null": None}[v.value]
+                )
+                if self.at_sym(","):
+                    self.take()
+            self.expect_sym("}")
+        self.expect_sym(")")
+        return NodePat(var, label, props)
+
+    def parse_return_item(self) -> ReturnItem:
+        e = self.parse_expr()
+        alias = None
+        if self.at_kw("as"):
+            self.take()
+            alias = self.take().text
+        return ReturnItem(e, alias)
+
+    # expressions: or_expr > and_expr > not_expr > cmp > primary
+    def parse_expr(self) -> Expr:
+        e = self.parse_and()
+        while self.at_kw("or"):
+            self.take()
+            e = Bool("OR", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_not()
+        while self.at_kw("and"):
+            self.take()
+            e = Bool("AND", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> Expr:
+        if self.at_kw("not"):
+            self.take()
+            return Not(self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self) -> Expr:
+        left = self.parse_primary()
+        t = self.peek()
+        if t and t.kind == "sym" and t.text in ("=", "<>", "<", "<=", ">", ">="):
+            op = self.take().text
+            return Cmp(op, left, self.parse_primary())
+        if self.at_kw("is"):
+            self.take()
+            negated = False
+            if self.at_kw("not"):
+                self.take()
+                negated = True
+            self.expect_kw("null")
+            return IsNull(left, negated)
+        return left
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t is None:
+            raise CypherError("unexpected end of expression")
+        if t.kind == "string" or t.kind == "number":
+            return Lit(self.take().value)
+        if t.kind == "kw" and t.value in ("true", "false", "null"):
+            self.take()
+            return Lit({"true": True, "false": False, "null": None}[t.value])
+        if t.kind == "kw" and t.value in ("collect", "count", "sum", "min", "max", "avg"):
+            fn = self.take().value
+            self.expect_sym("(")
+            distinct = False
+            if self.at_kw("distinct"):
+                self.take()
+                distinct = True
+            inner: Expr | None
+            if self.at_sym("*"):
+                self.take()
+                inner = None
+            else:
+                inner = self.parse_expr()
+            self.expect_sym(")")
+            return Agg(fn, inner, distinct)
+        if t.kind == "name":
+            name = self.take().text
+            if self.at_sym("."):
+                self.take()
+                key = self.take().text
+                return Prop(name, key)
+            return Var(name)
+        if self.at_sym("("):
+            self.take()
+            e = self.parse_expr()
+            self.expect_sym(")")
+            return e
+        raise CypherError(f"cannot parse expression at {self._ctx()}")
+
+
+# ----------------------------------------------------------------------
+# Planner
+# ----------------------------------------------------------------------
+
+_NODE_FIELDS = ("gid", "label", "source", "props")
+
+
+def _node_df(store: GraphStore, pat: NodePat, var: str) -> DataFrame:
+    df = store.nodes
+    if pat.label is not None:
+        df = df.where(F.col("label") == pat.label)
+    for k, v in pat.props.items():
+        df = df.where(_prop_cmp(F.col("props").getItem(k), "=", v))
+    return df.select(*[F.col(f).alias(f"{var}__{f}") for f in _NODE_FIELDS])
+
+
+def _prop_cmp(col: Column, op: str, value: object) -> Column:
+    """Property comparison honoring the string-storage model: numeric
+    literal => numeric comparison (cast), else string comparison."""
+    if value is None:
+        return col.isNull() if op == "=" else col.isNotNull()
+    if isinstance(value, bool):
+        col, value = col == "true", value
+        return col if value else ~col
+    if isinstance(value, (int, float)):
+        col = col.cast("double")
+        value = float(value)
+    ops = {
+        "=": lambda c: c == value,
+        "<>": lambda c: c != value,
+        "<": lambda c: c < value,
+        "<=": lambda c: c <= value,
+        ">": lambda c: c > value,
+        ">=": lambda c: c >= value,
+    }
+    return ops[op](col)
+
+
+class PlanState:
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self.df: DataFrame | None = None
+        self.vars: dict[str, str] = {}  # var -> kind ('node'|'edge')
+        self._anon = 0
+
+    def fresh(self, prefix: str) -> str:
+        self._anon += 1
+        return f"_{prefix}{self._anon}"
+
+    # -- pattern planning --
+
+    def add_match(self, clause: MatchClause) -> None:
+        for path in clause.paths:
+            self._add_path(path, optional=clause.optional)
+        if clause.where is not None:
+            cond = self.to_condition(clause.where)
+            if clause.optional:
+                # Cypher: an OPTIONAL MATCH WHERE failing leaves nulls
+                # rather than dropping rows for the vars of that clause —
+                # approximation: treat as post-filter allowing null rows.
+                new_vars = self._clause_vars(clause)
+                null_ok = None
+                for v in new_vars:
+                    c = F.col(f"{v}__gid").isNull()
+                    null_ok = c if null_ok is None else (null_ok & c)
+                self.df = self.df.where(cond | null_ok if null_ok is not None else cond)
+            else:
+                self.df = self.df.where(cond)
+
+    def _clause_vars(self, clause: MatchClause) -> list[str]:
+        out = []
+        for p in clause.paths:
+            for n in p.nodes:
+                if n.var:
+                    out.append(n.var)
+        return out
+
+    def _add_path(self, path: PathPat, optional: bool) -> None:
+        """Build the path as a self-contained unit (node-edge-node joins),
+        then attach it to the running plan — inner join for MATCH,
+        left-outer for OPTIONAL MATCH.
+
+        A path may reference variables already bound in the plan; those
+        become *pending pointer columns* (``{var}__ptrN``) inside the
+        unit, resolved as equi-join conditions against ``{var}__gid`` at
+        attach time. This keeps OPTIONAL MATCH correct: the whole pattern
+        either matches or yields one all-null row, never a half-matched
+        edge.
+        """
+        unit: DataFrame | None = None
+        unit_vars: set[str] = set()
+        pending: list[tuple[str, str]] = []  # (ptr column, plan var)
+        ptr_n = 0
+
+        def new_ptr(var: str) -> str:
+            nonlocal ptr_n
+            ptr_n += 1
+            col = f"{var}__ptr{ptr_n}"
+            pending.append((col, var))
+            return col
+
+        prev_var: str | None = None
+        for idx, npat in enumerate(path.nodes):
+            var = npat.var or self.fresh("n")
+            in_plan = var in self.vars and self.df is not None and f"{var}__gid" in self.df.columns
+            in_unit = var in unit_vars
+            if in_plan and (npat.label or npat.props):
+                raise CypherError(f"re-binding {var} with new label/props unsupported")
+
+            if idx == 0:
+                if not in_plan:
+                    unit = _node_df(self.store, npat, var)
+                    unit_vars.add(var)
+                # else: path starts at a plan-bound var; the first edge
+                # will carry a pointer to it
+            else:
+                epat = path.edges[idx - 1]
+                evar = epat.var or self.fresh("e")
+                edges = self.store.edges
+                if epat.rel_type is not None:
+                    edges = edges.where(F.col("rel_type") == epat.rel_type)
+                src_col = (
+                    f"{prev_var}__gid" if prev_var in unit_vars else new_ptr(prev_var)
+                )
+                dst_is_new = not in_plan and not in_unit
+                dst_col = f"{var}__gid" if dst_is_new else new_ptr(var)
+                edf = edges.select(
+                    F.col("src").alias(f"__src_{evar}"),
+                    F.col("rel_type").alias(f"{evar}__rel_type"),
+                    F.col("source").alias(f"{evar}__rel_source"),
+                    F.col("dst").alias(f"__dst_{evar}"),
+                )
+                self.vars[evar] = "edge"
+                if unit is None:
+                    unit = edf
+                elif prev_var in unit_vars:
+                    unit = unit.join(edf, F.col(f"{prev_var}__gid") == F.col(f"__src_{evar}"))
+                else:
+                    unit = unit.crossJoin(edf)
+                # src side: either consumed by the join above or pending
+                if prev_var in unit_vars:
+                    unit = unit.drop(f"__src_{evar}")
+                else:
+                    unit = unit.withColumnRenamed(f"__src_{evar}", src_col)
+                # dst side
+                if dst_is_new:
+                    ndf = _node_df(self.store, npat, var)
+                    unit = unit.join(
+                        ndf, F.col(f"__dst_{evar}") == ndf[f"{var}__gid"]
+                    ).drop(f"__dst_{evar}")
+                    unit_vars.add(var)
+                elif in_unit:
+                    unit = unit.where(F.col(f"__dst_{evar}") == F.col(f"{var}__gid")).drop(
+                        f"__dst_{evar}"
+                    )
+                else:
+                    unit = unit.withColumnRenamed(f"__dst_{evar}", dst_col)
+            prev_var = var
+
+        for v in unit_vars:
+            self.vars.setdefault(v, "node")
+
+        if unit is None:
+            raise CypherError("pattern binds no new variables")
+        if self.df is None:
+            if pending:
+                raise CypherError("pattern references unbound variables")
+            self.df = unit
+            return
+
+        join_cond = None
+        for col, var in pending:
+            c = F.col(f"{var}__gid") == F.col(col)
+            join_cond = c if join_cond is None else (join_cond & c)
+        how = "left" if optional else "inner"
+        joined = (
+            self.df.join(unit, join_cond, how)
+            if join_cond is not None
+            else self.df.crossJoin(unit)
+        )
+        for col, _ in pending:
+            joined = joined.drop(col)
+        self.df = joined
+
+    # -- expressions --
+
+    def to_column(self, e: Expr) -> Column:
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Prop):
+            self._check_var(e.var)
+            if e.key in ("gid", "label", "source"):
+                return F.col(f"{e.var}__{e.key}")
+            if self.vars.get(e.var) == "edge":
+                if e.key in ("rel_type", "type"):
+                    return F.col(f"{e.var}__rel_type")
+                if e.key == "source":
+                    return F.col(f"{e.var}__rel_source")
+                raise CypherError(f"unknown edge property {e.key}")
+            return F.col(f"{e.var}__props").getItem(e.key)
+        if isinstance(e, Var):
+            self._check_var(e.name)
+            # a variable that failed to OPTIONAL-match must evaluate to
+            # NULL (not a struct of nulls) so count()/COLLECT skip it
+            if self.vars[e.name] == "edge":
+                return F.when(
+                    F.col(f"{e.name}__rel_type").isNotNull(),
+                    F.struct(
+                        F.col(f"{e.name}__rel_type").alias("rel_type"),
+                        F.col(f"{e.name}__rel_source").alias("source"),
+                    ),
+                )
+            return F.when(
+                F.col(f"{e.name}__gid").isNotNull(),
+                F.struct(*[F.col(f"{e.name}__{f}").alias(f) for f in _NODE_FIELDS]),
+            )
+        if isinstance(e, Agg):
+            raise CypherError("aggregate in non-return position")
+        raise CypherError(f"cannot evaluate {e} as value")
+
+    def to_condition(self, e: Expr) -> Column:
+        if isinstance(e, Bool):
+            l, r = self.to_condition(e.left), self.to_condition(e.right)
+            return (l & r) if e.op == "AND" else (l | r)
+        if isinstance(e, Not):
+            return ~self.to_condition(e.inner)
+        if isinstance(e, IsNull):
+            c = self.to_column(e.inner)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, Cmp):
+            if isinstance(e.right, Lit):
+                return _prop_cmp(self.to_column(e.left), e.op, e.right.value)
+            if isinstance(e.left, Lit):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "<>": "<>"}
+                return _prop_cmp(self.to_column(e.right), flip[e.op], e.left.value)
+            lc, rc = self.to_column(e.left), self.to_column(e.right)
+            ops = {
+                "=": lc == rc, "<>": lc != rc, "<": lc < rc,
+                "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+            }
+            return ops[e.op]
+        if isinstance(e, Lit):
+            return F.lit(bool(e.value))
+        raise CypherError(f"cannot use {e} as predicate")
+
+    def _check_var(self, v: str) -> None:
+        if v not in self.vars:
+            raise CypherError(f"undefined variable {v!r}")
+
+
+def _ncol(name: str) -> Column:
+    # return-item names may contain dots ("n.name"); backtick-quote so
+    # they resolve as column names, not struct paths
+    return F.col(f"`{name}`")
+
+
+def _agg_column(state: PlanState, a: Agg, name: str) -> Column:
+    if a.fn == "count":
+        if a.inner is None:
+            return F.count(F.lit(1)).alias(name)
+        c = state.to_column(a.inner)
+        return (F.countDistinct(c) if a.distinct else F.count(c)).alias(name)
+    c = state.to_column(a.inner)
+    if a.fn == "collect":
+        # canonical sorted order (Cypher COLLECT is unordered)
+        inner = F.collect_set(c) if a.distinct else F.collect_list(c)
+        return F.array_sort(inner).alias(name)
+    if a.fn in ("sum", "avg"):
+        c = c.cast("double")
+    return getattr(F, a.fn)(c).alias(name)
+
+
+def run_cypher(store: GraphStore, query: str) -> DataFrame:
+    """Parse and execute a read-only Cypher query against the store."""
+    q = Parser(tokenize(query)).parse()
+    state = PlanState(store)
+    for m in q.matches:
+        state.add_match(m)
+
+    agg_items = [r for r in q.returns if isinstance(r.expr, Agg)]
+    if agg_items:
+        group_items = [r for r in q.returns if not isinstance(r.expr, Agg)]
+        gcols = [state.to_column(r.expr).alias(r.name) for r in group_items]
+        aggs = [_agg_column(state, r.expr, r.name) for r in agg_items]
+        grouped = state.df.groupBy(*gcols) if gcols else state.df.groupBy()
+        out = grouped.agg(*aggs)
+        # restore declared column order
+        out = out.select(*[_ncol(r.name) for r in q.returns])
+    else:
+        out = state.df.select(*[state.to_column(r.expr).alias(r.name) for r in q.returns])
+
+    if q.distinct:
+        out = out.dropDuplicates()
+    if q.order_by:
+        by_name = {r.name for r in q.returns}
+        sort_cols = []
+        for e, asc in q.order_by:
+            nm = _expr_name(e)
+            col = _ncol(nm) if nm in by_name else state.to_column(e)
+            sort_cols.append(col.asc() if asc else col.desc())
+        out = out.orderBy(*sort_cols)
+    if q.skip:
+        out = out.offset(q.skip)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

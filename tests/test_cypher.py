@@ -1,0 +1,179 @@
+"""Cypher front-end tests: the reference's readback queries (SURVEY §2-R)
+plus the extension clauses, executed against an ingested graph."""
+
+import pytest
+
+from opencypher_datalayer_spark.ingest import DataLayer
+from opencypher_datalayer_spark.plans import CypherError, run_cypher
+
+NS = "http://data.sample.org"
+
+CONFIG = {
+    "dataset_definitions": [
+        {"name": "people", "source_config": {"label": "Person", "batch_size": 100}},
+        {"name": "companies", "source_config": {"label": "Company", "batch_size": 100}},
+    ]
+}
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    layer = DataLayer(spark, CONFIG)
+    w = layer.dataset("people").incremental()
+    for i, (name, age, employer) in enumerate(
+        [("brian", 23, "mimiro"), ("ann", 31, "mimiro"), ("joe", 45, "acme"), ("zoe", 19, None)]
+    ):
+        refs = {f"{NS}/worksfor": f"{NS}/things/{employer}"} if employer else {}
+        w.write(
+            {
+                "id": f"{NS}/things/p{i}",
+                "props": {f"{NS}/name": name, f"{NS}/age": age},
+                "refs": refs,
+            }
+        )
+    w.close()
+    wc = layer.dataset("companies").incremental()
+    wc.write({"id": f"{NS}/things/mimiro", "props": {f"{NS}/name": "Mimiro"}, "refs": {}})
+    wc.close()
+    return layer.store
+
+
+def rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_label_scan_where(store):
+    """R1: MATCH + label + WHERE property filter."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.source = 'people' AND n.age > 25 "
+            "RETURN n.name AS name, n.age AS age ORDER BY name",
+        )
+    )
+    assert out == [{"name": "ann", "age": "31"}, {"name": "joe", "age": "45"}]
+
+
+def test_inline_property_map(store):
+    out = rows(run_cypher(store, "MATCH (n:Person {name: 'brian'}) RETURN n.gid AS gid"))
+    assert out == [{"gid": f"{NS}/things/p0"}]
+
+
+def test_expand_inner_match(store):
+    """R2 inner: only persons with an employer."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person)-[r:worksfor]->(m) "
+            "RETURN n.name AS name, m.gid AS target ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian", "joe"]
+    assert out[1]["target"] == f"{NS}/things/mimiro"
+
+
+def test_optional_expand_collect(store):
+    """R1+R2+R3: the reference's canonical readback shape
+    (layer_test.go:117) with COLLECT + implicit grouping."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.source = 'people' "
+            "OPTIONAL MATCH (n)-[r:worksfor]->(m) "
+            "RETURN n.name AS name, collect(m.gid) AS targets, count(r) AS n_rels "
+            "ORDER BY name",
+        )
+    )
+    by_name = {r["name"]: r for r in out}
+    assert by_name["zoe"]["targets"] == []  # COLLECT skips the null no-match
+    assert by_name["zoe"]["n_rels"] == 0
+    assert by_name["brian"]["targets"] == [f"{NS}/things/mimiro"]
+    assert by_name["brian"]["n_rels"] == 1
+
+
+def test_where_on_expanded_target(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person)-[:worksfor]->(m:Company) "
+            "WHERE m.name = 'Mimiro' RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian"]
+
+
+def test_two_hop_path(store):
+    """Chained pattern through a shared intermediate variable."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (a:Person)-[:worksfor]->(m) MATCH (b:Person)-[:worksfor]->(m) "
+            "WHERE a.name < b.name "
+            "RETURN a.name AS a, b.name AS b ORDER BY a, b",
+        )
+    )
+    assert out == [{"a": "ann", "b": "brian"}]
+
+
+def test_count_star_grouping(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n) RETURN n.label AS label, count(*) AS n ORDER BY label",
+        )
+    )
+    labels = {r["label"]: r["n"] for r in out}
+    assert labels["Person"] == 4
+    assert labels["Company"] == 1
+    assert labels.get(None, 1) >= 1  # acme stub has no label
+
+
+def test_distinct_skip_limit(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN DISTINCT n.source AS src",
+        )
+    )
+    assert out == [{"src": "people"}]
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name ORDER BY name SKIP 1 LIMIT 2",
+        )
+    )
+    assert [r["name"] for r in out] == ["brian", "joe"]
+
+
+def test_is_null_predicate(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n) WHERE n.label IS NULL RETURN n.gid AS gid ORDER BY gid",
+        )
+    )
+    assert out == [{"gid": f"{NS}/things/acme"}]
+
+
+def test_agg_numeric(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN count(*) AS n, min(n.age) AS min_age, "
+            "avg(n.age) AS avg_age",
+        )
+    )
+    assert out[0]["n"] == 4
+    assert out[0]["min_age"] == "19"  # min over string-typed props
+    assert out[0]["avg_age"] == pytest.approx((23 + 31 + 45 + 19) / 4)
+
+
+def test_parse_errors(store):
+    for bad in [
+        "RETURN 1",
+        "MATCH (n:Person) RETURN m.name",
+        "MATCH (n:Person",
+        "MATCH (n:Person) WHERE RETURN n",
+    ]:
+        with pytest.raises(CypherError):
+            run_cypher(store, bad).collect()

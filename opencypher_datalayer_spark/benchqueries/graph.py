@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
 from opencypher_datalayer_spark.operators.graph_ops import expand, match_nodes, out_degree
+from opencypher_datalayer_spark.sources.tables import load_table
 from opencypher_datalayer_spark.sources.tabular import NS, graph_from_tables
 
 
@@ -179,6 +180,77 @@ ORDER BY region_name
 """
 
 
+# -- write templates end-to-end -----------------------------------------
+
+
+def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's write templates (``neo4j.go:95-127``) executed
+    natively: upsert Region + Nation nodes and in_region edges through
+    the Cypher write surface, then read back nations-per-region through
+    the Cypher read surface. Item lists are driver-side because the UDA
+    protocol is row-oriented (25 + 5 rows here; real syncs arrive in
+    batches anyway)."""
+    from opencypher_datalayer_spark.plans import run_cypher, run_cypher_write
+    from opencypher_datalayer_spark.store import GraphStore
+
+    upsert = (
+        "UNWIND $items AS item MERGE (n {gid: item.gid}) "
+        "WITH n, item OPTIONAL MATCH (n)-[r]->() DELETE r "
+        "SET n:%s SET n = item"
+    )
+    edge_tmpl = (
+        "UNWIND $items AS item "
+        "MATCH (n1 {gid: item.from}) MATCH (n2 {gid: item.to}) "
+        "MERGE (n1)-[r:in_region]->(n2) SET r.source = item.source SET r.type = item.type"
+    )
+
+    nation = load_table(spark, "nation", sf_dir).collect()
+    region = load_table(spark, "region", sf_dir).collect()
+    store = GraphStore.empty(spark)
+    store = run_cypher_write(
+        store,
+        upsert % "Region",
+        {"items": [
+            {"gid": f"{NS}/region/{r['r_regionkey']}", "source": "tpch", "name": r["r_name"]}
+            for r in region
+        ]},
+    )
+    store = run_cypher_write(
+        store,
+        upsert % "Nation",
+        {"items": [
+            {"gid": f"{NS}/nation/{n['n_nationkey']}", "source": "tpch", "name": n["n_name"]}
+            for n in nation
+        ]},
+    )
+    store = run_cypher_write(
+        store,
+        "UNWIND $items AS item MERGE (n {gid: item.gid})",
+        {"items": [{"gid": f"{NS}/region/{n['n_regionkey']}"} for n in nation]},
+    )
+    store = run_cypher_write(
+        store,
+        edge_tmpl,
+        {"items": [
+            {"from": f"{NS}/nation/{n['n_nationkey']}",
+             "to": f"{NS}/region/{n['n_regionkey']}", "source": "tpch"}
+            for n in nation
+        ]},
+    )
+    return run_cypher(
+        store,
+        "MATCH (n:Nation)-[e:in_region]->(r:Region) "
+        "RETURN r.name AS region_name, count(n) AS n_nations ORDER BY region_name",
+    )
+
+
+CY_WRITE_ROUNDTRIP_SQL = """
+SELECT r_name AS region_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY region_name
+"""
+
+
 # -- the same queries through the Cypher front-end ----------------------
 
 
@@ -215,6 +287,9 @@ QUERIES = {
     ),
     "cy_expand_collect": QueryDef(
         cy_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 through the Cypher parser"
+    ),
+    "cy_write_roundtrip": QueryDef(
+        cy_write_roundtrip, CY_WRITE_ROUNDTRIP_SQL, "C1-C4 write templates end-to-end"
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

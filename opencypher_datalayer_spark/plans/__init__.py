@@ -2,12 +2,18 @@
 
 The reference declares an ad-hoc query method but stubs it
 (``neo4j.go:289-291`` returns nil); this package implements it natively.
-Scope is the clause set the reference's emitted/readback Cypher actually
+Read scope is the clause set the reference's readback Cypher actually
 uses (SURVEY §2-R): MATCH / OPTIONAL MATCH (single-hop patterns, label +
 property-map predicates), WHERE, RETURN with COLLECT/count and Cypher's
 implicit grouping — plus ORDER BY / SKIP / LIMIT as engine extensions.
+
+Write scope (``cypher_write``) is the clause surface of the reference's
+five emitted templates (``neo4j.go:95-127``): UNWIND / MATCH / MERGE /
+WITH / SET / DELETE / DETACH DELETE, executed natively as set-oriented
+DataFrame transforms.
 """
 
 from opencypher_datalayer_spark.plans.cypher import CypherError, run_cypher
+from opencypher_datalayer_spark.plans.cypher_write import run_cypher_write
 
-__all__ = ["run_cypher", "CypherError"]
+__all__ = ["run_cypher", "run_cypher_write", "CypherError"]

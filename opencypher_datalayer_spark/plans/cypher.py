@@ -138,7 +138,14 @@ class Agg:
     distinct: bool = False
 
 
-Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg
+@dataclass
+class Param:
+    """A ``$name`` statement parameter (write statements; neo4j.go:245)."""
+
+    name: str
+
+
+Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param
 
 
 def _expr_name(e: Expr) -> str:
@@ -163,6 +170,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--)
   | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*-])
@@ -175,6 +183,8 @@ _KEYWORDS = {
     "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
     "asc", "ascending", "desc", "descending", "collect", "count", "sum",
     "min", "max", "avg",
+    # write-statement clauses (plans.cypher_write)
+    "unwind", "with", "merge", "set", "delete", "detach",
 }
 
 
@@ -199,6 +209,8 @@ def tokenize(src: str) -> list[Tok]:
             continue
         if kind == "string":
             toks.append(Tok("string", text, value=text[1:-1].replace("\\'", "'").replace('\\"', '"')))
+        elif kind == "param":
+            toks.append(Tok("param", text, value=text[1:]))
         elif kind == "number":
             toks.append(Tok("number", text, value=float(text) if "." in text else int(text)))
         elif kind == "name":
@@ -343,16 +355,9 @@ class Parser:
             while not self.at_sym("}"):
                 key = self.take().text
                 self.expect_sym(":")
-                v = self.take()
-                if v.kind not in ("string", "number") and not (
-                    v.kind == "kw" and v.value in ("true", "false", "null")
-                ):
-                    raise CypherError(f"bad property literal {v.text!r}")
-                props[key] = (
-                    v.value
-                    if v.kind in ("string", "number")
-                    else {"true": True, "false": False, "null": None}[v.value]
-                )
+                # value is an expression: a literal in read patterns, an
+                # item access (``item.gid``) in write-statement patterns
+                props[key] = self.parse_primary()
                 if self.at_sym(","):
                     self.take()
             self.expect_sym("}")
@@ -428,6 +433,8 @@ class Parser:
                 inner = self.parse_expr()
             self.expect_sym(")")
             return Agg(fn, inner, distinct)
+        if t.kind == "param":
+            return Param(self.take().value)
         if t.kind == "name":
             name = self.take().text
             if self.at_sym("."):
@@ -450,12 +457,24 @@ class Parser:
 _NODE_FIELDS = ("gid", "label", "source", "props")
 
 
+def _pat_literal(k: str, v: object) -> object:
+    """Unwrap a pattern-property expression that must be a literal (read
+    patterns); write statements handle non-literal values themselves."""
+    if not isinstance(v, Lit):
+        raise CypherError(f"pattern property {k!r} must be a literal in a read query")
+    return v.value
+
+
 def _node_df(store: GraphStore, pat: NodePat, var: str) -> DataFrame:
     df = store.nodes
     if pat.label is not None:
         df = df.where(F.col("label") == pat.label)
     for k, v in pat.props.items():
-        df = df.where(_prop_cmp(F.col("props").getItem(k), "=", v))
+        val = _pat_literal(k, v)
+        if k in ("gid", "label", "source"):
+            df = df.where(_prop_cmp(F.col(k), "=", val))
+        else:
+            df = df.where(_prop_cmp(F.col("props").getItem(k), "=", val))
     return df.select(*[F.col(f).alias(f"{var}__{f}") for f in _NODE_FIELDS])
 
 

@@ -1,0 +1,586 @@
+"""openCypher write-statement execution against the GraphStore.
+
+The reference never executes its write Cypher itself — it ships five
+parameterized templates to Neo4j (``neo4j.go:95-127``, executed at
+``neo4j.go:238-284``).  This module runs that statement language
+natively as set-oriented DataFrame transforms, covering the full clause
+surface those templates use: ``UNWIND $items AS item``, ``MATCH`` /
+``OPTIONAL MATCH`` (by-gid point lookup and label/property filtered
+scans), ``MERGE`` (node and relationship), ``WITH`` pass-through,
+``SET n:Label`` / ``SET n = item`` / ``SET n.prop = v`` /
+``SET r.prop = v``, and ``DELETE`` / ``DETACH DELETE``.
+
+Execution model: one driving ``rows`` DataFrame (the UNWIND items, one
+row per item in order), against which every clause is interpreted
+set-orientedly — a ``MATCH (n {gid: item.gid})`` is a semi-join of the
+item rows against the node store, a ``SET`` is a keyed update join, a
+``DELETE`` an anti-join.  Nothing iterates per item on the driver, so a
+10M-item statement plans exactly like a 10-item one.
+
+Divergences from Neo4j, both documented in SURVEY §2-C:
+
+- ``SET n:Label`` *overwrites* the single ``label`` column (Neo4j
+  accumulates labels; nothing in the reference's tests needs >1).
+- ``SET r.type = item.type`` parses and is accepted but stores nothing:
+  the edge schema has no ``type`` column because the reference's item
+  maps never populate ``item.type`` (``neo4j.go:215-220``) — the
+  property is always null in the reference's own graph too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opencypher_datalayer_spark.plans.cypher import (
+    CypherError,
+    Expr,
+    Lit,
+    MatchClause,
+    NodePat,
+    Parser,
+    PathPat,
+    Prop,
+    Var,
+    _pat_literal,
+    _prop_cmp,
+    tokenize,
+)
+from opencypher_datalayer_spark.store import GraphStore, _detach_edges
+
+# ----------------------------------------------------------------------
+# Write-statement AST
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class Unwind:
+    param: str
+    var: str
+
+
+@dataclass
+class WithClause:
+    names: list[str]
+
+
+@dataclass
+class MergeClause:
+    path: PathPat
+
+
+@dataclass
+class SetLabel:
+    var: str
+    label: str
+
+
+@dataclass
+class SetAll:
+    var: str
+    value: Expr
+
+
+@dataclass
+class SetProp:
+    var: str
+    key: str
+    value: Expr
+
+
+@dataclass
+class SetClause:
+    items: list
+
+
+@dataclass
+class DeleteClause:
+    names: list[str]
+    detach: bool
+
+
+WriteClause = Unwind | WithClause | MergeClause | SetClause | DeleteClause | MatchClause
+
+
+class WriteParser(Parser):
+    def parse_statement(self) -> list[WriteClause]:
+        clauses: list[WriteClause] = []
+        while self.peek() is not None:
+            if self.at_kw("unwind"):
+                self.take()
+                t = self.take()
+                if t.kind != "param":
+                    raise CypherError("UNWIND expects a $parameter")
+                self.expect_kw("as")
+                clauses.append(Unwind(t.value, self.take().text))
+            elif self.at_kw("optional", "match"):
+                optional = False
+                if self.at_kw("optional"):
+                    self.take()
+                    optional = True
+                self.expect_kw("match")
+                paths = [self.parse_path()]
+                while self.at_sym(","):
+                    self.take()
+                    paths.append(self.parse_path())
+                where = None
+                if self.at_kw("where"):
+                    self.take()
+                    where = self.parse_expr()
+                clauses.append(MatchClause(paths, optional, where))
+            elif self.at_kw("merge"):
+                self.take()
+                clauses.append(MergeClause(self.parse_path()))
+            elif self.at_kw("with"):
+                self.take()
+                names = [self.take().text]
+                while self.at_sym(","):
+                    self.take()
+                    names.append(self.take().text)
+                clauses.append(WithClause(names))
+            elif self.at_kw("set"):
+                self.take()
+                items = [self._parse_set_item()]
+                while self.at_sym(","):
+                    self.take()
+                    items.append(self._parse_set_item())
+                clauses.append(SetClause(items))
+            elif self.at_kw("detach", "delete"):
+                detach = False
+                if self.at_kw("detach"):
+                    self.take()
+                    detach = True
+                self.expect_kw("delete")
+                names = [self.take().text]
+                while self.at_sym(","):
+                    self.take()
+                    names.append(self.take().text)
+                clauses.append(DeleteClause(names, detach))
+            else:
+                raise CypherError(f"unexpected clause at {self._ctx()}")
+        if not clauses:
+            raise CypherError("empty statement")
+        return clauses
+
+    def _parse_set_item(self):
+        var = self.take().text
+        if self.at_sym(":"):
+            self.take()
+            return SetLabel(var, self.take().text)
+        if self.at_sym("."):
+            self.take()
+            key = self.take().text
+            self.expect_sym("=")
+            return SetProp(var, key, self.parse_primary())
+        self.expect_sym("=")
+        return SetAll(var, self.parse_primary())
+
+
+# ----------------------------------------------------------------------
+# Interpreter
+# ----------------------------------------------------------------------
+
+_ITEMS_SCHEMA_FIELDS = [T.StructField("_seq", T.LongType(), False)]
+
+
+def _stringify(v: object) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _items_df(spark: SparkSession, var: str, items: list[dict]) -> DataFrame:
+    """One row per item, in statement order (``_seq``); the open item map
+    is carried as ``map<string,string>`` (the reference's JSON value
+    domain, SURVEY §1.3)."""
+    rows = [(i, {k: _stringify(v) for k, v in it.items()}) for i, it in enumerate(items)]
+    schema = T.StructType(
+        _ITEMS_SCHEMA_FIELDS
+        + [T.StructField(f"{var}__map", T.MapType(T.StringType(), T.StringType()), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@dataclass
+class _EdgeBinding:
+    """A relationship variable: either the outgoing-edge set of bound
+    source nodes (OPTIONAL MATCH (n)-[r]->()), or the keyed edge set a
+    MERGE created/matched (then ``src_var``/``dst_var`` name the row
+    columns holding the endpoint gids)."""
+
+    src_gids: DataFrame  # one column: gid
+    rel_type: str | None
+    src_var: str | None = None
+    dst_var: str | None = None
+
+
+class _Exec:
+    def __init__(self, store: GraphStore, spark: SparkSession, params: dict):
+        self.spark = spark
+        self.params = params
+        self.nodes = store.nodes
+        self.edges = store.edges
+        self.rows: DataFrame | None = None
+        self.item_vars: set[str] = set()
+        self.node_vars: set[str] = set()  # bound as {var}__gid in rows
+        self.filters: dict[str, Column] = {}  # store-filter MATCH bindings
+        self.edge_vars: dict[str, _EdgeBinding] = {}
+
+    # -- expression evaluation over the driving rows --
+
+    def val(self, e: Expr) -> Column:
+        if isinstance(e, Lit):
+            return F.lit(_stringify(e.value))
+        if isinstance(e, Prop):
+            if e.var in self.item_vars:
+                return F.col(f"{e.var}__map").getItem(e.key)
+            if e.var in self.node_vars and e.key == "gid":
+                return F.col(f"{e.var}__gid")
+            raise CypherError(f"cannot evaluate {e.var}.{e.key} in write context")
+        if isinstance(e, Var) and e.name in self.item_vars:
+            return F.col(f"{e.name}__map")
+        raise CypherError(f"cannot evaluate {e!r} in write context")
+
+    def _gids_of(self, var: str) -> DataFrame:
+        if var in self.node_vars:
+            return self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
+        if var in self.filters:
+            return self.nodes.where(self.filters[var]).select("gid")
+        raise CypherError(f"undefined node variable {var!r}")
+
+    # -- clause dispatch --
+
+    def apply(self, c: WriteClause) -> None:
+        if isinstance(c, Unwind):
+            items = self.params.get(c.param)
+            if not isinstance(items, list):
+                raise CypherError(f"parameter ${c.param} must be a list of maps")
+            self.rows = _items_df(self.spark, c.var, items)
+            self.item_vars.add(c.var)
+        elif isinstance(c, MatchClause):
+            self._match(c)
+        elif isinstance(c, MergeClause):
+            self._merge(c.path)
+        elif isinstance(c, WithClause):
+            for n in c.names:
+                if n not in self.item_vars | self.node_vars and n not in self.edge_vars:
+                    raise CypherError(f"WITH references unbound variable {n!r}")
+        elif isinstance(c, SetClause):
+            for item in c.items:
+                self._set(item)
+        elif isinstance(c, DeleteClause):
+            for n in c.names:
+                self._delete(n, c.detach)
+        else:  # pragma: no cover
+            raise CypherError(f"unsupported clause {c!r}")
+
+    # -- MATCH --
+
+    def _match(self, c: MatchClause) -> None:
+        for path in c.paths:
+            if len(path.nodes) == 1:
+                self._match_node(path.nodes[0], c)
+            elif len(path.nodes) == 2 and c.optional:
+                self._match_edge(path, c)
+            else:
+                raise CypherError("unsupported MATCH pattern in write statement")
+
+    def _match_node(self, pat: NodePat, c: MatchClause) -> None:
+        exprs = {k: v for k, v in pat.props.items() if not isinstance(v, Lit)}
+        if exprs:
+            # point lookup per item: MATCH (n {gid: item.gid}) — semi-join
+            # of items against the store keeps only existing gids
+            # (MATCH = inner join; missing rows silently drop, C1/C4).
+            if self.rows is None:
+                raise CypherError("expression pattern requires UNWIND items")
+            if set(exprs) != {"gid"} or pat.props.keys() != {"gid"}:
+                raise CypherError("expression MATCH supports only {gid: <expr>}")
+            var = pat.var or "_n"
+            self.rows = self.rows.withColumn(f"{var}__gid", self.val(exprs["gid"]))
+            matched = self.nodes.select(F.col("gid").alias("__match_gid"))
+            self.rows = self.rows.join(
+                matched, F.col(f"{var}__gid") == F.col("__match_gid"), "left_semi"
+            )
+            self.node_vars.add(var)
+        else:
+            # store-filter scan: MATCH (n:Label {source: 'x'}) [WHERE ...]
+            pred = F.lit(True)
+            if pat.label is not None:
+                pred = pred & (F.col("label") == pat.label)
+            for k, v in pat.props.items():
+                col = F.col(k) if k in ("gid", "label", "source") else F.col("props").getItem(k)
+                pred = pred & _prop_cmp(col, "=", _pat_literal(k, v))
+            if c.where is not None:
+                pred = pred & self._node_condition(pat.var, c.where)
+            var = pat.var or "_n"
+            self.filters[var] = pred
+
+    def _node_condition(self, var: str | None, e: Expr) -> Column:
+        """WHERE over a single store-filter node variable, evaluated
+        directly against the nodes table columns."""
+        from opencypher_datalayer_spark.plans.cypher import Bool, Cmp, IsNull, Not
+
+        if isinstance(e, Bool):
+            l, r = self._node_condition(var, e.left), self._node_condition(var, e.right)
+            return (l & r) if e.op == "AND" else (l | r)
+        if isinstance(e, Not):
+            return ~self._node_condition(var, e.inner)
+        if isinstance(e, IsNull):
+            c = self._node_col(var, e.inner)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, Cmp) and isinstance(e.right, Lit):
+            return _prop_cmp(self._node_col(var, e.left), e.op, e.right.value)
+        raise CypherError("unsupported WHERE in write statement")
+
+    def _node_col(self, var: str | None, e: Expr) -> Column:
+        if not isinstance(e, Prop) or e.var != var:
+            raise CypherError("WHERE must reference the matched variable")
+        return F.col(e.key) if e.key in ("gid", "label", "source") else F.col("props").getItem(e.key)
+
+    def _match_edge(self, path: PathPat, c: MatchClause) -> None:
+        # OPTIONAL MATCH (n)-[r]->() — bind r to the outgoing edges of n
+        src, dst = path.nodes
+        epat = path.edges[0]
+        if src.var is None or src.label or src.props or dst.label or dst.props:
+            raise CypherError("edge MATCH supports (boundVar)-[r]->() only")
+        binding = _EdgeBinding(self._gids_of(src.var), epat.rel_type)
+        self.edge_vars[epat.var or "_r"] = binding
+
+    # -- MERGE --
+
+    def _merge(self, path: PathPat) -> None:
+        if len(path.nodes) == 1:
+            self._merge_node(path.nodes[0])
+        elif len(path.nodes) == 2:
+            self._merge_edge(path)
+        else:
+            raise CypherError("MERGE supports a node or a single relationship")
+
+    def _merge_node(self, pat: NodePat) -> None:
+        """MERGE (n {gid: <expr>}): ensure a node exists per distinct gid;
+        existing nodes are untouched (C3 stub semantics — later SETs do
+        the updating for C2)."""
+        if pat.props.keys() != {"gid"}:
+            raise CypherError("node MERGE key must be {gid: <expr>}")
+        if self.rows is None:
+            raise CypherError("node MERGE requires UNWIND items")
+        var = pat.var or "_n"
+        self.rows = self.rows.withColumn(f"{var}__gid", self.val(pat.props["gid"]))
+        self.node_vars.add(var)
+        gids = self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
+        missing = gids.join(self.nodes.select("gid"), "gid", "left_anti")
+        stubs = missing.select(
+            "gid",
+            F.lit(pat.label).cast("string").alias("label"),
+            F.lit(None).cast("string").alias("source"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+        self.nodes = self.nodes.unionByName(stubs)
+
+    def _merge_edge(self, path: PathPat) -> None:
+        """MERGE (a)-[r:TYPE]->(b): at most one edge per (src, type, dst)
+        (C4); endpoints were bound by prior MATCH/MERGE clauses."""
+        src, dst = path.nodes
+        epat = path.edges[0]
+        if epat.rel_type is None:
+            raise CypherError("relationship MERGE requires a type")
+        if src.var not in self.node_vars or dst.var not in self.node_vars:
+            raise CypherError("relationship MERGE endpoints must be bound")
+        keys = (
+            self.rows.select(
+                F.col(f"{src.var}__gid").alias("src"),
+                F.lit(epat.rel_type).alias("rel_type"),
+                F.col(f"{dst.var}__gid").alias("dst"),
+            )
+            .dropDuplicates()
+        )
+        new = keys.join(self.edges, ["src", "rel_type", "dst"], "left_anti").select(
+            "src", "rel_type", "dst", F.lit(None).cast("string").alias("source")
+        )
+        self.edges = self.edges.unionByName(new)
+        self.edge_vars[epat.var or "_r"] = _EdgeBinding(
+            keys.select(F.col("src").alias("gid")).dropDuplicates(),
+            epat.rel_type,
+            src_var=src.var,
+            dst_var=dst.var,
+        )
+
+    # -- SET --
+
+    def _set(self, item) -> None:
+        if isinstance(item, SetLabel):
+            hits = F.broadcast(
+                self._gids_of(item.var).withColumn("__hit", F.lit(True))
+            )
+            self.nodes = (
+                self.nodes.join(hits, "gid", "left")
+                .withColumn(
+                    "label",
+                    F.when(F.col("__hit"), F.lit(item.label)).otherwise(F.col("label")),
+                )
+                .drop("__hit")
+            )
+        elif isinstance(item, SetAll):
+            self._set_all(item)
+        elif isinstance(item, SetProp):
+            if item.var in self.edge_vars:
+                self._set_edge_prop(item)
+            else:
+                self._set_node_prop(item)
+        else:  # pragma: no cover
+            raise CypherError(f"unsupported SET item {item!r}")
+
+    def _set_all(self, item: SetAll) -> None:
+        """SET n = item: wholesale property replace (``neo4j.go:108``) —
+        props become the item map minus the envelope keys, ``source``
+        comes from the map; a gid repeated in the batch resolves to its
+        last item (UNWIND order)."""
+        if item.var not in self.node_vars:
+            raise CypherError("SET var = map requires a bound node variable")
+        mapcol = self.val(item.value)
+        w = Window.partitionBy(f"{item.var}__gid").orderBy(F.col("_seq").desc())
+        updates = (
+            self.rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col(f"{item.var}__gid").alias("gid"),
+                mapcol.alias("__newmap"),
+            )
+        )
+        self.nodes = (
+            self.nodes.join(F.broadcast(updates), "gid", "left")
+            .withColumn(
+                "source",
+                F.when(F.col("__newmap").isNotNull(), F.col("__newmap").getItem("source"))
+                .otherwise(F.col("source")),
+            )
+            .withColumn(
+                "props",
+                F.when(
+                    F.col("__newmap").isNotNull(),
+                    F.map_filter(
+                        F.col("__newmap"), lambda k, v: (k != "gid") & (k != "source")
+                    ),
+                ).otherwise(F.col("props")),
+            )
+            .drop("__newmap")
+        )
+
+    def _set_node_prop(self, item: SetProp) -> None:
+        """SET n.key = value: single-property patch (beyond the
+        reference's templates, but part of the SET clause surface)."""
+        if item.var not in self.node_vars:
+            raise CypherError(f"undefined node variable {item.var!r}")
+        w = Window.partitionBy(f"{item.var}__gid").orderBy(F.col("_seq").desc())
+        updates = (
+            self.rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col(f"{item.var}__gid").alias("gid"),
+                self.val(item.value).alias("__newval"),
+                F.lit(True).alias("__hit"),
+            )
+        )
+        key = item.key
+        self.nodes = (
+            self.nodes.join(F.broadcast(updates), "gid", "left")
+            .withColumn(
+                "props",
+                F.when(
+                    F.col("__hit"),
+                    F.map_concat(
+                        F.map_filter(F.col("props"), lambda k, v: k != key),
+                        F.map_from_arrays(
+                            F.array(F.lit(key)), F.array(F.col("__newval"))
+                        ),
+                    ),
+                ).otherwise(F.col("props")),
+            )
+            .drop("__newval", "__hit")
+        )
+
+    def _set_edge_prop(self, item: SetProp) -> None:
+        """SET r.source = <expr>; ``r.type`` is accepted but stores
+        nothing (module docstring — the reference's r.type is always
+        null, ``neo4j.go:215-220``)."""
+        if item.key == "type":
+            return
+        if item.key != "source":
+            raise CypherError(f"unsupported edge property {item.key!r}")
+        b = self.edge_vars[item.var]
+        if b.src_var is None or b.dst_var is None:
+            raise CypherError("SET on a matched (not merged) relationship is unsupported")
+        # last item wins per edge key (UNWIND order)
+        w = Window.partitionBy(f"{b.src_var}__gid", f"{b.dst_var}__gid").orderBy(
+            F.col("_seq").desc()
+        )
+        upd = (
+            self.rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col(f"{b.src_var}__gid").alias("src"),
+                F.lit(b.rel_type).alias("rel_type"),
+                F.col(f"{b.dst_var}__gid").alias("dst"),
+                self.val(item.value).alias("__newval"),
+                F.lit(True).alias("__hit"),
+            )
+        )
+        self.edges = (
+            self.edges.join(F.broadcast(upd), ["src", "rel_type", "dst"], "left")
+            .withColumn(
+                "source",
+                F.when(F.col("__hit"), F.col("__newval")).otherwise(F.col("source")),
+            )
+            .drop("__newval", "__hit")
+        )
+
+    # -- DELETE --
+
+    def _delete(self, name: str, detach: bool) -> None:
+        if name in self.edge_vars:
+            if detach:
+                raise CypherError("DETACH DELETE applies to nodes")
+            b = self.edge_vars[name]
+            doomed_src = F.broadcast(b.src_gids.withColumnRenamed("gid", "src"))
+            if b.rel_type is None:
+                self.edges = self.edges.join(doomed_src, "src", "left_anti")
+            else:
+                keep_other = self.edges.where(F.col("rel_type") != b.rel_type)
+                matching = self.edges.where(F.col("rel_type") == b.rel_type)
+                self.edges = keep_other.unionByName(
+                    matching.join(doomed_src, "src", "left_anti")
+                )
+            return
+        if not detach:
+            raise CypherError("DELETE of a node requires DETACH (node may have edges)")
+        gids = self._gids_of(name)
+        if name in self.filters:
+            # NULL predicate (e.g. stub nodes with NULL label) means
+            # no-match: keep the row — coalesce before negating.
+            self.nodes = self.nodes.where(
+                ~F.coalesce(self.filters[name], F.lit(False))
+            )
+        else:
+            self.nodes = self.nodes.join(F.broadcast(gids), "gid", "left_anti")
+        self.edges = _detach_edges(self.edges, gids)
+
+
+def run_cypher_write(
+    store: GraphStore, statement: str, params: dict | None = None
+) -> GraphStore:
+    """Parse and execute one write statement; returns the new snapshot.
+
+    Covers the reference's five templates (``neo4j.go:95-127``) and the
+    general clause surface they draw from.
+    """
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    clauses = WriteParser(tokenize(statement)).parse_statement()
+    ex = _Exec(store, spark, params or {})
+    for c in clauses:
+        ex.apply(c)
+    return GraphStore(ex.nodes, ex.edges)

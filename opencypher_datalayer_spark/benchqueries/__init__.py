@@ -30,13 +30,14 @@ def all_queries() -> dict[str, QueryDef]:
         graph,
         multimodal,
         relational,
+        relational2,
         similarity,
         temporal,
         text,
     )
 
     registry: dict[str, QueryDef] = {}
-    for mod in (relational, graph, dedup, text, similarity, temporal, multimodal):
+    for mod in (relational, relational2, graph, dedup, text, similarity, temporal, multimodal):
         for name, qd in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name!r}")

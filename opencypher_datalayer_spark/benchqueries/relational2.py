@@ -1,0 +1,479 @@
+"""Relational coverage, part 2: the TPC-H operator shapes part 1 lacks —
+correlated scalar subqueries, HAVING against global aggregates,
+disjunctive pushdown predicates, self-join EXISTS/NOT EXISTS, IN-style
+semi joins on aggregated keys, CUBE, and the full window-function family
+(lag/lead/first_value/ntile).
+
+Queries adapt TPC-H Q10/Q12/Q14/Q15/Q17/Q18/Q19/Q21/Q22 to the driver
+tables' simplified columns (no partsupp/shipmode/phone — FIXTURES.md).
+Decimal discipline follows part 1: order-independent exact accumulation,
+IEEE doubles only in per-row ops or single final divisions mirrored
+verbatim in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.benchqueries.relational import _dec, _dec6
+from opencypher_datalayer_spark.sources.tables import load_table
+
+
+# -- q10: returned-item revenue per customer (4-way join + top-k) -------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01")) & (F.col("o_orderdate") < F.lit("1998-07-01"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -- q12: priority line counts (join + CASE aggregation) ----------------
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# -- q14: promo revenue share (conditional-sum ratio) -------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1998-07-01"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    disc = _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    FILTER (WHERE p_type = 'PROMO') AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+"""
+
+
+# -- q15: top supplier (agg + scalar-subquery max equality) -------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# -- q17: small-quantity orders (correlated per-key avg subquery) -------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.ap_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+# -- q18: large orders (HAVING + semi join on aggregated keys) ----------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            _dec("o_totalprice").alias("totalprice"), "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# -- q19: disjunctive pushdown predicates -------------------------------
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -- q21-style: self-join EXISTS / NOT EXISTS ---------------------------
+
+
+def q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose returned lines sit in multi-supplier orders where
+    no OTHER supplier returned anything — TPC-H Q21's exists/not-exists
+    self-join shape on the simplified schema."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    pairs = li.select("l_orderkey", "l_suppkey").dropDuplicates()
+    r_pairs = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_r = r_pairs.select(
+        F.col("l_orderkey").alias("r2_orderkey"), F.col("l_suppkey").alias("r2_suppkey")
+    )
+    candidates = r_pairs.join(
+        other,
+        (r_pairs.l_orderkey == other.o2_orderkey) & (r_pairs.l_suppkey != other.o2_suppkey),
+        "left_semi",
+    ).join(
+        other_r,
+        (r_pairs.l_orderkey == other_r.r2_orderkey) & (r_pairs.l_suppkey != other_r.r2_suppkey),
+        "left_anti",
+    )
+    return (
+        candidates.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+r_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, numwait FROM (
+  SELECT l1.l_suppkey, COUNT(*) AS numwait
+  FROM r_pairs l1
+  WHERE EXISTS (SELECT 1 FROM pairs l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM r_pairs l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+  GROUP BY l1.l_suppkey
+) w
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# -- q22-style: global-avg scalar subquery + anti join ------------------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no large orders, grouped
+    by a derived code — Q22's scalar-subquery + NOT EXISTS shape (no
+    phone column; code = custkey mod 10; 'idle' = no order > 300k since
+    every customer in the driver data has some order)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .dropDuplicates()
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("code"))
+        .agg(F.count("*").alias("numcust"), F.sum(_dec("c_acctbal")).alias("totacctbal"))
+        .orderBy("code")
+    )
+
+
+Q22_SQL = """
+SELECT c_custkey % 10 AS code, COUNT(*) AS numcust,
+       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY 1
+ORDER BY code
+"""
+
+
+# -- q11-style: HAVING against a global-total scalar --------------------
+
+
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    value = _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(value).alias("supp_value"))
+    total = li.agg(F.sum(value).alias("total_value"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(
+            F.col("supp_value").cast("double")
+            > 0.0015 * F.col("total_value").cast("double")
+        )
+        .select("l_suppkey", "supp_value")
+        .orderBy(F.col("supp_value").desc(), "l_suppkey")
+    )
+
+
+Q_SUPPLIER_SHARE_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS supp_value
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, supp_value
+FROM per_supp
+WHERE CAST(supp_value AS DOUBLE) > 0.0015 * (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+  FROM lineitem
+)
+ORDER BY supp_value DESC, l_suppkey
+"""
+
+
+# -- window family: lag / lead / first_value / ntile --------------------
+
+
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = _dec("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("price"),
+        F.lag(price, 1).over(w).alias("prev_price"),
+        F.lead(price, 1).over(w).alias("next_price"),
+        F.first(price).over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+Q_WINDOW_NAV_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+       LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+FROM orders
+WHERE o_custkey % 50 = 0
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# -- CUBE grouping sets -------------------------------------------------
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "4-way join + group + top-20"),
+    "q12_priority_lines": QueryDef(q12_priority_lines, Q12_SQL, "join + CASE aggregation"),
+    "q14_promo_revenue": QueryDef(q14_promo_revenue, Q14_SQL, "conditional-sum ratio"),
+    "q15_top_supplier": QueryDef(q15_top_supplier, Q15_SQL, "scalar-subquery max equality"),
+    "q17_small_quantity": QueryDef(q17_small_quantity, Q17_SQL, "correlated per-key avg"),
+    "q18_large_orders": QueryDef(q18_large_orders, Q18_SQL, "HAVING + join on agg keys"),
+    "q19_disjunctive": QueryDef(q19_disjunctive, Q19_SQL, "OR-of-conjunctions pushdown"),
+    "q21_lone_returner": QueryDef(q21_lone_returner, Q21_SQL, "self-join EXISTS/NOT EXISTS"),
+    "q22_idle_customers": QueryDef(q22_idle_customers, Q22_SQL, "global-avg scalar + anti join"),
+    "q_supplier_share": QueryDef(q_supplier_share, Q_SUPPLIER_SHARE_SQL, "HAVING vs global total"),
+    "q_window_navigation": QueryDef(
+        q_window_navigation, Q_WINDOW_NAV_SQL, "lag/lead/first_value/ntile"
+    ),
+    "q_cube_agg": QueryDef(q_cube_agg, Q_CUBE_SQL, "CUBE grouping sets"),
+}

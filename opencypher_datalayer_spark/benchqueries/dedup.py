@@ -236,6 +236,59 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- cluster assignment: LSH pairs -> connected components --------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to its near-dup cluster: connected
+    components over the MinHash-LSH candidate pairs, keeper = min doc_id
+    in the cluster, singletons keep themselves. This is the step that
+    turns pairwise dedup into a usable drop-list at 100 TB; the oracle
+    computes the same components with a recursive CTE."""
+    from opencypher_datalayer_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        docs.join(comps, docs.doc_id == comps.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND ({' OR '.join(f'a.band{i} = b.band{i}' for i in range(BANDS))})
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # -- SimHash ------------------------------------------------------------
 
 
@@ -363,6 +416,9 @@ QUERIES = {
     ),
     "dedup_minhash_lsh_pairs": QueryDef(
         dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_SQL, "LSH band-bucket candidate pairs"
+    ),
+    "dedup_clusters": QueryDef(
+        dedup_clusters, DEDUP_CLUSTERS_SQL, "LSH pairs -> connected components -> keepers"
     ),
     "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_SQL, "32-bit SimHash fingerprints"),
     "dedup_simhash_pairs": QueryDef(

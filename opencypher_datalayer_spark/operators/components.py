@@ -1,0 +1,86 @@
+"""Connected components on an edge DataFrame — the operator that turns
+pairwise near-dup candidates (MinHash/SimHash/embedding pairs) into
+cluster assignments for dedup keeper selection.
+
+Algorithm: iterative min-label propagation ("hash-to-min") with a
+pointer-jumping step each round:
+
+1. every node's label starts as its own id;
+2. each round, a node takes the min of its label and its neighbors'
+   labels (one shuffle join edges x labels);
+3. labels are then path-compressed by looking up the label of the label
+   (one join labels x labels — smaller than the edge join), which gives
+   the O(log n) convergence of pointer jumping on chains;
+4. stop when no label changed.
+
+Scale notes: the per-round cost is one edges-vs-labels shuffle join.
+Near-dup graphs have tiny diameters (clusters are quasi-cliques), so
+this converges in 2-4 rounds; pointer jumping bounds pathological
+chains. Lineage is cut per round with ``localCheckpoint`` (the loop is
+driver-side control flow, not driver-side data).
+
+The reference has no graph algorithms at all (it delegates everything
+to Neo4j); this is part of the engine's training-data-pipeline
+extension surface (repo north star), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(id, component)``: each node labeled with the minimum
+    node id reachable from it (undirected). Ids may be any orderable
+    type. Self-loops are ignored; a node appearing *only* in self-loops
+    gets no row (callers left-join and coalesce to self, as singletons
+    get no row either)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .dropDuplicates()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und.a == labels.id)
+            .select(F.col("b").alias("id"), "comp")
+        )
+        new = (
+            labels.select("id", "comp")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- label(comp)
+        lookup = new.select(F.col("id").alias("c_id"), F.col("comp").alias("c_comp"))
+        new = (
+            new.join(lookup, new.comp == lookup.c_id, "left")
+            .select("id", F.least("comp", "c_comp").alias("comp"))
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "id")
+            .where(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return labels

@@ -215,6 +215,135 @@ ORDER BY bucket, id_a, id_b
 """
 
 
+# -- IVF: inverted-file ANN (coarse quantize -> probe nearest cells) ----
+
+K_CELLS = 8
+NPROBE = 2
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """(embeddings, centroids, assignment). The coarse quantizer is a
+    deterministic sample (vec_id < {K_CELLS}) standing in for an
+    offline-trained k-means codebook: iterative mean updates sum doubles
+    in engine-specific order, which would break oracle hash-equality —
+    assignment/probe mechanics are identical either way. Cell id =
+    argmax cosine (rounded 6dp, tie-break on centroid id)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
+    cents = emb.where(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cos)
+        .withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") == 1)
+        .select("vec_id", "cell", "v", "nrm")
+    )
+    return emb, cents, assign
+
+
+_DUCK_IVF_CTES = f"""
+e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < {K_CELLS}),
+assign AS (
+  SELECT vec_id, cell, v, nrm FROM (
+    SELECT e.vec_id, c.cell, e.v, e.nrm,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_DUCK_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6) DESC,
+                      c.cell ASC) AS crk
+    FROM e CROSS JOIN cents c)
+  WHERE crk = 1)
+"""
+
+
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment + occupancy — the partition layout an IVF
+    index would persist (partitionBy(cell) at scale)."""
+    _, _, assign = _ivf_parts(spark, sf_dir)
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec"))
+        .orderBy("cell")
+    )
+
+
+SIM_IVF_CELLS_SQL = f"""
+WITH {_DUCK_IVF_CTES}
+SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+FROM assign GROUP BY cell ORDER BY cell
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOPK} via IVF probe: each query scores only vectors in
+    its {NPROBE} nearest cells — the 100 TB path where the scored set is
+    a cell-pruned fraction of the corpus (vs brute-force's full scan).
+    Exact same approximation in the oracle => value-level comparable."""
+    from pyspark.sql import Window
+
+    emb, cents, assign = _ivf_parts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qcos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    wprobe = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cell").asc())
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("p_cos", qcos)
+        .withColumn("prk", F.row_number().over(wprobe))
+        .where(F.col("prk") <= NPROBE)
+        .select("q_id", "qv", "qn", "cell")
+    )
+    cand = assign.select(F.col("vec_id").alias("c_id"), "cell", F.col("v").alias("cv2"), F.col("nrm").alias("cn2"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        probes.join(cand, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "c_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_IVF_TOPK_SQL = f"""
+WITH {_DUCK_IVF_CTES},
+queries AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERY}),
+probes AS (
+  SELECT q_id, qv, qn, cell FROM (
+    SELECT q.q_id, q.qv, q.qn, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ROUND({_DUCK_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn), 6) DESC,
+                      c.cell ASC) AS prk
+    FROM queries q CROSS JOIN cents c)
+  WHERE prk <= {NPROBE}),
+scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         ROUND({_DUCK_DOT.format(a='p.qv', b='a.v')} / (p.qn * a.nrm), 6) AS cosine
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.q_id <> a.vec_id)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
 # -- centroid aggregation (vector agg over groups) ----------------------
 
 
@@ -261,5 +390,11 @@ QUERIES = {
     ),
     "sim_label_centroids": QueryDef(
         sim_label_centroids, SIM_CENTROIDS_SQL, "per-label vector-norm aggregates"
+    ),
+    "sim_ivf_cells": QueryDef(
+        sim_ivf_cells, SIM_IVF_CELLS_SQL, f"IVF coarse-quantizer assignment, {K_CELLS} cells"
+    ),
+    "sim_ivf_topk": QueryDef(
+        sim_ivf_topk, SIM_IVF_TOPK_SQL, f"IVF nprobe={NPROBE} ANN top-{TOPK}"
     ),
 }

@@ -32,6 +32,52 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
         q.stop()
 
 
+def test_stateful_sessionize_stream(spark, sf_dir):
+    """applyInPandasWithState sessionization: every emitted session must
+    exactly match a batch session; all gap-closed sessions are emitted;
+    sessions not emitted are only those too close to stream end for the
+    event-time timeout to fire (watermark delay + gap)."""
+    from opencypher_datalayer_spark.benchqueries.temporal import ev_sessionize
+    from opencypher_datalayer_spark.streaming.sessions import (
+        SESSION_GAP_MIN,
+        sessionize_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        sessionize_stream(events, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r["total_value"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch_rows = ev_sessionize(spark, sf_dir).collect()
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): float(
+            r["total_value"]
+        )
+        for r in batch_rows
+    }
+
+    assert set(streamed) <= set(batch)
+    for k, v in streamed.items():
+        assert abs(v - batch[k]) < 1e-6
+
+    n_users = len({r["user_id"] for r in batch_rows})
+    assert len(streamed) >= len(batch) - n_users  # every gap-closed session emitted
+
+    max_ts = max(r["session_end"] for r in batch_rows)
+    horizon_s = 2 * 3600 + SESSION_GAP_MIN * 60
+    for k in set(batch) - set(streamed):
+        assert (max_ts - k[2]).total_seconds() <= horizon_s
+
+
 def test_foreachbatch_graph_sync(spark, tmp_path):
     """Entity rows streamed from files produce the same graph state as
     batch ingest of the same entities."""

@@ -56,21 +56,24 @@ def _duck_hash64(expr: str) -> str:
     return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — char n-grams via pure column ops."""
+def _shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — char n-grams via pure column ops.
+
+    ``distinct=False`` skips the dedup shuffle (~1.5M rows at sf0.1) for
+    consumers whose aggregate is duplicate-insensitive (MinHash MIN)."""
     docs = load_table(spark, "documents", sf_dir)
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
-                    f" i -> substring(text, i, {SHINGLE_K}))"
-                )
-            ).alias("sh"),
-        )
-        .dropDuplicates(["doc_id", "sh"])
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+                f" i -> substring(text, i, {SHINGLE_K}))"
+            )
+        ).alias("sh"),
     )
+    return sh.dropDuplicates(["doc_id", "sh"]) if distinct else sh
 
 
 _DUCK_SHINGLES = f"""
@@ -102,27 +105,80 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 # -- n-gram Jaccard near-dup -------------------------------------------
 
 
+JACCARD_T = 0.8
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with 8-gram Jaccard >= 0.8. Candidates come from the shared-
-    shingle join (only pairs with nonzero intersection are ever formed);
-    at scale the shingle join shuffles on the shingle — skew on stop-
-    shingles is handled by AQE skew splitting."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+    """Pairs with 8-gram Jaccard >= {JACCARD_T}, exactly — via prefix
+    filtering (AllPairs/PPJoin): each doc's shingles are globally ordered
+    rarest-document-frequency-first, and a pair can reach the threshold
+    only if it shares a shingle inside both docs' first
+    floor((1-t)*n)+1 shingles. The naive shared-shingle join is 560M
+    rows at sf0.1 (synthetic texts share most 8-grams); prefixes exclude
+    the hot shingles, then verification is a per-candidate
+    ``array_intersect`` against the collected shingle sets — no
+    re-explosion. The oracle keeps the naive O(sum df^2) join: same
+    result, different plan, which is the point of the check.
+
+    Scale: prefix join shuffles only prefix rows (~(1-t) of shingle
+    volume, minus hot shingles); the sets table is O(n_docs) rows
+    (broadcast here; shuffle-join at 100 TB)."""
+    t = JACCARD_T
+    # shingles hashed to 60-bit ints up front: equality, sorting, and the
+    # verify intersect all run on longs, not strings (collision odds
+    # ~1e-10 over a 13k-shingle vocabulary)
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(F.broadcast(freq), "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.expr("transform(ranked, x -> x.h)").alias("hs"),
+            F.size("ranked").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    prefix = sets.select(
+        "doc_id",
+        F.col("n"),
+        F.posexplode(
+            F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
+        ).alias("p", "h"),
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # AllPairs position filter (sound: a qualifying pair's FIRST shared
+    # prefix token — 0-based positions pa*, pb* — bounds its overlap by
+    # min(na - pa*, nb - pb*), which must reach
+    # alpha = ceil(t/(1+t)*(na+nb)); that token's join row survives the
+    # per-row form of the filter, so the pair is never lost. A tighter
+    # shared-prefix-count bound is NOT sound here: shared tokens may sit
+    # in one doc's prefix and the other's suffix, escaping the count.)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")) >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"), F.col("n").alias("na"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
+        cand.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
-        .where(F.col("jaccard") >= 0.8)
+        .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -146,7 +202,10 @@ ORDER BY doc_a, doc_b
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).withColumn("h", _spark_hash64(F.col("sh")))
+    # non-distinct shingles: MIN is duplicate-insensitive, so the dedup
+    # shuffle would buy nothing — map-side partial MIN aggregation does
+    # the reduction before the one unavoidable shuffle (groupBy doc_id)
+    sh = _shingles(spark, sf_dir, distinct=False).withColumn("h", _spark_hash64(F.col("sh")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P)).alias(f"m{i}")
         for i in range(H)
@@ -373,7 +432,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # Hamming filter BEFORE the pair dedup: the chunk join fans out to
+    # millions of candidate rows on a clustered corpus (measured 5.8M at
+    # sf0.1), and the bitwise filter is a per-row codegen op — filtering
+    # first shrinks the dedup shuffle to just the true pairs.
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -383,15 +446,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

@@ -35,12 +35,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Return ``(id, component)``: each node labeled with the minimum
     node id reachable from it (undirected). Ids may be any orderable
     type. Self-loops are ignored; a node appearing *only* in self-loops
     gets no row (callers left-join and coalesce to self, as singletons
-    get no row either)."""
+    get no row either).
+
+    Adaptive execution: when the deduped edge list fits comfortably on
+    the driver (``<= driver_threshold`` edges), a local union-find beats
+    N rounds of distributed joins by orders of magnitude — near-dup
+    graphs are usually tiny relative to the corpus that produced them.
+    Set ``driver_threshold=0`` to force the distributed loop."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -48,6 +55,9 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint()
     )
+
+    if driver_threshold and und.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _driver_union_find(und)
     labels = (
         und.select(F.col("a").alias("id"))
         .dropDuplicates()
@@ -84,3 +94,31 @@ def connected_components(
             break
 
     return labels
+
+
+def _driver_union_find(und: DataFrame) -> DataFrame:
+    """Local union-find over a small collected edge list; same output
+    contract (min reachable id per node) as the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in und.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    spark = und.sparkSession
+    return spark.createDataFrame(rows, schema=und.schema).toDF("id", "comp")

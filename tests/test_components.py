@@ -31,8 +31,15 @@ def _bfs_components(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src: long, dst: long")
-    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
-    assert got == _bfs_components(edges)
+    expected = _bfs_components(edges)
+    # driver union-find path and distributed label-propagation path must
+    # produce identical results
+    for threshold in (100_000, 0):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(df, driver_threshold=threshold).collect()
+        }
+        assert got == expected, f"threshold={threshold}"
 
 
 def test_two_components_and_cycle(spark):

@@ -180,6 +180,63 @@ ORDER BY region_name
 """
 
 
+# -- variable-length paths ----------------------------------------------
+
+
+def cy_varlength_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (a:Order)-[r:next_order*1..3]->(b) over the per-customer
+    order-sequence graph (each order points to the customer's next
+    order): path counts per hop length. Exercises the bounded iterative
+    expansion (SURVEY §4 — Catalyst has no recursion, so *1..k is a
+    driver-composed k-join union). The oracle spells out the 1/2/3-hop
+    joins explicitly."""
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.plans import run_cypher
+    from opencypher_datalayer_spark.store import GraphStore
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("src"),
+            F.lead(F.col("o_orderkey")).over(w).cast("string").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .select("src", F.lit("next_order").alias("rel_type"), "dst", F.lit("orders").alias("source"))
+    )
+    nodes = orders.select(
+        F.col("o_orderkey").cast("string").alias("gid"),
+        F.lit("Order").alias("label"),
+        F.lit("orders").alias("source"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    store = GraphStore(nodes, nxt)
+    return run_cypher(
+        store,
+        "MATCH (a:Order)-[r:next_order*1..3]->(b:Order) "
+        "RETURN r.hops AS hops, count(*) AS n_paths ORDER BY hops",
+    )
+
+
+CY_VARLENGTH_SQL = """
+WITH e AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS src,
+         CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst
+  FROM orders
+  QUALIFY dst IS NOT NULL)
+SELECT hops, COUNT(*) AS n_paths FROM (
+  SELECT 1 AS hops FROM e
+  UNION ALL
+  SELECT 2 FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  UNION ALL
+  SELECT 3 FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e2.dst = e3.src)
+GROUP BY hops
+ORDER BY hops
+"""
+
+
 # -- write templates end-to-end -----------------------------------------
 
 
@@ -290,6 +347,9 @@ QUERIES = {
     ),
     "cy_write_roundtrip": QueryDef(
         cy_write_roundtrip, CY_WRITE_ROUNDTRIP_SQL, "C1-C4 write templates end-to-end"
+    ),
+    "cy_varlength_chains": QueryDef(
+        cy_varlength_chains, CY_VARLENGTH_SQL, "variable-length *1..3 path expansion"
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

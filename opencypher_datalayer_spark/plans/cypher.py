@@ -53,6 +53,9 @@ class NodePat:
 class EdgePat:
     var: str | None
     rel_type: str | None
+    # variable-length bounds (MATCH (a)-[:T*1..3]->(b)); None = single hop
+    vl_min: int | None = None
+    vl_max: int | None = None
 
 
 @dataclass
@@ -329,14 +332,25 @@ class Parser:
             else:
                 self.take()
                 var = rel = None
+                vl_min = vl_max = None
                 t = self.peek()
                 if t and t.kind == "name":
                     var = self.take().text
                 if self.at_sym(":"):
                     self.take()
                     rel = self.take().text
+                if self.at_sym("*"):
+                    self.take()
+                    vl_min, vl_max = 1, 10  # bare * default cap
+                    t = self.peek()
+                    if t and t.kind == "number":
+                        vl_min = vl_max = int(self.take().value)
+                    if self.at_sym("."):
+                        self.take()
+                        self.expect_sym(".")
+                        vl_max = int(self.take().value)
                 self.expect_sym("]->")
-                edges.append(EdgePat(var, rel))
+                edges.append(EdgePat(var, rel, vl_min, vl_max))
             nodes.append(self.parse_node())
         return PathPat(nodes, edges)
 
@@ -580,21 +594,25 @@ class PlanState:
             else:
                 epat = path.edges[idx - 1]
                 evar = epat.var or self.fresh("e")
-                edges = self.store.edges
-                if epat.rel_type is not None:
-                    edges = edges.where(F.col("rel_type") == epat.rel_type)
                 src_col = (
                     f"{prev_var}__gid" if prev_var in unit_vars else new_ptr(prev_var)
                 )
                 dst_is_new = not in_plan and not in_unit
                 dst_col = f"{var}__gid" if dst_is_new else new_ptr(var)
-                edf = edges.select(
-                    F.col("src").alias(f"__src_{evar}"),
-                    F.col("rel_type").alias(f"{evar}__rel_type"),
-                    F.col("source").alias(f"{evar}__rel_source"),
-                    F.col("dst").alias(f"__dst_{evar}"),
-                )
-                self.vars[evar] = "edge"
+                if epat.vl_min is not None:
+                    edf = self._vl_expand(epat, evar)
+                    self.vars[evar] = "vlpath"
+                else:
+                    edges = self.store.edges
+                    if epat.rel_type is not None:
+                        edges = edges.where(F.col("rel_type") == epat.rel_type)
+                    edf = edges.select(
+                        F.col("src").alias(f"__src_{evar}"),
+                        F.col("rel_type").alias(f"{evar}__rel_type"),
+                        F.col("source").alias(f"{evar}__rel_source"),
+                        F.col("dst").alias(f"__dst_{evar}"),
+                    )
+                    self.vars[evar] = "edge"
                 if unit is None:
                     unit = edf
                 elif prev_var in unit_vars:
@@ -646,6 +664,53 @@ class PlanState:
             joined = joined.drop(col)
         self.df = joined
 
+    def _vl_expand(self, epat: EdgePat, evar: str) -> DataFrame:
+        """Variable-length pattern ``-[:T*min..max]->``: one output row
+        per distinct PATH (Cypher path semantics) with relationship
+        uniqueness inside a path (no edge reused — cycles terminate).
+
+        Execution is bounded iterative self-join expansion — the
+        Catalyst-has-no-recursion answer (SURVEY §4): hop h joins the
+        hop h-1 frontier to the edge table, filtering edges already on
+        the path via the carried edge-key array. Each hop is one
+        equi-join shuffle on the frontier head; max hops bounds the
+        plan depth."""
+        rel = self.store.edges
+        if epat.rel_type is not None:
+            rel = rel.where(F.col("rel_type") == epat.rel_type)
+        key = F.concat_ws("|", "src", "rel_type", "dst")
+        step = rel.select(
+            F.col("src").alias("_jsrc"), F.col("dst").alias("_jdst"), key.alias("_k")
+        )
+        frontier = rel.select(
+            F.col("src").alias("_s"), F.col("dst").alias("_d"), F.array(key).alias("_es")
+        )
+        hops: list[DataFrame] = []
+        if epat.vl_min <= 1:
+            hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h")))
+        for h in range(2, epat.vl_max + 1):
+            frontier = (
+                frontier.join(step, frontier._d == step._jsrc)
+                .where(~F.array_contains(F.col("_es"), F.col("_k")))
+                .select(
+                    "_s",
+                    F.col("_jdst").alias("_d"),
+                    F.array_append("_es", F.col("_k")).alias("_es"),
+                )
+            )
+            if h >= epat.vl_min:
+                hops.append(frontier.select("_s", "_d", F.lit(h).alias("_h")))
+        if not hops:
+            raise CypherError(f"empty variable-length range *{epat.vl_min}..{epat.vl_max}")
+        out = hops[0]
+        for more in hops[1:]:
+            out = out.unionByName(more)
+        return out.select(
+            F.col("_s").alias(f"__src_{evar}"),
+            F.col("_h").alias(f"{evar}__hops"),
+            F.col("_d").alias(f"__dst_{evar}"),
+        )
+
     # -- expressions --
 
     def to_column(self, e: Expr) -> Column:
@@ -661,6 +726,10 @@ class PlanState:
                 if e.key == "source":
                     return F.col(f"{e.var}__rel_source")
                 raise CypherError(f"unknown edge property {e.key}")
+            if self.vars.get(e.var) == "vlpath":
+                if e.key == "hops":
+                    return F.col(f"{e.var}__hops")
+                raise CypherError(f"unknown path property {e.key} (only 'hops')")
             return F.col(f"{e.var}__props").getItem(e.key)
         if isinstance(e, Var):
             self._check_var(e.name)
@@ -673,6 +742,11 @@ class PlanState:
                         F.col(f"{e.name}__rel_type").alias("rel_type"),
                         F.col(f"{e.name}__rel_source").alias("source"),
                     ),
+                )
+            if self.vars[e.name] == "vlpath":
+                return F.when(
+                    F.col(f"{e.name}__hops").isNotNull(),
+                    F.struct(F.col(f"{e.name}__hops").alias("hops")),
                 )
             return F.when(
                 F.col(f"{e.name}__gid").isNotNull(),

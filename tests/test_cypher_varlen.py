@@ -1,0 +1,82 @@
+"""Variable-length path patterns: per-path row semantics, edge
+uniqueness (cycle termination), bounds, and hop counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.model import EDGES_SCHEMA, NODES_SCHEMA
+from opencypher_datalayer_spark.plans import CypherError, run_cypher
+from opencypher_datalayer_spark.store import GraphStore
+
+
+def _store(spark, edges, labels=None):
+    nodes = sorted({e[0] for e in edges} | {e[2] for e in edges})
+    labels = labels or {}
+    ndf = spark.createDataFrame(
+        [(n, labels.get(n, "N"), "t", {}) for n in nodes], NODES_SCHEMA
+    )
+    edf = spark.createDataFrame([(s, r, d, "t") for s, r, d in edges], EDGES_SCHEMA)
+    return GraphStore(ndf, edf)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_chain_hops(spark):
+    # a -> b -> c -> d
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c"), ("c", "x", "d")])
+    out = run_cypher(
+        st,
+        "MATCH (p)-[r:x*1..3]->(q) RETURN p.gid AS src, q.gid AS dst, r.hops AS hops "
+        "ORDER BY src, dst",
+    )
+    assert rows(out) == [
+        ("a", "b", 1), ("a", "c", 2), ("a", "d", 3),
+        ("b", "c", 1), ("b", "d", 2),
+        ("c", "d", 1),
+    ]
+
+
+def test_min_bound_and_exact(spark):
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c"), ("c", "x", "d")])
+    out = run_cypher(st, "MATCH (p)-[r:x*2..3]->(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h")
+    assert sorted(rows(out)) == [("a", "c", 2), ("a", "d", 3), ("b", "d", 2)]
+    exact = run_cypher(st, "MATCH (p)-[r:x*2]->(q) RETURN p.gid AS s, q.gid AS d")
+    assert sorted(rows(exact)) == [("a", "c"), ("b", "d")]
+
+
+def test_diamond_counts_paths_not_pairs(spark):
+    # two distinct 2-hop paths a->d (via b and via c) => two rows
+    st = _store(
+        spark, [("a", "x", "b"), ("a", "x", "c"), ("b", "x", "d"), ("c", "x", "d")]
+    )
+    out = run_cypher(st, "MATCH (p)-[r:x*2..2]->(q) RETURN p.gid AS s, q.gid AS d")
+    assert sorted(rows(out)) == [("a", "d"), ("a", "d")]
+
+
+def test_cycle_terminates_via_edge_uniqueness(spark):
+    # a -> b -> a cycle: paths can't reuse an edge, so *1..4 stays finite
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "a")])
+    out = run_cypher(st, "MATCH (p)-[r:x*1..4]->(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h")
+    assert sorted(rows(out)) == [
+        ("a", "a", 2), ("a", "b", 1), ("b", "a", 1), ("b", "b", 2),
+    ]
+
+
+def test_varlen_with_label_endpoints_and_agg(spark):
+    st = _store(
+        spark,
+        [("a", "x", "b"), ("b", "x", "c")],
+        labels={"a": "Start", "b": "Mid", "c": "End"},
+    )
+    out = run_cypher(
+        st, "MATCH (p:Start)-[r:x*1..2]->(q) RETURN count(*) AS n_paths"
+    )
+    assert rows(out) == [(2,)]
+
+
+def test_varlen_rejects_bad_range(spark):
+    st = _store(spark, [("a", "x", "b")])
+    with pytest.raises(CypherError):
+        run_cypher(st, "MATCH (p)-[r:x*3..2]->(q) RETURN p.gid AS s")

@@ -183,6 +183,42 @@ ORDER BY user_id, purchase_ts, purchase_id
 """
 
 
+# -- semi-structured JSON extraction ------------------------------------
+
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` string column
+    (``get_json_object`` — JVM-side JSON path, no UDF), bucketed and
+    aggregated. The scale note: JSON parsing happens once per row inside
+    whole-stage codegen; a VariantType/from_json shredding step would be
+    the columnar-storage answer at rest."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"), F.col("value").cast(DEC).alias("v"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("v").alias("total_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+"""
+
+
 # -- ranked event funnel ------------------------------------------------
 
 
@@ -220,4 +256,5 @@ QUERIES = {
     "ev_sessionize": QueryDef(ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization"),
     "ev_asof_join": QueryDef(ev_asof_join, EV_ASOF_SQL, "as-of join vs native ASOF"),
     "ev_first_touch": QueryDef(ev_first_touch, EV_FIRST_TOUCH_SQL, "first-touch dedup by rank"),
+    "ev_json_props": QueryDef(ev_json_props, EV_JSON_SQL, "JSON path extraction + agg"),
 }

@@ -115,8 +115,15 @@ class GraphStore:
 
         # --- C3: reference-target stubs (neo4j.go:111-114): every dst gets a
         # gid-only node unless one already exists. W7 set-dedup of targets.
+        # Join order matters at scale: anti-joining the tiny target set
+        # against the store directly plans as a store-wide shuffle
+        # (SortMergeJoin — the small side can't be the build side of an
+        # anti join). Inverting it keeps the store scan shuffle-free:
+        # semi-join the store against the broadcast targets (one scan,
+        # small output), then a broadcast anti-join of tiny vs tiny.
         targets = edge_items.select(F.col("dst").alias("gid")).dropDuplicates()
-        stubs = targets.join(nodes.select("gid"), "gid", "left_anti").select(
+        existing = nodes.select("gid").join(F.broadcast(targets), "gid", "left_semi")
+        stubs = targets.join(F.broadcast(existing), "gid", "left_anti").select(
             "gid",
             F.lit(None).cast("string").alias("label"),
             F.lit(None).cast("string").alias("source"),

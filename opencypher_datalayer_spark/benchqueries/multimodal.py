@@ -103,9 +103,101 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- typed header metadata (oracle-checked pure columns) ----------------
+
+
+def mm_typed_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse typed 'header' fields out of the blob with pure column ops
+    (hex slicing — the pattern for magic-number/codec/geometry sniffing
+    at scan time, before any decode UDF runs) and aggregate by the
+    derived 'format'."""
+    p = _payloads(spark, sf_dir)
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.substring(F.hex("payload"), 2 * i + 1, 2), 16, 10
+    ).cast("int")
+    meta = p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        (byte_at(0) % 4).alias("fmt_code"),
+        (16 + (byte_at(0) % 64)).alias("width"),
+        (16 + (byte_at(1) % 64)).alias("height"),
+    )
+    return (
+        meta.groupBy("fmt_code")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("fmt_code")
+    )
+
+
+MM_TYPED_META_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(('0x' || substr(hex(encode(text)), 1, 2))::BIGINT AS INT) AS b0,
+         CAST(('0x' || substr(hex(encode(text)), 3, 2))::BIGINT AS INT) AS b1
+  FROM documents)
+SELECT b0 % 4 AS fmt_code, COUNT(*) AS n_blobs, SUM(n_bytes) AS total_bytes,
+       MIN(16 + (b0 % 64)) AS min_width, MAX(16 + (b1 % 64)) AS max_height
+FROM meta
+GROUP BY 1
+ORDER BY fmt_code
+"""
+
+
+# -- frame sampling: 1 blob -> N frame rows via mapInPandas -------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_mean double"
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FAKE FRAME SAMPLER (no codecs in container): treats the payload
+    as a {FRAME_BYTES}-byte-per-frame 'video' and emits every
+    {FRAME_STRIDE}th frame — the 1-row-in/N-rows-out fan-out a real
+    ffmpeg keyframe sampler has. Swap the slicing for av.decode in a
+    real deployment; batch iteration, fan-out schema, and partitioning
+    are identical."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_mean": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(len(frame))
+                out["frame_mean"].append(float(sum(frame)) / len(frame))
+        yield pd.DataFrame(out)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = _payloads(spark, sf_dir).mapInPandas(sample_frames_batch, FRAMES_SCHEMA)
+    return (
+        decoded.groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("frame_mean"), 4).alias("avg_frame_mean"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
 QUERIES = {
     "mm_binary_meta": QueryDef(mm_binary_meta, MM_BINARY_META_SQL, "blob metadata, pure columns"),
+    "mm_typed_metadata": QueryDef(
+        mm_typed_metadata, MM_TYPED_META_SQL, "typed header sniffing + agg"
+    ),
     "mm_decode_features": QueryDef(
         mm_decode_features, None, "mapInPandas fake-decode pipeline (rows-only check)"
+    ),
+    "mm_frame_sample": QueryDef(
+        mm_frame_sample, None, "mapInPandas frame-sampling fan-out (rows-only check)"
     ),
 }

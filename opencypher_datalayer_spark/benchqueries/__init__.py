@@ -28,6 +28,7 @@ def all_queries() -> dict[str, QueryDef]:
     from opencypher_datalayer_spark.benchqueries import (
         dedup,
         graph,
+        graphalgo,
         multimodal,
         relational,
         relational2,
@@ -37,7 +38,17 @@ def all_queries() -> dict[str, QueryDef]:
     )
 
     registry: dict[str, QueryDef] = {}
-    for mod in (relational, relational2, graph, dedup, text, similarity, temporal, multimodal):
+    for mod in (
+        relational,
+        relational2,
+        graph,
+        graphalgo,
+        dedup,
+        text,
+        similarity,
+        temporal,
+        multimodal,
+    ):
         for name, qd in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name!r}")

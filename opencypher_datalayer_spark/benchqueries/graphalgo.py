@@ -1,0 +1,122 @@
+"""Graph-analytics registry queries — the GraphX-role coverage
+(triangle counting, PageRank) over graphs projected from the star
+schema, with FULL value-level DuckDB oracles.
+
+PageRank is oracle-checkable because the operator runs in integer
+fixed-point (``operators.graph_algorithms``): the oracle unrolls the
+same recurrence as one generated CTE per iteration — bit-identical
+ranks, no float tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.operators.graph_algorithms import (
+    PR_DAMPING_DEN,
+    PR_DAMPING_NUM,
+    PR_SCALE,
+    pagerank_fixedpoint,
+    triangle_count,
+)
+from opencypher_datalayer_spark.sources.tables import load_table
+from opencypher_datalayer_spark.sources.tabular import NS, graph_from_tables
+
+CO_SUPPLY_SUPPORT = 3  # supplier pair must share >= 3 orders (sparsifier)
+PR_ITER = 5
+
+
+# -- triangle count over the co-supply graph ----------------------------
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the supplier co-supply graph (suppliers linked when
+    they share >= {CO_SUPPLY_SUPPORT} orders — the support threshold
+    sparsifies an otherwise near-complete projection)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey").dropDuplicates()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= CO_SUPPLY_SUPPORT)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+G_TRIANGLES_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT a.s AS x, b.s AS y
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {CO_SUPPLY_SUPPORT})
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.x = e1.x AND e1.y < e2.y
+JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+"""
+
+
+# -- PageRank over the property graph -----------------------------------
+
+
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITER}-iteration fixed-point PageRank over the full projected
+    property graph (orders -> customers -> nations -> regions,
+    suppliers -> nations)."""
+    store = graph_from_tables(spark, sf_dir)
+    ranks = pagerank_fixedpoint(store.edges, n_iter=PR_ITER)
+    return ranks.orderBy("id")
+
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    teleport = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
+    ctes = [
+        f"""edges AS (
+  SELECT '{NS}/order/' || CAST(o_orderkey AS VARCHAR) AS u,
+         '{NS}/customer/' || CAST(o_custkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT '{NS}/customer/' || CAST(c_custkey AS VARCHAR),
+         '{NS}/nation/' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT '{NS}/supplier/' || CAST(s_suppkey AS VARCHAR),
+         '{NS}/nation/' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT '{NS}/nation/' || CAST(n_nationkey AS VARCHAR),
+         '{NS}/region/' || CAST(n_regionkey AS VARCHAR) FROM nation)""",
+        "verts AS (SELECT DISTINCT id FROM (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges))",
+        "odeg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u)",
+        "ed AS (SELECT e.u, e.v, d.deg FROM edges e JOIN odeg d ON e.u = d.u)",
+        f"r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS rank FROM verts)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT v.id,
+         CAST({teleport} AS BIGINT)
+           + (COALESCE(c.contribs, 0) * {PR_DAMPING_NUM}) // {PR_DAMPING_DEN} AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.v AS id, SUM(r.rank // e.deg) AS contribs
+    FROM ed e JOIN r{i - 1} r ON e.u = r.id
+    GROUP BY e.v) c ON v.id = c.id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{n_iter} ORDER BY id"
+
+
+G_PAGERANK_SQL = _pagerank_oracle_sql(PR_ITER)
+
+
+QUERIES = {
+    "g_triangle_count": QueryDef(
+        g_triangle_count, G_TRIANGLES_SQL, "triangles in the supplier co-supply graph"
+    ),
+    "g_pagerank": QueryDef(
+        g_pagerank, G_PAGERANK_SQL, f"{PR_ITER}-iter fixed-point PageRank, exact oracle"
+    ),
+}

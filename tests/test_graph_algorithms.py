@@ -1,0 +1,64 @@
+"""Graph analytics operators vs pure-Python references."""
+
+from opencypher_datalayer_spark.operators.graph_algorithms import (
+    PR_DAMPING_DEN,
+    PR_DAMPING_NUM,
+    PR_SCALE,
+    pagerank_fixedpoint,
+    triangle_count,
+)
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src: long, dst: long")
+
+
+def test_triangle_k4(spark):
+    # complete graph on 4 vertices: C(4,3) = 4 triangles, robust to
+    # duplicate and reversed edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert triangle_count(_edges_df(spark, k4)).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_square_none(spark):
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert triangle_count(_edges_df(spark, square)).collect()[0]["n_triangles"] == 0
+
+
+def _py_pagerank(edges, n_iter):
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    teleport = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
+    rank = {v: PR_SCALE for v in verts}
+    for _ in range(n_iter):
+        contribs = {v: 0 for v in verts}
+        for u, v in edges:
+            contribs[v] += rank[u] // deg[u]
+        rank = {
+            v: teleport + (contribs[v] * PR_DAMPING_NUM) // PR_DAMPING_DEN for v in verts
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    # star + chain + a sink with multiple in-edges
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 3)]
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixedpoint(_edges_df(spark, edges), n_iter=6).collect()
+    }
+    assert got == _py_pagerank(edges, 6)
+
+
+def test_pagerank_dangling_and_no_inedge(spark):
+    # node 3 dangles (no out-edges); node 1 has no in-edges
+    edges = [(1, 2), (2, 3)]
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixedpoint(_edges_df(spark, edges), n_iter=4).collect()
+    }
+    assert got == _py_pagerank(edges, 4)
+    teleport = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
+    assert got[1] == teleport  # teleport-only

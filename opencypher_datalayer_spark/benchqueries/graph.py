@@ -337,6 +337,29 @@ def cy_expand_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cy_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-stage aggregation + filter (Cypher's HAVING) through the
+    front-end: nations with at least 40 customers."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (c:Customer)-[r:in_nation]->(n:Nation) "
+        "WITH n, count(c) AS n_customers WHERE n_customers >= 40 "
+        "RETURN n.name AS nation, n_customers ORDER BY nation",
+    )
+
+
+CY_WITH_HAVING_SQL = """
+SELECT n_name AS nation, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) >= 40
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "g_match_filter": QueryDef(g_match_filter, G_MATCH_FILTER_SQL, "R1 label scan + filter"),
     "cy_match_filter": QueryDef(
@@ -350,6 +373,9 @@ QUERIES = {
     ),
     "cy_varlength_chains": QueryDef(
         cy_varlength_chains, CY_VARLENGTH_SQL, "variable-length *1..3 path expansion"
+    ),
+    "cy_with_having": QueryDef(
+        cy_with_having, CY_WITH_HAVING_SQL, "WITH aggregate + WHERE (HAVING) via front-end"
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

@@ -3,9 +3,11 @@
 The reference declares an ad-hoc query method but stubs it
 (``neo4j.go:289-291`` returns nil); this package implements it natively.
 Read scope is the clause set the reference's readback Cypher actually
-uses (SURVEY §2-R): MATCH / OPTIONAL MATCH (single-hop patterns, label +
-property-map predicates), WHERE, RETURN with COLLECT/count and Cypher's
-implicit grouping — plus ORDER BY / SKIP / LIMIT as engine extensions.
+uses (SURVEY §2-R): MATCH / OPTIONAL MATCH (single-hop and
+variable-length ``*min..max`` patterns, label + property-map
+predicates), WHERE, WITH pipeline stages (projection, implicit-group
+aggregation, post-aggregate WHERE), RETURN with COLLECT/count — plus
+ORDER BY / SKIP / LIMIT / DISTINCT as engine extensions.
 
 Write scope (``cypher_write``) is the clause surface of the reference's
 five emitted templates (``neo4j.go:95-127``): UNWIND / MATCH / MERGE /

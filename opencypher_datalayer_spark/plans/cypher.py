@@ -82,6 +82,16 @@ class ReturnItem:
 
 
 @dataclass
+class WithStage:
+    """MATCH* WITH items [WHERE expr] — a projection/aggregation stage
+    feeding the next part of the query (Cypher's pipeline operator)."""
+
+    matches: list[MatchClause]
+    items: list["ReturnItem"]
+    where: "Expr | None"
+
+
+@dataclass
 class Query:
     matches: list[MatchClause]
     where: "Expr | None"
@@ -90,6 +100,7 @@ class Query:
     skip: int | None = None
     limit: int | None = None
     distinct: bool = False
+    stages: list[WithStage] = field(default_factory=list)  # WITH pipeline before matches
 
 
 # Expressions
@@ -267,7 +278,7 @@ class Parser:
         return " ".join(t.text for t in self.toks[self.i : self.i + 5]) or "<end>"
 
     # -- grammar --
-    def parse(self) -> Query:
+    def parse_matches(self) -> list[MatchClause]:
         matches: list[MatchClause] = []
         while self.at_kw("match", "optional"):
             optional = False
@@ -284,8 +295,25 @@ class Parser:
                 self.take()
                 where = self.parse_expr()
             matches.append(MatchClause(paths, optional, where))
+        return matches
+
+    def parse(self) -> Query:
+        stages: list[WithStage] = []
+        matches = self.parse_matches()
         if not matches:
             raise CypherError("query must start with MATCH")
+        while self.at_kw("with"):
+            self.take()
+            items = [self.parse_return_item()]
+            while self.at_sym(","):
+                self.take()
+                items.append(self.parse_return_item())
+            where = None
+            if self.at_kw("where"):
+                self.take()
+                where = self.parse_expr()
+            stages.append(WithStage(matches, items, where))
+            matches = self.parse_matches()
 
         self.expect_kw("return")
         distinct = False
@@ -320,7 +348,7 @@ class Parser:
             limit = int(self.take().value)
         if self.peek() is not None:
             raise CypherError(f"unexpected trailing input: {self._ctx()}")
-        return Query(matches, None, returns, order_by, skip, limit, distinct)
+        return Query(matches, None, returns, order_by, skip, limit, distinct, stages)
 
     def parse_path(self) -> PathPat:
         nodes = [self.parse_node()]
@@ -711,6 +739,59 @@ class PlanState:
             F.col("_d").alias(f"__dst_{evar}"),
         )
 
+    # -- WITH stages --
+
+    def _var_cols(self, v: str) -> list[str]:
+        kind = self.vars[v]
+        if kind == "node":
+            return [f"{v}__{f}" for f in _NODE_FIELDS]
+        if kind == "edge":
+            return [f"{v}__rel_type", f"{v}__rel_source"]
+        if kind == "vlpath":
+            return [f"{v}__hops"]
+        return [v]  # scalar: one plain column
+
+    def apply_with(self, items: list[ReturnItem], where: Expr | None) -> None:
+        """WITH projection/aggregation: pattern variables pass through
+        with their full column namespace (so later MATCH/RETURN can keep
+        using them); everything else becomes a named scalar column.
+        Aggregates trigger Cypher's implicit group-by over the
+        non-aggregated items."""
+        agg_items = [r for r in items if isinstance(r.expr, Agg)]
+        passthrough: list[str] = []
+        scalar_items: list[ReturnItem] = []
+        for r in items:
+            if isinstance(r.expr, Agg):
+                continue
+            if (
+                isinstance(r.expr, Var)
+                and r.expr.name in self.vars
+                and self.vars[r.expr.name] != "scalar"
+            ):
+                if r.alias is not None and r.alias != r.expr.name:
+                    raise CypherError("aliasing a pattern variable in WITH is unsupported")
+                passthrough.append(r.expr.name)
+            else:
+                scalar_items.append(r)
+
+        group_cols = [F.col(c) for v in passthrough for c in self._var_cols(v)]
+        scalar_cols = [self.to_column(r.expr).alias(r.name) for r in scalar_items]
+        if agg_items:
+            aggs = [_agg_column(self, r.expr, r.name) for r in agg_items]
+            keys = group_cols + scalar_cols
+            out = (self.df.groupBy(*keys) if keys else self.df.groupBy()).agg(*aggs)
+        else:
+            out = self.df.select(*group_cols, *scalar_cols)
+
+        new_vars: dict[str, str] = {v: self.vars[v] for v in passthrough}
+        for r in scalar_items:
+            new_vars[r.name] = "scalar"
+        for r in agg_items:
+            new_vars[r.name] = "scalar"
+        self.df, self.vars = out, new_vars
+        if where is not None:
+            self.df = self.df.where(self.to_condition(where))
+
     # -- expressions --
 
     def to_column(self, e: Expr) -> Column:
@@ -733,6 +814,8 @@ class PlanState:
             return F.col(f"{e.var}__props").getItem(e.key)
         if isinstance(e, Var):
             self._check_var(e.name)
+            if self.vars[e.name] == "scalar":
+                return _ncol(e.name)
             # a variable that failed to OPTIONAL-match must evaluate to
             # NULL (not a struct of nulls) so count()/COLLECT skip it
             if self.vars[e.name] == "edge":
@@ -812,6 +895,10 @@ def run_cypher(store: GraphStore, query: str) -> DataFrame:
     """Parse and execute a read-only Cypher query against the store."""
     q = Parser(tokenize(query)).parse()
     state = PlanState(store)
+    for stage in q.stages:
+        for m in stage.matches:
+            state.add_match(m)
+        state.apply_with(stage.items, stage.where)
     for m in q.matches:
         state.add_match(m)
 

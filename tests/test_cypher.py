@@ -177,3 +177,61 @@ def test_parse_errors(store):
     ]:
         with pytest.raises(CypherError):
             run_cypher(store, bad).collect()
+
+
+# -- WITH pipeline stages ----------------------------------------------
+
+
+def test_with_aggregate_then_filter(store):
+    """WITH … WHERE on an aggregate (Cypher's HAVING): employers with
+    at least two workers."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (p:Person)-[r:worksfor]->(c) "
+            "WITH c, count(p) AS n_workers WHERE n_workers >= 2 "
+            "RETURN c.gid AS employer, n_workers",
+        )
+    )
+    assert out == [{"employer": f"{NS}/things/mimiro", "n_workers": 2}]
+
+
+def test_with_projection_then_match(store):
+    """Pattern variable carried through WITH into a later MATCH."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (p:Person {name: 'brian'}) WITH p "
+            "MATCH (p)-[r:worksfor]->(c) RETURN c.name AS employer",
+        )
+    )
+    assert out == [{"employer": "Mimiro"}]
+
+
+def test_with_scalar_rename_and_order(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (p:Person) WITH p.name AS nm, p.age AS age WHERE age < 32 "
+            "RETURN nm, age ORDER BY nm",
+        )
+    )
+    assert out == [
+        {"nm": "ann", "age": "31"},
+        {"nm": "brian", "age": "23"},
+        {"nm": "zoe", "age": "19"},
+    ]
+
+
+def test_with_chained_stages(store):
+    """Two WITH stages: aggregate, filter, re-aggregate."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (p:Person) OPTIONAL MATCH (p)-[r:worksfor]->(c) "
+            "WITH p, count(r) AS n_jobs "
+            "WITH n_jobs, count(*) AS n_people "
+            "RETURN n_jobs, n_people ORDER BY n_jobs",
+        )
+    )
+    assert out == [{"n_jobs": 0, "n_people": 1}, {"n_jobs": 1, "n_people": 3}]

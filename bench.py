@@ -49,6 +49,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
+    # warm the JVM, parquet reader, and python workers once so per-query
+    # times measure the queries, not session initialization
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(2).mapInPandas(lambda it: it, "id long").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = registry[name]

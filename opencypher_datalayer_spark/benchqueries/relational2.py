@@ -403,6 +403,106 @@ ORDER BY supp_value DESC, l_suppkey
 """
 
 
+# -- q13-style: distribution of counts (left join + double group) -------
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders — the left-join +
+    group-twice histogram shape (customers with zero orders included)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- q8-style: market share (yearly conditional-sum ratio) --------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA suppliers' share of yearly order revenue — conditional sum
+    over a 5-way join, ratio as one double division per year."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    vol = _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                F.sum(F.when(F.col("r_name") == "ASIA", vol)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("asia_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("yr")
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              FILTER (WHERE r_name = 'ASIA') AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS asia_share,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+ORDER BY yr
+"""
+
+
+# -- LIKE / string-predicate pushdown ------------------------------------
+
+
+def q_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix LIKE reaches the parquet scan as StringStartsWith (see
+    test_plan_audit); contains/suffix predicates stay post-scan."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.where(F.col("p_name").like("small %") & F.col("p_name").like("%get"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+Q_LIKE_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE 'small %' AND p_name LIKE '%get'
+ORDER BY p_partkey
+"""
+
+
 # -- window family: lag / lead / first_value / ntile --------------------
 
 
@@ -472,6 +572,11 @@ QUERIES = {
     "q21_lone_returner": QueryDef(q21_lone_returner, Q21_SQL, "self-join EXISTS/NOT EXISTS"),
     "q22_idle_customers": QueryDef(q22_idle_customers, Q22_SQL, "global-avg scalar + anti join"),
     "q_supplier_share": QueryDef(q_supplier_share, Q_SUPPLIER_SHARE_SQL, "HAVING vs global total"),
+    "q13_order_distribution": QueryDef(
+        q13_order_distribution, Q13_SQL, "count-histogram via double grouping"
+    ),
+    "q8_market_share": QueryDef(q8_market_share, Q8_SQL, "yearly conditional-sum ratio"),
+    "q_like_pushdown": QueryDef(q_like_pushdown, Q_LIKE_SQL, "LIKE predicates on strings"),
     "q_window_navigation": QueryDef(
         q_window_navigation, Q_WINDOW_NAV_SQL, "lag/lead/first_value/ntile"
     ),

@@ -16,6 +16,7 @@ storage, so reading back is a scan, not a federation problem.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +120,8 @@ class DataLayer:
         self._store = (
             self._storage.load(spark) if self._storage else GraphStore.empty(spark)
         )
+        self._config_path: str | None = None
+        self._config_mtime: float = 0.0
         if config:
             self.update_configuration(config)
 
@@ -127,7 +130,25 @@ class DataLayer:
     @classmethod
     def from_config_path(cls, spark: SparkSession, path: str, **kw) -> "DataLayer":
         with open(path) as f:
-            return cls(spark, json.load(f), **kw)
+            layer = cls(spark, json.load(f), **kw)
+        layer._config_path = path
+        layer._config_mtime = os.path.getmtime(path)
+        return layer
+
+    def maybe_reload_config(self) -> bool:
+        """Hot reload (S2): re-read the config file if it changed on
+        disk (the framework around the reference polls on a
+        ``config_refresh_interval`` timer — callers do the same and
+        invoke this). Returns True if the registry was refreshed."""
+        if not self._config_path:
+            return False
+        mtime = os.path.getmtime(self._config_path)
+        if mtime == self._config_mtime:
+            return False
+        with open(self._config_path) as f:
+            self.update_configuration(json.load(f))
+        self._config_mtime = mtime
+        return True
 
     def update_configuration(self, config: dict) -> None:
         """Load/refresh the dataset registry from a UDA-shaped config
@@ -172,6 +193,22 @@ class DataLayer:
         else:
             self._store = new.checkpointed()
 
+    # -- ad-hoc query (S10 — the reference's stub, neo4j.go:289-291) ----
+
+    def query(self, statement: str, params: dict | None = None):
+        """Run an openCypher statement against the store. Read queries
+        return a DataFrame; write statements (UNWIND/MERGE/SET/DELETE
+        surface) apply to the store and commit, returning None."""
+        from opencypher_datalayer_spark.plans import run_cypher, run_cypher_write
+        from opencypher_datalayer_spark.plans.cypher import tokenize
+
+        toks = tokenize(statement)
+        is_read = any(t.kind == "kw" and t.value == "return" for t in toks)
+        if is_read:
+            return run_cypher(self._store, statement)
+        self._commit(run_cypher_write(self._store, statement, params))
+        return None
+
     # -- read side (S8/S9 — unsupported in the reference) --------------
 
     def entities(self, from_gid: str = "", limit: int = 100) -> DataFrame:
@@ -181,11 +218,45 @@ class DataLayer:
             nodes = nodes.where(F.col("gid") > from_gid)
         return nodes.orderBy("gid").limit(limit)
 
-    def changes(self, since: int = 0, limit: int = 100) -> tuple[DataFrame, int]:
-        """Change feed: rows of the current snapshot newer than the
-        ``since`` version token. With versioned storage the token is the
-        commit version; in-memory mode degrades to a full snapshot."""
-        version = self._storage.current_version() if self._storage else 0
-        if since >= version and self._storage:
-            return self._store.nodes.limit(0), version
-        return self._store.nodes.orderBy("gid").limit(limit), version
+    def changes(self, since: int = 0) -> tuple[DataFrame, int]:
+        """Change-data feed between snapshot versions (S8 — the
+        reference answers LayerNotSupported; with versioned storage this
+        is a real CDC diff). Returns (changes, current_version); the
+        token for the next poll is the returned version.
+
+        Change rows are the node envelope plus ``change_type``:
+        ``upsert`` (new or modified since ``since``) or ``delete``
+        (present at ``since``, gone now). In-memory mode (no storage)
+        degrades to a full-snapshot upsert feed with version 0.
+        """
+        nodes = self._store.nodes
+        upsert = F.lit("upsert").alias("change_type")
+        if not self._storage:
+            return nodes.select("*", upsert), 0
+        version = self._storage.current_version()
+        if since >= version:
+            return nodes.limit(0).select("*", upsert), version
+        if since <= 0:
+            return nodes.select("*", upsert), version
+        old = self._storage.load_version(self.spark, since).nodes
+        # set-diff via canonical row fingerprint (exceptAll can't handle
+        # MapType columns; sorted map entries make the hash stable)
+        fp = F.md5(
+            F.to_json(
+                F.struct(
+                    "label", "source", F.expr("array_sort(map_entries(props))").alias("p")
+                )
+            )
+        )
+        new_fp = nodes.withColumn("_fp", fp)
+        old_fp = old.withColumn("_fp", fp)
+        changed = new_fp.join(old_fp.select("gid", "_fp"), ["gid", "_fp"], "left_anti").drop(
+            "_fp"
+        )
+        deleted = old.join(nodes.select("gid"), "gid", "left_anti")
+        return (
+            changed.select("*", upsert).unionByName(
+                deleted.select("*", F.lit("delete").alias("change_type"))
+            ),
+            version,
+        )

@@ -59,10 +59,16 @@ class ParquetGraphStorage:
     # -- IO ------------------------------------------------------------
 
     def load(self, spark: SparkSession) -> GraphStore:
-        v = self.current_version()
+        return self.load_version(spark, self.current_version())
+
+    def load_version(self, spark: SparkSession, v: int) -> GraphStore:
+        """Load a specific retained snapshot version (time travel — the
+        basis of the change feed's version diff)."""
         if v == 0:
             return GraphStore.empty(spark)
         vdir = self._version_dir(v)
+        if not os.path.isdir(vdir):
+            raise ValueError(f"version {v} not found (vacuumed?)")
         # explicit schemas: an empty snapshot has no data files to infer
         # from, and partition columns must come back string-typed and in
         # declared column order.

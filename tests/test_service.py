@@ -1,0 +1,81 @@
+"""Service-surface completeness: ad-hoc query facade (S10), CDC change
+feed between snapshot versions (S8), config hot reload (S2)."""
+
+import json
+
+from opencypher_datalayer_spark.ingest import DataLayer
+
+NS = "urn:t"
+
+CONFIG = {
+    "dataset_definitions": [
+        {"name": "people", "source_config": {"label": "Person", "batch_size": 100}}
+    ]
+}
+
+
+def _write(layer, entities):
+    w = layer.dataset("people").incremental()
+    for e in entities:
+        w.write(e)
+    w.close()
+
+
+def test_query_facade_read_and_write(spark):
+    layer = DataLayer(spark, CONFIG)
+    layer.query(
+        "UNWIND $items AS item MERGE (n {gid: item.gid}) "
+        "WITH n, item OPTIONAL MATCH (n)-[r]->() DELETE r SET n:Person SET n = item",
+        {"items": [{"gid": f"{NS}/p1", "source": "people", "name": "brian"}]},
+    )
+    out = layer.query("MATCH (n:Person) RETURN n.gid AS gid, n.name AS name")
+    assert [tuple(r) for r in out.collect()] == [(f"{NS}/p1", "brian")]
+
+
+def test_changes_feed_version_diff(spark, tmp_path):
+    layer = DataLayer(spark, CONFIG, storage_root=str(tmp_path / "store"))
+    _write(layer, [
+        {"id": f"{NS}/a", "props": {"k": "1"}, "refs": {}},
+        {"id": f"{NS}/b", "props": {"k": "2"}, "refs": {}},
+    ])
+    v1 = layer._storage.current_version()
+
+    _write(layer, [
+        {"id": f"{NS}/a", "props": {"k": "changed"}, "refs": {}},  # modified
+        {"id": f"{NS}/c", "props": {"k": "3"}, "refs": {}},  # new
+        {"id": f"{NS}/b", "deleted": True},  # tombstone
+    ])
+
+    feed, v2 = layer.changes(since=v1)
+    assert v2 > v1
+    got = {(r["gid"], r["change_type"]) for r in feed.collect()}
+    assert got == {
+        (f"{NS}/a", "upsert"),
+        (f"{NS}/c", "upsert"),
+        (f"{NS}/b", "delete"),
+    }
+
+    empty, v3 = layer.changes(since=v2)
+    assert v3 == v2 and empty.count() == 0
+
+    full, _ = layer.changes(since=0)
+    assert {r["change_type"] for r in full.collect()} == {"upsert"}
+    assert full.count() == 2  # a (changed) + c
+
+
+def test_config_hot_reload(spark, tmp_path):
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(CONFIG))
+    layer = DataLayer.from_config_path(spark, str(cfg))
+    assert set(layer.datasets) == {"people"}
+    assert layer.maybe_reload_config() is False  # unchanged
+
+    updated = {
+        "dataset_definitions": CONFIG["dataset_definitions"]
+        + [{"name": "companies", "source_config": {"label": "Company"}}]
+    }
+    cfg.write_text(json.dumps(updated))
+    import os
+    os.utime(cfg, (os.path.getmtime(cfg) + 2, os.path.getmtime(cfg) + 2))
+    assert layer.maybe_reload_config() is True
+    assert set(layer.datasets) == {"people", "companies"}

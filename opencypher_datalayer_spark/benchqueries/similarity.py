@@ -344,6 +344,61 @@ ORDER BY q_id, rk
 """
 
 
+# -- embedding near-dup clustering --------------------------------------
+
+DUP_COS = 0.55  # near-dup threshold for the synthetic embeddings
+
+
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: vectors with cosine >=
+    {DUP_COS} are duplicates; connected components give cluster ids and
+    min-id keepers (same operator as the text-LSH clustering — the
+    modality changes, the clustering step doesn't). Candidate pairs come
+    from the LSH buckets (scale path), rescored exactly; the oracle
+    reproduces bucketing + threshold + a recursive-CTE closure."""
+    from opencypher_datalayer_spark.operators.components import connected_components
+
+    pairs = sim_lsh_candidate_pairs(spark, sf_dir).where(F.col("cosine") >= DUP_COS)
+    comps = connected_components(pairs, "id_a", "id_b")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    return (
+        emb.join(comps, emb.vec_id == comps.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_EMB_CLUSTERS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, nrm, CAST({_duck_lsh_bucket_expr()} AS BIGINT) AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND({_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= {DUP_COS}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u WHERE e2.v <> r.u),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT emb.vec_id,
+       COALESCE(c.cluster_id, emb.vec_id) AS cluster_id,
+       emb.vec_id = COALESCE(c.cluster_id, emb.vec_id) AS is_keeper
+FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id
+ORDER BY emb.vec_id
+"""
+
+
 # -- centroid aggregation (vector agg over groups) ----------------------
 
 
@@ -390,6 +445,11 @@ QUERIES = {
     ),
     "sim_label_centroids": QueryDef(
         sim_label_centroids, SIM_CENTROIDS_SQL, "per-label vector-norm aggregates"
+    ),
+    "dedup_embedding_clusters": QueryDef(
+        dedup_embedding_clusters,
+        DEDUP_EMB_CLUSTERS_SQL,
+        f"cosine>={DUP_COS} near-dup clusters over LSH candidates",
     ),
     "sim_ivf_cells": QueryDef(
         sim_ivf_cells, SIM_IVF_CELLS_SQL, f"IVF coarse-quantizer assignment, {K_CELLS} cells"

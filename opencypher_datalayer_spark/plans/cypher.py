@@ -101,6 +101,7 @@ class Query:
     limit: int | None = None
     distinct: bool = False
     stages: list[WithStage] = field(default_factory=list)  # WITH pipeline before matches
+    unwinds: list[tuple["Expr", str]] = field(default_factory=list)  # (source, var)
 
 
 # Expressions
@@ -298,10 +299,18 @@ class Parser:
         return matches
 
     def parse(self) -> Query:
+        unwinds: list[tuple[Expr, str]] = []
+        while self.at_kw("unwind"):
+            self.take()
+            src = self.parse_primary()
+            if not isinstance(src, (Param, Lit)):
+                raise CypherError("UNWIND expects a $parameter or a list literal")
+            self.expect_kw("as")
+            unwinds.append((src, self.take().text))
         stages: list[WithStage] = []
         matches = self.parse_matches()
-        if not matches:
-            raise CypherError("query must start with MATCH")
+        if not matches and not unwinds:
+            raise CypherError("query must start with MATCH or UNWIND")
         while self.at_kw("with"):
             self.take()
             items = [self.parse_return_item()]
@@ -348,7 +357,7 @@ class Parser:
             limit = int(self.take().value)
         if self.peek() is not None:
             raise CypherError(f"unexpected trailing input: {self._ctx()}")
-        return Query(matches, None, returns, order_by, skip, limit, distinct, stages)
+        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
 
     def parse_path(self) -> PathPat:
         nodes = [self.parse_node()]
@@ -477,6 +486,18 @@ class Parser:
             return Agg(fn, inner, distinct)
         if t.kind == "param":
             return Param(self.take().value)
+        if self.at_sym("["):
+            self.take()
+            vals: list[object] = []
+            while not self.at_sym("]"):
+                item = self.parse_primary()
+                if not isinstance(item, Lit):
+                    raise CypherError("list literals must contain literals")
+                vals.append(item.value)
+                if self.at_sym(","):
+                    self.take()
+            self.expect_sym("]")
+            return Lit(vals)
         if t.kind == "name":
             name = self.take().text
             if self.at_sym("."):
@@ -739,6 +760,42 @@ class PlanState:
             F.col("_d").alias(f"__dst_{evar}"),
         )
 
+    # -- UNWIND --
+
+    def add_unwind(self, var: str, values: list) -> None:
+        """Bind ``var`` to one row per list element, cross-joined into
+        the plan (Catalyst rewrites a later WHERE equality on it into an
+        equi-join). Dict elements become map<string,string> rows (the
+        write path's item convention); scalars keep their type."""
+        if not isinstance(values, list):
+            raise CypherError(f"UNWIND source for {var!r} must be a list")
+        spark = self.store.nodes.sparkSession
+        if values and all(isinstance(v, dict) for v in values):
+            def _s(x):
+                if x is None:
+                    return None
+                if isinstance(x, bool):
+                    return "true" if x else "false"
+                return str(x)
+
+            rows = [({k: _s(v) for k, v in d.items()},) for d in values]
+            df_u = spark.createDataFrame(
+                rows, f"`{var}` map<string,string>"
+            )
+        else:
+            typ = "string"
+            for v in values:
+                if isinstance(v, bool):
+                    typ = "boolean"
+                elif isinstance(v, int):
+                    typ = "bigint"
+                elif isinstance(v, float):
+                    typ = "double"
+                break
+            df_u = spark.createDataFrame([(v,) for v in values], f"`{var}` {typ}")
+        self.vars[var] = "scalar"
+        self.df = df_u if self.df is None else self.df.crossJoin(df_u)
+
     # -- WITH stages --
 
     def _var_cols(self, v: str) -> list[str]:
@@ -799,6 +856,9 @@ class PlanState:
             return F.lit(e.value)
         if isinstance(e, Prop):
             self._check_var(e.var)
+            if self.vars.get(e.var) == "scalar":
+                # map item access (UNWIND of dict items)
+                return _ncol(e.var).getItem(e.key)
             if e.key in ("gid", "label", "source"):
                 return F.col(f"{e.var}__{e.key}")
             if self.vars.get(e.var) == "edge":
@@ -891,10 +951,15 @@ def _agg_column(state: PlanState, a: Agg, name: str) -> Column:
     return getattr(F, a.fn)(c).alias(name)
 
 
-def run_cypher(store: GraphStore, query: str) -> DataFrame:
+def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> DataFrame:
     """Parse and execute a read-only Cypher query against the store."""
     q = Parser(tokenize(query)).parse()
     state = PlanState(store)
+    for src, var in q.unwinds:
+        values = (params or {}).get(src.name) if isinstance(src, Param) else src.value
+        if values is None:
+            raise CypherError(f"missing parameter for UNWIND {var}")
+        state.add_unwind(var, values)
     for stage in q.stages:
         for m in stage.matches:
             state.add_match(m)

@@ -235,3 +235,50 @@ def test_with_chained_stages(store):
         )
     )
     assert out == [{"n_jobs": 0, "n_people": 1}, {"n_jobs": 1, "n_people": 3}]
+
+
+# -- read-side UNWIND ---------------------------------------------------
+
+
+def test_unwind_literal_list_lookup(store):
+    out = rows(
+        run_cypher(
+            store,
+            f"UNWIND ['{NS}/things/p0', '{NS}/things/p2', '{NS}/things/nope'] AS g "
+            "MATCH (n) WHERE n.gid = g RETURN g, n.name AS name ORDER BY g",
+        )
+    )
+    assert out == [
+        {"g": f"{NS}/things/p0", "name": "brian"},
+        {"g": f"{NS}/things/p2", "name": "joe"},
+    ]
+
+
+def test_unwind_param_items(store):
+    out = rows(
+        run_cypher(
+            store,
+            "UNWIND $items AS item MATCH (n) WHERE n.gid = item.gid "
+            "RETURN item.tag AS tag, n.name AS name ORDER BY tag",
+            params={
+                "items": [
+                    {"gid": f"{NS}/things/p1", "tag": "first"},
+                    {"gid": f"{NS}/things/p3", "tag": "second"},
+                ]
+            },
+        )
+    )
+    assert out == [
+        {"tag": "first", "name": "ann"},
+        {"tag": "second", "name": "zoe"},
+    ]
+
+
+def test_unwind_aggregation(store):
+    out = rows(
+        run_cypher(
+            store,
+            "UNWIND [1, 2, 2, 3] AS x RETURN count(x) AS n, sum(x) AS total",
+        )
+    )
+    assert out == [{"n": 4, "total": 8.0}]

@@ -183,6 +183,46 @@ ORDER BY user_id, purchase_ts, purchase_id
 """
 
 
+# -- interval (range) join ----------------------------------------------
+
+
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to ALL of the same user's clicks in the
+    preceding hour — the range-join shape (inequality band on time).
+    Spark plans user_id as the equi key with the band as a post-join
+    filter; the streaming twin (stream-stream join with watermarks,
+    tests/test_streaming.py) uses the identical condition."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+EV_INTERVAL_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY user_id, purchase_id, click_id
+"""
+
+
 # -- semi-structured JSON extraction ------------------------------------
 
 
@@ -257,4 +297,5 @@ QUERIES = {
     "ev_asof_join": QueryDef(ev_asof_join, EV_ASOF_SQL, "as-of join vs native ASOF"),
     "ev_first_touch": QueryDef(ev_first_touch, EV_FIRST_TOUCH_SQL, "first-touch dedup by rank"),
     "ev_json_props": QueryDef(ev_json_props, EV_JSON_SQL, "JSON path extraction + agg"),
+    "ev_interval_join": QueryDef(ev_interval_join, EV_INTERVAL_SQL, "1-hour range join"),
 }

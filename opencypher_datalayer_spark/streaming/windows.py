@@ -56,6 +56,39 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def stream_interval_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream join: each purchase matched to the same user's
+    clicks in the preceding hour. Watermarks on BOTH sides + the time
+    band bound the join state (clicks older than purchase-watermark -
+    1h are evicted) — the canonical bounded-state stream-stream join.
+    Identical condition to ``benchqueries.temporal.ev_interval_join``.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def run_to_memory(agg: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drive a streaming aggregation to completion over the finite input
     (availableNow) into an in-memory sink; returns the StreamingQuery."""

@@ -32,6 +32,31 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
         q.stop()
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream join over the finite events table must produce the
+    batch interval join's rows (append mode emits a match once both
+    watermarks pass it; availableNow drains the whole table, so all
+    matches emit)."""
+    from opencypher_datalayer_spark.benchqueries.temporal import ev_interval_join
+    from opencypher_datalayer_spark.streaming.windows import stream_interval_join
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        stream_interval_join(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ivj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM stream_ivj").collect()
+    }
+    batch = {tuple(r) for r in ev_interval_join(spark, sf_dir).collect()}
+    assert streamed == batch
+
+
 def test_stateful_sessionize_stream(spark, sf_dir):
     """applyInPandasWithState sessionization: every emitted session must
     exactly match a batch session; all gap-closed sessions are emitted;

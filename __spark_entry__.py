@@ -2,9 +2,18 @@
 
 ``entry(spark)`` runs the flagship graph pipeline at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full operator registry
-(``opencypher_datalayer_spark.benchqueries``) — every SQL-expressible
-operator carries a DuckDB oracle with identical column names and exact
-(decimal/portable-hash) value semantics.
+(``opencypher_datalayer_spark.benchqueries``): 73 queries spanning
+relational/TPC-H shapes, the graph read+write Cypher surface
+(including variable-length paths, WITH stages, UNWIND, and the write
+templates end-to-end), graph analytics (triangles, fixed-point
+PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
+connected-components clustering), similarity (brute-force/LSH/IVF),
+text analysis, temporal/streaming twins (windows, sessionization,
+as-of and interval joins), JSON extraction, and multimodal binary
+plumbing. Every SQL-expressible operator (71 of 73) carries a DuckDB
+oracle with identical column names and exact (decimal / portable-hash
+/ integer-fixed-point) value semantics; the two pandas-UDF pipelines
+register without oracles for the driver's rows-only check.
 """
 
 from __future__ import annotations

@@ -403,6 +403,53 @@ ORDER BY supp_value DESC, l_suppkey
 """
 
 
+# -- q2-style: argmin per group + join back -----------------------------
+
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each part, the supplier offering its minimum observed line
+    price — TPC-H Q2's correlated-min shape on the simplified schema
+    (lineitem stands in for partsupp). Window argmin with total
+    tie-break, then join back for supplier attributes."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 5)
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey", "p_name", "l_suppkey",
+            _dec6(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        offers.join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", "p_name", "s_name", "unit_price")
+        .orderBy("l_partkey")
+    )
+
+
+Q2_SQL = """
+SELECT l_partkey, p_name, s_name, unit_price
+FROM (
+  SELECT l_partkey, p_name, l_suppkey,
+         CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) AS unit_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) ASC,
+                    l_suppkey ASC) AS rk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 5)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk = 1
+ORDER BY l_partkey
+"""
+
+
 # -- q13-style: distribution of counts (left join + double group) -------
 
 
@@ -572,6 +619,7 @@ QUERIES = {
     "q21_lone_returner": QueryDef(q21_lone_returner, Q21_SQL, "self-join EXISTS/NOT EXISTS"),
     "q22_idle_customers": QueryDef(q22_idle_customers, Q22_SQL, "global-avg scalar + anti join"),
     "q_supplier_share": QueryDef(q_supplier_share, Q_SUPPLIER_SHARE_SQL, "HAVING vs global total"),
+    "q2_cheapest_supplier": QueryDef(q2_cheapest_supplier, Q2_SQL, "per-group argmin + join back"),
     "q13_order_distribution": QueryDef(
         q13_order_distribution, Q13_SQL, "count-histogram via double grouping"
     ),

@@ -39,6 +39,21 @@ def test_small_dims_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_label_scan_prunes_union_branches(spark, sf_dir):
+    """The projected graph's nodes table is a union of per-entity scans
+    with literal labels; a label filter must fold away every
+    non-matching branch so MATCH (:Customer) reads ONE parquet table,
+    not five (the partition-pruning analog for union-backed stores)."""
+    from opencypher_datalayer_spark.operators.graph_ops import match_nodes
+    from opencypher_datalayer_spark.sources.tabular import graph_from_tables
+
+    store = graph_from_tables(spark, sf_dir)
+    plan = explain_str(match_nodes(store, label="Customer"))
+    assert "customer.parquet" in plan
+    for other in ("orders.parquet", "nation.parquet", "supplier.parquet", "region.parquet"):
+        assert other not in plan
+
+
 def test_write_path_broadcasts_batch_side(spark):
     """apply_batch merges must be broadcast joins of the (small) batch
     against the store — never a store-wide shuffle join."""

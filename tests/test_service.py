@@ -79,3 +79,20 @@ def test_config_hot_reload(spark, tmp_path):
     os.utime(cfg, (os.path.getmtime(cfg) + 2, os.path.getmtime(cfg) + 2))
     assert layer.maybe_reload_config() is True
     assert set(layer.datasets) == {"people", "companies"}
+
+
+def test_storage_vacuum_and_time_travel(spark, tmp_path):
+    layer = DataLayer(spark, CONFIG, storage_root=str(tmp_path / "s"))
+    for i in range(3):
+        _write(layer, [{"id": f"{NS}/x", "props": {"v": str(i)}, "refs": {}}])
+    storage = layer._storage
+    assert storage.current_version() == 3
+    # time travel to v1
+    old = storage.load_version(spark, 1)
+    assert {r["props"]["v"] for r in old.nodes.collect()} == {"0"}
+    # vacuum keeps newest 2; v1 gone, current intact
+    storage.vacuum(keep=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        storage.load_version(spark, 1)
+    assert storage.load(spark).nodes.count() == 1

@@ -142,6 +142,26 @@ FROM scored ORDER BY doc_id
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic vs the ground-truth
+    ``lang`` column — the eval-loop query a classifier pipeline runs."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _duck_confusion_sql() -> str:
+    inner = _duck_lang_sql().replace("ORDER BY doc_id", "")
+    return f"""
+SELECT lang, pred_lang, COUNT(*) AS n FROM ({inner})
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
 # -- document fingerprint -----------------------------------------------
 
 
@@ -206,6 +226,9 @@ QUERIES = {
         text_token_count, TEXT_TOKEN_COUNT_SQL, "whitespace + BPE-ish token counts"
     ),
     "text_lang_id": QueryDef(text_lang_id, _duck_lang_sql(), "stopword-hit language ID"),
+    "text_lang_confusion": QueryDef(
+        text_lang_confusion, _duck_confusion_sql(), "lang-ID confusion matrix"
+    ),
     "text_fingerprint": QueryDef(
         text_fingerprint, TEXT_FINGERPRINT_SQL, "canonical token-set fingerprint"
     ),

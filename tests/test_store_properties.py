@@ -1,0 +1,109 @@
+"""Property-based testing of the write-path semantics against a
+pure-Python reference model of the reference's Cypher templates
+(SURVEY §5: the reference has no property tests — we add them).
+
+The model is ~40 lines of dicts implementing exactly C1-C4 per batch:
+last-occurrence-wins within a batch, wholesale property replace,
+outgoing-edge clear on upsert, stub creation, detach delete. Hypothesis
+drives random batch sequences through both the model and
+``GraphStore.apply_batch`` and demands identical graphs.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from opencypher_datalayer_spark.model import ENTITY_SCHEMA, normalize_entity
+from opencypher_datalayer_spark.store import GraphStore
+
+GIDS = [f"g{i}" for i in range(6)]
+PROP_KEYS = ["ns/name", "ns/age"]
+REF_KEYS = ["ns/knows", "ns/works"]
+
+entity_st = st.fixed_dictionaries(
+    {
+        "id": st.sampled_from(GIDS),
+        "props": st.dictionaries(
+            st.sampled_from(PROP_KEYS), st.sampled_from(["a", "b", "7"]), max_size=2
+        ),
+        "refs": st.dictionaries(
+            st.sampled_from(REF_KEYS),
+            st.lists(st.sampled_from(GIDS), min_size=1, max_size=2, unique=True),
+            max_size=2,
+        ),
+        "deleted": st.booleans(),
+    }
+)
+batches_st = st.lists(
+    st.lists(entity_st, min_size=1, max_size=5), min_size=1, max_size=3
+)
+
+
+def _strip(k: str) -> str:
+    return k.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+
+
+class Model:
+    """Reference semantics in plain Python (mirrors neo4j.go:171-287)."""
+
+    def __init__(self):
+        self.nodes: dict[str, dict] = {}  # gid -> {label, source, props}
+        self.edges: set[tuple] = set()  # (src, rel, dst, source)
+
+    def apply_batch(self, batch: list[dict], label: str, source: str) -> None:
+        last: dict[str, dict] = {}
+        for e in batch:  # last occurrence of a gid wins (UNWIND order)
+            last[e["id"]] = e
+        deletes = [e for e in last.values() if e["deleted"]]
+        live = [e for e in last.values() if not e["deleted"]]
+        for e in deletes:  # C1: DETACH DELETE
+            self.nodes.pop(e["id"], None)
+            self.edges = {
+                t for t in self.edges if t[0] != e["id"] and t[2] != e["id"]
+            }
+        for e in live:  # C2: upsert + clear outgoing + replace props
+            self.nodes[e["id"]] = {
+                "label": label,
+                "source": source,
+                "props": {_strip(k): str(v) for k, v in e["props"].items()},
+            }
+            self.edges = {t for t in self.edges if t[0] != e["id"]}
+        for e in live:  # C3: stubs
+            for targets in e["refs"].values():
+                for t in targets:
+                    self.nodes.setdefault(
+                        t, {"label": None, "source": None, "props": {}}
+                    )
+        for e in live:  # C4: edge merge
+            for ref, targets in e["refs"].items():
+                for t in targets:
+                    self.edges.add((e["id"], _strip(ref), t, source))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(batches=batches_st)
+def test_store_matches_model(spark, batches):
+    model = Model()
+    store = GraphStore.empty(spark)
+    for batch in batches:
+        model.apply_batch(batch, label="P", source="s")
+        rows = []
+        for i, e in enumerate(batch):
+            r = normalize_entity(e)
+            r["_seq"] = i
+            rows.append(r)
+        df = spark.createDataFrame(rows, ENTITY_SCHEMA)
+        store = store.apply_batch(df, label="P", source="s").checkpointed()
+
+    got_nodes = {
+        r["gid"]: {"label": r["label"], "source": r["source"], "props": dict(r["props"])}
+        for r in store.nodes.collect()
+    }
+    got_edges = {
+        (r["src"], r["rel_type"], r["dst"], r["source"]) for r in store.edges.collect()
+    }
+    assert got_nodes == model.nodes
+    assert got_edges == model.edges

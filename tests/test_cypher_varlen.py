@@ -76,6 +76,22 @@ def test_varlen_with_label_endpoints_and_agg(spark):
     assert rows(out) == [(2,)]
 
 
+def test_varlen_under_optional_match(spark):
+    """OPTIONAL MATCH with a variable-length pattern: unreachable
+    sources keep their row with NULLs."""
+    st = _store(
+        spark,
+        [("a", "x", "b"), ("b", "x", "c"), ("z", "y", "a")],
+        labels={"a": "S", "z": "S"},
+    )
+    out = run_cypher(
+        st,
+        "MATCH (p:S) OPTIONAL MATCH (p)-[r:x*1..2]->(q) "
+        "RETURN p.gid AS src, count(r) AS n_paths ORDER BY src",
+    )
+    assert rows(out) == [("a", 2), ("z", 0)]
+
+
 def test_varlen_rejects_bad_range(spark):
     st = _store(spark, [("a", "x", "b")])
     with pytest.raises(CypherError):

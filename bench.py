@@ -20,25 +20,42 @@ from opencypher_datalayer_spark.benchqueries import all_queries
 from opencypher_datalayer_spark.session import get_spark
 
 HEADLINE = [
+    # relational
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q21_lone_returner",
     "q_top_customers_per_nation",
     "q_rollup_lineitem",
+    "q_window_navigation",
+    # graph read + write + analytics
     "g_match_filter",
     "g_expand_collect",
     "g_order_region_revenue",
+    "cy_write_roundtrip",
+    "g_pagerank",
+    "g_triangle_count",
+    # dedup
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_clusters",
+    # similarity
     "sim_lsh_candidate_pairs",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    # text
     "text_fingerprint",
     "text_quality",
+    # temporal / streaming twins
     "ev_sessionize",
     "ev_asof_join",
     "ev_tumbling_window",
+    "ev_interval_join",
+    "ev_json_props",
+    # multimodal
     "mm_decode_features",
 ]
 

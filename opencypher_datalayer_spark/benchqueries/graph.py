@@ -263,6 +263,8 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nation = load_table(spark, "nation", sf_dir).collect()
     region = load_table(spark, "region", sf_dir).collect()
+    # checkpoint between statements (as DataLayer._commit does): the four
+    # chained lazy plans otherwise recompute each other's joins multiply
     store = GraphStore.empty(spark)
     store = run_cypher_write(
         store,
@@ -271,7 +273,7 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"gid": f"{NS}/region/{r['r_regionkey']}", "source": "tpch", "name": r["r_name"]}
             for r in region
         ]},
-    )
+    ).checkpointed()
     store = run_cypher_write(
         store,
         upsert % "Nation",
@@ -279,12 +281,12 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"gid": f"{NS}/nation/{n['n_nationkey']}", "source": "tpch", "name": n["n_name"]}
             for n in nation
         ]},
-    )
+    ).checkpointed()
     store = run_cypher_write(
         store,
         "UNWIND $items AS item MERGE (n {gid: item.gid})",
         {"items": [{"gid": f"{NS}/region/{n['n_regionkey']}"} for n in nation]},
-    )
+    ).checkpointed()
     store = run_cypher_write(
         store,
         edge_tmpl,
@@ -293,7 +295,7 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              "to": f"{NS}/region/{n['n_regionkey']}", "source": "tpch"}
             for n in nation
         ]},
-    )
+    ).checkpointed()
     return run_cypher(
         store,
         "MATCH (n:Nation)-[e:in_region]->(r:Region) "

@@ -90,17 +90,17 @@ def pagerank_fixedpoint(
             .groupBy("v")
             .agg(F.sum("c").alias("contribs"))
         )
-        ranks = (
-            verts.join(contribs.withColumnRenamed("v", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"(coalesce(contribs, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = verts.join(contribs.withColumnRenamed("v", "id"), "id", "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"(coalesce(contribs, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}"
+                )
+            ).alias("rank"),
         )
+        # no per-iteration checkpoint: it would erase the output
+        # partitioning (forcing a fresh shuffle every round) and the
+        # lineage is only n_iter joins deep — shallow for typical
+        # iteration counts. Checkpoint outside if n_iter is large.
     return ranks

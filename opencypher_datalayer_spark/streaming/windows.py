@@ -89,6 +89,21 @@ def stream_interval_join(events: DataFrame, watermark: str = "2 hours") -> DataF
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key(s)
+    arriving within the watermark horizon — the streaming form of
+    ``dedup_exact`` and the standard at-least-once -> exactly-once
+    repair step in a training-data ingest pipeline. State is one entry
+    per key, evicted when the event-time watermark passes it (bounded,
+    unlike a plain ``dropDuplicates`` on a stream which keeps state
+    forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_to_memory(agg: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drive a streaming aggregation to completion over the finite input
     (availableNow) into an in-memory sink; returns the StreamingQuery."""

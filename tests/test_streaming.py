@@ -32,6 +32,41 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
         q.stop()
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicated delivery (the events table written twice into the
+    source directory) collapses back to exactly the distinct event_ids."""
+    from opencypher_datalayer_spark.sources.tables import load_table
+    from opencypher_datalayer_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        dedup_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(sf_dir + "/events.parquet")
+    src = tmp_path / "dup_events"
+    raw.write.mode("overwrite").parquet(str(src / "copy1"))
+    raw.write.mode("overwrite").parquet(str(src / "copy2"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_distinct = load_table(spark, "events", sf_dir).select("event_id").distinct().count()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM stream_dedup").collect()[0]
+    assert (got["n"], got["d"]) == (n_distinct, n_distinct)
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     """Stream-stream join over the finite events table must produce the
     batch interval join's rows (append mode emits a match once both

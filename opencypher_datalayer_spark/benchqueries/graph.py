@@ -273,7 +273,7 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"gid": f"{NS}/region/{r['r_regionkey']}", "source": "tpch", "name": r["r_name"]}
             for r in region
         ]},
-    ).checkpointed()
+    )
     store = run_cypher_write(
         store,
         upsert % "Nation",
@@ -286,7 +286,7 @@ def cy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         store,
         "UNWIND $items AS item MERGE (n {gid: item.gid})",
         {"items": [{"gid": f"{NS}/region/{n['n_regionkey']}"} for n in nation]},
-    ).checkpointed()
+    )
     store = run_cypher_write(
         store,
         edge_tmpl,

@@ -186,6 +186,52 @@ ORDER BY doc_id
 """
 
 
+SAMPLE_PCT = 20  # hash-threshold sample rate
+QUOTA_K = 30  # per-stratum quota
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling for training-data curation, two shapes in
+    one result: a hash-threshold Bernoulli sample (~{SAMPLE_PCT}% per
+    doc, reproducible across engines/runs — no RNG) and a per-language
+    quota sample (exactly <= {QUOTA_K} docs per lang, taken in portable
+    hash order). Both are the idiomatic distributed forms: the threshold
+    filter is embarrassingly parallel; the quota is one window per
+    stratum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("in_bernoulli", (F.col("h") % 100) < SAMPLE_PCT)
+        .withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("in_bernoulli") | (F.col("quota_rank") <= QUOTA_K))
+        .select("doc_id", "lang", "in_bernoulli", (F.col("quota_rank") <= QUOTA_K).alias("in_quota"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, (h % 100) < {SAMPLE_PCT} AS in_bernoulli,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) <= {QUOTA_K}
+           AS in_quota
+  FROM h)
+SELECT doc_id, lang, in_bernoulli, in_quota
+FROM ranked
+WHERE in_bernoulli OR in_quota
+ORDER BY doc_id
+"""
+
+
 # -- corpus rollup ------------------------------------------------------
 
 
@@ -233,4 +279,7 @@ QUERIES = {
         text_fingerprint, TEXT_FINGERPRINT_SQL, "canonical token-set fingerprint"
     ),
     "text_corpus_stats": QueryDef(text_corpus_stats, TEXT_CORPUS_SQL, "per-corpus rollup"),
+    "text_stratified_sample": QueryDef(
+        text_stratified_sample, TEXT_SAMPLE_SQL, "deterministic Bernoulli + quota sampling"
+    ),
 }

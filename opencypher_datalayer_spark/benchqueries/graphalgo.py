@@ -24,7 +24,10 @@ from opencypher_datalayer_spark.operators.graph_algorithms import (
 from opencypher_datalayer_spark.sources.tables import load_table
 from opencypher_datalayer_spark.sources.tabular import NS, graph_from_tables
 
-CO_SUPPLY_SUPPORT = 3  # supplier pair must share >= 3 orders (sparsifier)
+# supplier pair must share >= 5 orders: sparsifies the near-complete
+# projection at sf0.1 (214k -> 48k edges) while sf0.01's 100-supplier
+# graph stays a clique — both regimes exercised
+CO_SUPPLY_SUPPORT = 5
 PR_ITER = 5
 
 

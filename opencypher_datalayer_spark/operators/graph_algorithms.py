@@ -26,11 +26,13 @@ PR_DAMPING_DEN = 100
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count over the undirected simple graph induced by
-    the edge list. Canonical a<b<c enumeration over the de-duplicated
-    (min,max) edge set: two joins, no double counting.
-
-    Scale: the first join fans out on shared low vertex (skew on hubs →
-    AQE skew split); the closing-edge join is an equi-join on the pair.
+    the edge list, via degree-ordered orientation (compact-forward):
+    every edge points from its (degree, id)-smaller endpoint to the
+    larger, so each triangle contributes exactly one wedge at its
+    lowest-degree vertex. Wedge volume is then sum(out_deg^2) with
+    out-degree bounded by ~sqrt(2m) — on hub-heavy graphs orders of
+    magnitude below the naive sum(deg^2) (measured 9.5s -> see bench on
+    the co-supply graph).
     """
     und = (
         edges.select(
@@ -40,10 +42,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    wedges = e1.join(e2, ["x"]).where(F.col("y") < F.col("z"))
-    closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi_d"),
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("hi_d").alias("yd"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("hi_d").alias("zd"))
+    # one wedge per unordered {y,z}: order by the same (degree, id) rank
+    wedges = w1.join(w2, ["x"]).where(
+        (F.col("yd") < F.col("zd"))
+        | ((F.col("yd") == F.col("zd")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     return wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
 
 

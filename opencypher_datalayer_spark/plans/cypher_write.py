@@ -203,7 +203,12 @@ def _items_df(spark: SparkSession, var: str, items: list[dict]) -> DataFrame:
         _ITEMS_SCHEMA_FIELDS
         + [T.StructField(f"{var}__map", T.MapType(T.StringType(), T.StringType()), False)]
     )
-    return spark.createDataFrame(rows, schema)
+    # bound the slice count for small batches: the default (one slice per
+    # core) schedules 32 near-empty tasks through every downstream stage
+    n_slices = max(1, min(8, len(rows) // 128 + 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 
 @dataclass

@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship graph pipeline at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full operator registry
-(``opencypher_datalayer_spark.benchqueries``): 74 queries spanning
+(``opencypher_datalayer_spark.benchqueries``): 76 queries spanning
 relational/TPC-H shapes, the graph read+write Cypher surface
 (including variable-length paths, WITH stages, UNWIND, and the write
 templates end-to-end), graph analytics (triangles, fixed-point
@@ -10,7 +10,7 @@ PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
 connected-components clustering), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. Every SQL-expressible operator (72 of 74) carries a DuckDB
+plumbing. Every SQL-expressible operator (74 of 76) carries a DuckDB
 oracle with identical column names and exact (decimal / portable-hash
 / integer-fixed-point) value semantics; the two pandas-UDF pipelines
 register without oracles for the driver's rows-only check.

@@ -362,6 +362,29 @@ ORDER BY nation
 """
 
 
+def cy_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library through the Cypher front-end (0-based
+    substring, Cypher-style names)."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (n:Nation) RETURN toupper(n.name) AS upper_name, "
+        "tolower(n.name) AS lower_name, substring(n.name, 0, 3) AS prefix3, "
+        "length(n.name) AS name_len, replace(n.name, 'a', '_') AS repl "
+        "ORDER BY upper_name",
+    )
+
+
+CY_SCALAR_SQL = """
+SELECT UPPER(n_name) AS upper_name, LOWER(n_name) AS lower_name,
+       SUBSTRING(n_name, 1, 3) AS prefix3, LENGTH(n_name) AS name_len,
+       REPLACE(n_name, 'a', '_') AS repl
+FROM nation ORDER BY upper_name
+"""
+
+
 QUERIES = {
     "g_match_filter": QueryDef(g_match_filter, G_MATCH_FILTER_SQL, "R1 label scan + filter"),
     "cy_match_filter": QueryDef(
@@ -378,6 +401,9 @@ QUERIES = {
     ),
     "cy_with_having": QueryDef(
         cy_with_having, CY_WITH_HAVING_SQL, "WITH aggregate + WHERE (HAVING) via front-end"
+    ),
+    "cy_scalar_functions": QueryDef(
+        cy_scalar_functions, CY_SCALAR_SQL, "scalar function library via front-end"
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

@@ -160,7 +160,16 @@ class Param:
     name: str
 
 
-Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param
+@dataclass
+class Func:
+    """Scalar function call (engine extension — the reference's only
+    scalar function is its Go-side prefix strip, W9)."""
+
+    name: str
+    args: list["Expr"]
+
+
+Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func
 
 
 def _expr_name(e: Expr) -> str:
@@ -171,6 +180,8 @@ def _expr_name(e: Expr) -> str:
     if isinstance(e, Agg):
         inner = "*" if e.inner is None else _expr_name(e.inner)
         return f"{e.fn}({inner})"
+    if isinstance(e, Func):
+        return f"{e.name}({', '.join(_expr_name(a) for a in e.args)})"
     if isinstance(e, Lit):
         return str(e.value)
     return "expr"
@@ -500,6 +511,15 @@ class Parser:
             return Lit(vals)
         if t.kind == "name":
             name = self.take().text
+            if self.at_sym("("):
+                self.take()
+                args: list[Expr] = []
+                while not self.at_sym(")"):
+                    args.append(self.parse_expr())
+                    if self.at_sym(","):
+                        self.take()
+                self.expect_sym(")")
+                return Func(name.lower(), args)
             if self.at_sym("."):
                 self.take()
                 key = self.take().text
@@ -895,9 +915,65 @@ class PlanState:
                 F.col(f"{e.name}__gid").isNotNull(),
                 F.struct(*[F.col(f"{e.name}__{f}").alias(f) for f in _NODE_FIELDS]),
             )
+        if isinstance(e, Func):
+            return self._func_column(e)
         if isinstance(e, Agg):
             raise CypherError("aggregate in non-return position")
         raise CypherError(f"cannot evaluate {e} as value")
+
+    def _func_column(self, e: Func) -> Column:
+        """Scalar function library (engine extension; Cypher-style names,
+        0-based substring). Args evaluate recursively; position/length
+        arguments must be integer literals."""
+        def arg(i: int) -> Column:
+            return self.to_column(e.args[i])
+
+        def lit_int(i: int) -> int:
+            a = e.args[i]
+            if not isinstance(a, Lit) or not isinstance(a.value, int):
+                raise CypherError(f"{e.name}() argument {i + 1} must be an integer literal")
+            return a.value
+
+        n = e.name
+        simple = {
+            "toupper": F.upper, "tolower": F.lower, "trim": F.trim,
+            "length": F.length, "size": F.size, "abs": F.abs,
+            "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
+        }
+        if n in simple:
+            if len(e.args) != 1:
+                raise CypherError(f"{n}() takes one argument")
+            return simple[n](arg(0))
+        if n == "coalesce":
+            return F.coalesce(*[arg(i) for i in range(len(e.args))])
+        if n == "substring":
+            # Cypher substring(s, start[, len]) is 0-based; Spark is 1-based
+            if len(e.args) == 2:
+                return F.substring(arg(0), lit_int(1) + 1, 2**31 - 1)
+            if len(e.args) == 3:
+                return F.substring(arg(0), lit_int(1) + 1, lit_int(2))
+            raise CypherError("substring() takes 2 or 3 arguments")
+        if n == "replace":
+            if len(e.args) != 3:
+                raise CypherError("replace() takes 3 arguments")
+            return F.replace(arg(0), arg(1), arg(2))
+        if n == "split":
+            if len(e.args) != 2:
+                raise CypherError("split() takes 2 arguments")
+            return F.split(arg(0), arg(1))
+        if n == "round":
+            if len(e.args) == 1:
+                return F.round(arg(0).cast("double"), 0)
+            if len(e.args) == 2:
+                return F.round(arg(0).cast("double"), lit_int(1))
+            raise CypherError("round() takes 1 or 2 arguments")
+        if n == "tostring":
+            return arg(0).cast("string")
+        if n == "tointeger":
+            return arg(0).cast("bigint")
+        if n == "tofloat":
+            return arg(0).cast("double")
+        raise CypherError(f"unknown function {n}()")
 
     def to_condition(self, e: Expr) -> Column:
         if isinstance(e, Bool):

@@ -282,3 +282,37 @@ def test_unwind_aggregation(store):
         )
     )
     assert out == [{"n": 4, "total": 8.0}]
+
+
+# -- scalar function library ---------------------------------------------
+
+
+def test_scalar_functions(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN toupper(n.name) AS un, substring(n.name, 0, 2) AS pre, "
+            "length(n.name) AS ln, tointeger(n.age) AS age, "
+            "coalesce(n.missing, 'dflt') AS c "
+            "ORDER BY un",
+        )
+    )
+    assert out[0] == {"un": "ANN", "pre": "an", "ln": 3, "age": 31, "c": "dflt"}
+    assert [r["un"] for r in out] == ["ANN", "BRIAN", "JOE", "ZOE"]
+
+
+def test_functions_in_where_and_aggregate(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE tointeger(n.age) >= 23 "
+            "RETURN count(*) AS n, sum(tointeger(n.age)) AS total",
+        )
+    )
+    assert out == [{"n": 3, "total": 99.0}]
+
+
+def test_unknown_function_rejected(store):
+    with pytest.raises(CypherError):
+        run_cypher(store, "MATCH (n:Person) RETURN frobnicate(n.name) AS x")

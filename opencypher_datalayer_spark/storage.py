@@ -27,16 +27,65 @@ reference's per-label gid index, ``neo4j.go:21``).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import SparkSession
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.model import EDGES_SCHEMA, NODES_SCHEMA
 from opencypher_datalayer_spark.store import GraphStore
 
 _CURRENT = "CURRENT"
+_MANIFEST = "MANIFEST.json"
+
+# Key column used for file-skipping stats per table (the reference's only
+# index is on ``gid`` — ``neo4j.go:21``; edges are looked up by src gid in
+# the edge-clear / expand paths).
+_STATS_KEY = {"nodes": "gid", "edges": "src"}
+
+
+def _file_key_stats(path: str, key: str) -> tuple[str | None, str | None, int]:
+    """Min/max of ``key`` across a parquet file's row groups, from the
+    footer only (no data pages read — driver-side, O(files) not O(rows))."""
+    md = pq.ParquetFile(path).metadata
+    mn: str | None = None
+    mx: str | None = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema != key:
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo, hi = s.min, s.max
+            if isinstance(lo, bytes):
+                lo = lo.decode("utf-8", "replace")
+            if isinstance(hi, bytes):
+                hi = hi.decode("utf-8", "replace")
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    return mn, mx, md.num_rows
+
+
+def _prune(entries: list[dict], values: list[str]) -> list[dict]:
+    """Keep manifest entries whose [min,max] key range could contain any of
+    ``values``. Entries without stats are kept (never unsound)."""
+    kept = []
+    for e in entries:
+        if e["min"] is None or e["max"] is None:
+            if e["rows"]:
+                kept.append(e)
+            continue
+        if any(e["min"] <= v <= e["max"] for v in values):
+            kept.append(e)
+    return kept
 
 
 class ParquetGraphStorage:
@@ -84,21 +133,105 @@ class ParquetGraphStorage:
         )
         return GraphStore(nodes, edges)
 
-    def commit(self, store: GraphStore) -> int:
-        """Write a new snapshot version and atomically repoint CURRENT."""
+    def commit(self, store: GraphStore, cluster_buckets: int | None = None) -> int:
+        """Write a new snapshot version and atomically repoint CURRENT.
+
+        ``cluster_buckets``: range-partition each table on its key column
+        (nodes by ``gid``, edges by ``src``) before writing, so each data
+        file covers a narrow, disjoint key range and the footer min/max
+        stats recorded in MANIFEST.json actually prune (the Z-order /
+        ``OPTIMIZE`` analog for a single key — reference's gid index,
+        ``neo4j.go:21``). Costs one extra shuffle + range-sampling job per
+        commit, so it's opt-in: the frequent small commits of the sync
+        service skip it; periodic compaction / analytic snapshots enable it.
+        Footer stats are collected either way (cheap, driver-side).
+        """
         v = self.current_version() + 1
         vdir = self._version_dir(v)
-        store.nodes.write.mode("overwrite").partitionBy("label").parquet(
+        nodes, edges = store.nodes, store.edges
+        if cluster_buckets:
+            nodes = nodes.repartitionByRange(cluster_buckets, "gid")
+            edges = edges.repartitionByRange(cluster_buckets, "src")
+        nodes.write.mode("overwrite").partitionBy("label").parquet(
             os.path.join(vdir, "nodes")
         )
-        store.edges.write.mode("overwrite").partitionBy("rel_type").parquet(
+        edges.write.mode("overwrite").partitionBy("rel_type").parquet(
             os.path.join(vdir, "edges")
         )
+        self._write_manifest(vdir)
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.root, _CURRENT))  # atomic pointer swap
         return v
+
+    # -- file-skipping manifest (the gid-index analog, C6) -------------
+
+    def _write_manifest(self, vdir: str) -> None:
+        manifest: dict[str, list[dict]] = {}
+        for table, key in _STATS_KEY.items():
+            entries = []
+            tdir = os.path.join(vdir, table)
+            for path in sorted(
+                glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
+            ):
+                mn, mx, rows = _file_key_stats(path, key)
+                entries.append(
+                    {
+                        "path": os.path.relpath(path, vdir),
+                        "rows": rows,
+                        "min": mn,
+                        "max": mx,
+                    }
+                )
+            manifest[table] = entries
+        with open(os.path.join(vdir, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+
+    def _manifest(self, v: int) -> dict | None:
+        path = os.path.join(self._version_dir(v), _MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def pruned_files(self, table: str, values: list[str], version: int | None = None) -> tuple[list[str], int] | None:
+        """File paths whose key range may contain any of ``values``, and the
+        total file count — or ``None`` when no manifest exists (pre-manifest
+        snapshot: caller falls back to a full scan)."""
+        v = self.current_version() if version is None else version
+        manifest = self._manifest(v)
+        if manifest is None or table not in manifest:
+            return None
+        entries = manifest[table]
+        vdir = self._version_dir(v)
+        kept = _prune(entries, values)
+        return [os.path.join(vdir, e["path"]) for e in kept], len(entries)
+
+    def lookup_nodes(self, spark: SparkSession, gids: list[str], version: int | None = None) -> DataFrame:
+        """Point lookup of nodes by gid, scanning only files whose footer
+        min/max range admits one of the keys.
+
+        This is the read-side payoff of the manifest: at 100 TB a batch
+        MERGE or entity lookup touches the few files holding its gids
+        instead of the whole table — the same job the reference delegates
+        to Neo4j's gid index (``neo4j.go:21``, ``neo4j.go:97``).
+        """
+        v = self.current_version() if version is None else version
+        pruned = self.pruned_files("nodes", gids, v)
+        if pruned is None:
+            return self.load_version(spark, v).nodes.where(F.col("gid").isin(gids))
+        files, _total = pruned
+        if not files:
+            return GraphStore.empty(spark).nodes
+        vdir = self._version_dir(v)
+        df = (
+            spark.read.schema(NODES_SCHEMA)
+            .option("basePath", os.path.join(vdir, "nodes"))
+            .parquet(*files)
+            .select("gid", "label", "source", "props")
+        )
+        return df.where(F.col("gid").isin(gids))
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop version directories older than the newest ``keep``."""

@@ -96,3 +96,52 @@ def test_storage_vacuum_and_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError):
         storage.load_version(spark, 1)
     assert storage.load(spark).nodes.count() == 1
+
+
+def test_manifest_file_skipping_point_lookup(spark, tmp_path):
+    """Clustered commit records per-file gid min/max in MANIFEST.json;
+    point lookups scan a strict subset of files and return exact rows
+    (the Spark analog of the reference's gid index, neo4j.go:21)."""
+    from opencypher_datalayer_spark.model import NODES_SCHEMA
+    from opencypher_datalayer_spark.storage import ParquetGraphStorage, _prune
+    from opencypher_datalayer_spark.store import GraphStore, empty_edges
+
+    rows = [(f"urn:g/{i:05d}", "Person", "people", {"n": str(i)}) for i in range(400)]
+    store = GraphStore(
+        spark.createDataFrame(rows, NODES_SCHEMA), empty_edges(spark)
+    )
+    storage = ParquetGraphStorage(str(tmp_path / "s"))
+    storage.commit(store, cluster_buckets=8)
+
+    # manifest pruning: a single key hits few files, not all of them
+    files, total = storage.pruned_files("nodes", ["urn:g/00007"])
+    assert total >= 8
+    assert 0 < len(files) < total
+
+    out = storage.lookup_nodes(spark, ["urn:g/00007", "urn:g/00399", "urn:g/zzz"])
+    got = {(r.gid, r.props["n"]) for r in out.collect()}
+    assert got == {("urn:g/00007", "7"), ("urn:g/00399", "399")}
+
+    # pruning is sound: pruned lookup == full-scan filter for every key
+    full = storage.load(spark).nodes.where("gid = 'urn:g/00123'").collect()
+    pruned = storage.lookup_nodes(spark, ["urn:g/00123"]).collect()
+    assert [r.gid for r in pruned] == [r.gid for r in full] == ["urn:g/00123"]
+
+    # stats-less entries are never pruned out (soundness of _prune itself)
+    kept = _prune([{"min": None, "max": None, "rows": 5, "path": "x"}], ["k"])
+    assert len(kept) == 1
+
+
+def test_unclustered_commit_still_has_manifest(spark, tmp_path):
+    from opencypher_datalayer_spark.model import NODES_SCHEMA
+    from opencypher_datalayer_spark.storage import ParquetGraphStorage
+    from opencypher_datalayer_spark.store import GraphStore, empty_edges
+
+    rows = [(f"urn:g/{i}", "Person", "people", None) for i in range(10)]
+    store = GraphStore(spark.createDataFrame(rows, NODES_SCHEMA), empty_edges(spark))
+    storage = ParquetGraphStorage(str(tmp_path / "s"))
+    storage.commit(store)  # no clustering — stats still collected
+    pruned = storage.pruned_files("nodes", ["urn:g/3"])
+    assert pruned is not None
+    out = storage.lookup_nodes(spark, ["urn:g/3"]).collect()
+    assert [r.gid for r in out] == ["urn:g/3"]

@@ -218,6 +218,15 @@ class DataLayer:
             nodes = nodes.where(F.col("gid") > from_gid)
         return nodes.orderBy("gid").limit(limit)
 
+    def get_entities(self, gids: list[str]) -> DataFrame:
+        """Point lookup by gid. With durable storage this reads only the
+        data files whose footer min/max range admits one of the keys
+        (``storage.lookup_nodes`` — the gid-index analog, neo4j.go:21);
+        in-memory mode filters the snapshot."""
+        if self._storage is not None:
+            return self._storage.lookup_nodes(self.spark, gids)
+        return self._store.nodes.where(F.col("gid").isin(gids))
+
     def changes(self, since: int = 0) -> tuple[DataFrame, int]:
         """Change-data feed between snapshot versions (S8 — the
         reference answers LayerNotSupported; with versioned storage this

@@ -145,3 +145,18 @@ def test_unclustered_commit_still_has_manifest(spark, tmp_path):
     assert pruned is not None
     out = storage.lookup_nodes(spark, ["urn:g/3"]).collect()
     assert [r.gid for r in out] == ["urn:g/3"]
+
+
+def test_get_entities_point_lookup_both_modes(spark, tmp_path):
+    """DataLayer.get_entities: storage-backed path uses manifest file
+    skipping; in-memory path filters the snapshot. Same results."""
+    for root in (str(tmp_path / "store"), None):
+        layer = DataLayer(spark, CONFIG, storage_root=root)
+        _write(layer, [
+            {"id": f"{NS}/a", "props": {"k": "1"}, "refs": {}},
+            {"id": f"{NS}/b", "props": {"k": "2"}, "refs": {}},
+            {"id": f"{NS}/c", "props": {"k": "3"}, "refs": {}},
+        ])
+        out = layer.get_entities([f"{NS}/a", f"{NS}/c", f"{NS}/nope"])
+        got = sorted((r.gid, r.props["k"]) for r in out.collect())
+        assert got == [(f"{NS}/a", "1"), (f"{NS}/c", "3")], (root, got)

@@ -147,6 +147,18 @@ class IsNull:
 
 
 @dataclass
+class StrPred:
+    """STARTS WITH / ENDS WITH / CONTAINS / =~ / IN predicates (engine
+    extension beyond the reference's dozen clauses, SURVEY §2-R note).
+    All translate to pushdown-friendly builtins (startswith / endswith /
+    contains / rlike / isin)."""
+
+    op: str  # starts_with | ends_with | contains | regex | in
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
 class Agg:
     fn: str  # collect / count / sum / min / max / avg
     inner: "Expr | None"  # None => count(*)
@@ -208,7 +220,7 @@ _KEYWORDS = {
     "match", "optional", "where", "return", "order", "by", "skip", "limit",
     "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
     "asc", "ascending", "desc", "descending", "collect", "count", "sum",
-    "min", "max", "avg",
+    "min", "max", "avg", "starts", "ends", "contains", "in",
     # write-statement clauses (plans.cypher_write)
     "unwind", "with", "merge", "set", "delete", "detach",
 }
@@ -461,6 +473,19 @@ class Parser:
         if t and t.kind == "sym" and t.text in ("=", "<>", "<", "<=", ">", ">="):
             op = self.take().text
             return Cmp(op, left, self.parse_primary())
+        if t and t.kind == "sym" and t.text == "=~":
+            self.take()
+            return StrPred("regex", left, self.parse_primary())
+        if self.at_kw("starts") or self.at_kw("ends"):
+            kw = self.take().value
+            self.expect_kw("with")
+            return StrPred(f"{kw}_with", left, self.parse_primary())
+        if self.at_kw("contains"):
+            self.take()
+            return StrPred("contains", left, self.parse_primary())
+        if self.at_kw("in"):
+            self.take()
+            return StrPred("in", left, self.parse_primary())
         if self.at_kw("is"):
             self.take()
             negated = False
@@ -984,6 +1009,28 @@ class PlanState:
         if isinstance(e, IsNull):
             c = self.to_column(e.inner)
             return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, StrPred):
+            lc = self.to_column(e.left)
+            if e.op == "in":
+                if not (isinstance(e.right, Lit) and isinstance(e.right.value, list)):
+                    raise CypherError("IN requires a list literal")
+                vals = e.right.value
+                # honor the string-storage model like _prop_cmp: numeric
+                # list => numeric comparison via cast
+                if vals and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+                    return lc.cast("double").isin([float(v) for v in vals])
+                return lc.isin(vals)
+            if e.op == "regex":
+                if not (isinstance(e.right, Lit) and isinstance(e.right.value, str)):
+                    raise CypherError("=~ requires a string literal pattern")
+                # Cypher =~ matches the WHOLE string; rlike finds anywhere
+                return lc.rlike(f"^(?:{e.right.value})$")
+            rc = self.to_column(e.right)
+            return {
+                "starts_with": lc.startswith(rc),
+                "ends_with": lc.endswith(rc),
+                "contains": lc.contains(rc),
+            }[e.op]
         if isinstance(e, Cmp):
             if isinstance(e.right, Lit):
                 return _prop_cmp(self.to_column(e.left), e.op, e.right.value)

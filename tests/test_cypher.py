@@ -316,3 +316,44 @@ def test_functions_in_where_and_aggregate(store):
 def test_unknown_function_rejected(store):
     with pytest.raises(CypherError):
         run_cypher(store, "MATCH (n:Person) RETURN frobnicate(n.name) AS x")
+
+
+def test_string_predicates(store):
+    """STARTS WITH / ENDS WITH / CONTAINS / =~ (engine extension) map to
+    pushdown-friendly startswith/endswith/contains/rlike."""
+    q = "MATCH (n:Person) WHERE n.name {pred} RETURN n.name AS name ORDER BY name"
+    cases = [
+        ("STARTS WITH 'br'", ["brian"]),
+        ("ENDS WITH 'e'", ["joe", "zoe"]),
+        ("CONTAINS 'o'", ["joe", "zoe"]),
+        ("=~ '[bj].*'", ["brian", "joe"]),
+        # =~ is a WHOLE-string match: 'o.*' must not hit joe/zoe mid-string
+        ("=~ 'o.*'", []),
+        ("=~ '.*o.*'", ["joe", "zoe"]),
+        ("STARTS WITH 'x'", []),
+    ]
+    for pred, want in cases:
+        out = rows(run_cypher(store, q.format(pred=pred)))
+        assert [r["name"] for r in out] == want, pred
+
+
+def test_in_list_predicate(store):
+    # string list
+    out = rows(run_cypher(
+        store, "MATCH (n:Person) WHERE n.name IN ['ann', 'zoe', 'nope'] "
+        "RETURN n.name AS name ORDER BY name"))
+    assert [r["name"] for r in out] == ["ann", "zoe"]
+    # numeric list: props are stored as strings; IN must compare numerically
+    out = rows(run_cypher(
+        store, "MATCH (n:Person) WHERE n.age IN [23, 19] RETURN n.name AS name ORDER BY name"))
+    assert [r["name"] for r in out] == ["brian", "zoe"]
+    # NOT composes
+    out = rows(run_cypher(
+        store, "MATCH (n:Person) WHERE NOT n.name IN ['ann', 'joe', 'brian', 'zoe'] "
+        "RETURN n.name AS name"))
+    assert out == []
+
+
+def test_in_requires_list_literal(store):
+    with pytest.raises(CypherError):
+        run_cypher(store, "MATCH (n:Person) WHERE n.name IN 'ann' RETURN n.name AS name")

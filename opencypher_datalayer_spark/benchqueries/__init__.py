@@ -15,6 +15,8 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass(frozen=True)
@@ -22,6 +24,35 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => not SQL-expressible; driver does rows-only check
     description: str = ""
+
+
+def driver_safe_output(df: DataFrame) -> DataFrame:
+    """Cast DECIMAL output columns to double for the driver's canonicalizer.
+
+    The driver compares results through pandas, where DuckDB ``.df()``
+    degrades DECIMAL to float64 while Spark ``toPandas()`` keeps exact
+    ``Decimal`` objects — identical values hash differently. Queries keep
+    exact decimal arithmetic *internally* (order-independent accumulation);
+    only the final projection converts, one IEEE rounding of an exact value
+    on both sides (each oracle mirrors it with ``CAST(... AS DOUBLE)``).
+    Applied after any ORDER BY/LIMIT, so top-k selection still ties-breaks
+    on the exact decimal.
+    """
+    dec_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)}
+    if not dec_cols:
+        return df
+    return df.select(
+        *[F.col(c).cast("double").alias(c) if c in dec_cols else F.col(c) for c in df.columns]
+    )
+
+
+def _driver_safe(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return driver_safe_output(fn(spark, sf_dir))
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -52,5 +83,5 @@ def all_queries() -> dict[str, QueryDef]:
         for name, qd in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name!r}")
-            registry[name] = qd
+            registry[name] = QueryDef(_driver_safe(qd.fn), qd.oracle, qd.description)
     return registry

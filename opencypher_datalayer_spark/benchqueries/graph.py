@@ -43,20 +43,23 @@ ORDER BY gid
 
 def g_expand_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH (c:Customer) OPTIONAL MATCH (c)-[:in_nation]->(m)
-    RETURN c.gid, COLLECT(m.gid) — collected list sorted for determinism."""
+    RETURN c.gid, COLLECT(m.gid) — collected list sorted for determinism
+    and JSON-serialized (the driver's pandas canonicalizer cannot hash
+    raw list cells)."""
     store = graph_from_tables(spark, sf_dir)
     n = match_nodes(store, label="Customer")
     return (
         expand(store, n, rel_type="in_nation", optional=True)
         .groupBy("gid")
-        .agg(F.array_sort(F.collect_list("m_gid")).alias("targets"))
-        .select("gid", F.col("targets"), F.size("targets").alias("n_targets"))
+        .agg(F.array_sort(F.collect_list("m_gid")).alias("t"))
+        .select("gid", F.to_json("t").alias("targets"), F.size("t").alias("n_targets"))
         .orderBy("gid")
     )
 
 
 G_EXPAND_COLLECT_SQL = f"""
-SELECT gid, list_sort(list(target)) AS targets, COUNT(target) AS n_targets
+SELECT gid, CAST(to_json(list_sort(list(target))) AS VARCHAR) AS targets,
+       COUNT(target) AS n_targets
 FROM (
   SELECT '{NS}/customer/' || CAST(c_custkey AS VARCHAR) AS gid,
          '{NS}/nation/' || CAST(c_nationkey AS VARCHAR) AS target
@@ -327,15 +330,19 @@ def cy_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cy_expand_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+R2+R3 via the Cypher front-end: OPTIONAL MATCH + COLLECT +
-    count with implicit grouping."""
+    count with implicit grouping. The collected list is JSON-serialized
+    after the Cypher plan so the driver's canonicalizer can hash it."""
     from opencypher_datalayer_spark.plans import run_cypher
 
     store = graph_from_tables(spark, sf_dir)
-    return run_cypher(
+    df = run_cypher(
         store,
         "MATCH (c:Customer) OPTIONAL MATCH (c)-[r:in_nation]->(m) "
         "RETURN c.gid AS gid, collect(m.gid) AS targets, count(r) AS n_targets "
         "ORDER BY gid",
+    )
+    return df.select(
+        "gid", F.to_json(F.array_sort("targets")).alias("targets"), "n_targets"
     )
 
 

@@ -109,7 +109,12 @@ def _pagerank_oracle_sql(n_iter: int) -> str:
     FROM ed e JOIN r{i - 1} r ON e.u = r.id
     GROUP BY e.v) c ON v.id = c.id)"""
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{n_iter} ORDER BY id"
+    # CAST: DuckDB's SUM(BIGINT)+// chain yields HUGEINT, which pandas
+    # degrades to float64 in the driver's canonicalizer; Spark keeps int64.
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank FROM r{n_iter} ORDER BY id"
+    )
 
 
 G_PAGERANK_SQL = _pagerank_oracle_sql(PR_ITER)

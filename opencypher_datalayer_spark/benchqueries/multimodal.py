@@ -141,7 +141,7 @@ WITH meta AS (
          CAST(('0x' || substr(hex(encode(text)), 1, 2))::BIGINT AS INT) AS b0,
          CAST(('0x' || substr(hex(encode(text)), 3, 2))::BIGINT AS INT) AS b1
   FROM documents)
-SELECT b0 % 4 AS fmt_code, COUNT(*) AS n_blobs, SUM(n_bytes) AS total_bytes,
+SELECT b0 % 4 AS fmt_code, COUNT(*) AS n_blobs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(16 + (b0 % 64)) AS min_width, MAX(16 + (b1 % 64)) AS max_height
 FROM meta
 GROUP BY 1

@@ -58,10 +58,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
@@ -90,17 +90,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q3_SQL = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-01-15 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-01-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+) t
 """
 
 
@@ -131,7 +134,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -165,7 +168,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -239,7 +242,8 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_TOP_CUSTOMERS_SQL = """
-SELECT n_name, c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, rk
+SELECT n_name, c_custkey, c_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, rk
 FROM (
   SELECT c_nationkey, c_custkey, c_name, c_acctbal,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
@@ -271,9 +275,9 @@ def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 WHERE o_custkey % 100 = 0
 ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -296,7 +300,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -358,8 +362,8 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PIVOT_SQL = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS qty_open,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS qty_fulfilled,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_fulfilled,
        COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
        COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_fulfilled
 FROM lineitem
@@ -422,7 +426,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DATE_SQL = """
 SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mo,
-       COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY 1, 2
 ORDER BY yr, mo

@@ -43,18 +43,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, n_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, n_name, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+) t
 """
 
 
@@ -150,7 +153,7 @@ WITH rev AS (
     AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 ORDER BY s_suppkey
@@ -215,15 +218,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, total_qty
-FROM orders
-JOIN (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
-) big ON o_orderkey = big.l_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY totalprice DESC, o_orderkey
-LIMIT 100
+       CAST(totalprice AS DOUBLE) AS totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, total_qty
+  FROM orders
+  JOIN (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+  ) big ON o_orderkey = big.l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  ORDER BY totalprice DESC, o_orderkey
+  LIMIT 100
+) t
 """
 
 
@@ -258,7 +265,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = """
-SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
@@ -355,7 +362,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = """
 SELECT c_custkey % 10 AS code, COUNT(*) AS numcust,
-       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -393,7 +400,7 @@ WITH per_supp AS (
          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS supp_value
   FROM lineitem GROUP BY l_suppkey
 )
-SELECT l_suppkey, supp_value
+SELECT l_suppkey, CAST(supp_value AS DOUBLE) AS supp_value
 FROM per_supp
 WHERE CAST(supp_value AS DOUBLE) > 0.0015 * (
   SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
@@ -434,7 +441,7 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q2_SQL = """
-SELECT l_partkey, p_name, s_name, unit_price
+SELECT l_partkey, p_name, s_name, CAST(unit_price AS DOUBLE) AS unit_price
 FROM (
   SELECT l_partkey, p_name, l_suppkey,
          CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) AS unit_price,
@@ -570,13 +577,13 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_WINDOW_NAV_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-       LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1)
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-       LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1)
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
-       FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2)))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+       CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price,
+       CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS first_price,
        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
 FROM orders
 WHERE o_custkey % 50 = 0
@@ -601,7 +608,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST

@@ -37,7 +37,7 @@ def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
-       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -64,7 +64,7 @@ WITH expanded AS (
          value
   FROM events, (SELECT unnest([0,1,2,3]) AS k)
   WHERE event_type = 'purchase')
-SELECT window_start, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+SELECT window_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM expanded
 GROUP BY window_start
 ORDER BY window_start
@@ -118,9 +118,9 @@ sessions AS (
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM gapped)
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+       COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
@@ -174,7 +174,7 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_ASOF_SQL = """
 SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-       CAST(p.value AS DECIMAL(18,6)) AS purchase_value,
+       CAST(CAST(p.value AS DECIMAL(18,6)) AS DOUBLE) AS purchase_value,
        c.ts AS last_click_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
@@ -252,7 +252,7 @@ SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, k_bucket

@@ -256,8 +256,8 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_CORPUS_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
-       SUM(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
        MIN(length(text)) AS min_chars,
        MAX(length(text)) AS max_chars
 FROM documents

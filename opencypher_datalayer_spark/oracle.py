@@ -70,6 +70,25 @@ class CompareResult:
         return msg
 
 
+def _pandas_rows(pdf) -> list[str]:
+    """Canonicalize a pandas frame the way the driver does.
+
+    The driver converts both engines' results to pandas (Spark
+    ``toPandas()`` vs DuckDB ``.df()``), sorts columns by name, sorts rows
+    by all columns, and hashes cell values. That path is TYPE-sensitive:
+    a ``Decimal`` cell and the float64 DuckDB degrades it to hash
+    differently even when equal, and list cells crash ``sort_values``.
+    Reproducing it here catches those hazards before the driver runs.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    pdf.sort_values(by=cols)  # raises TypeError on unhashable cells, like the driver
+    return sorted(
+        "|".join(f"{type(v).__name__}:{v!r}" for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    )
+
+
 def compare(
     name: str,
     spark_df: DataFrame,
@@ -112,6 +131,25 @@ def compare(
                     break
         if not res.problems:
             res.problems.append("row multiset mismatch (length)")
+
+    # driver-faithful pandas path (catches Decimal/HUGEINT/list hazards
+    # that the type-faithful comparison above cannot see)
+    try:
+        sp_rows = _pandas_rows(spark_df.toPandas())
+        dp_rows = _pandas_rows(con.sql(oracle_sql).df())
+    except TypeError as e:
+        res.ok = False
+        res.problems.append(f"pandas canonicalization crash (driver 'err'): {e}")
+        return res
+    if sp_rows != dp_rows:
+        res.ok = False
+        for a, b in zip(sp_rows, dp_rows):
+            if a != b:
+                res.problems.append(f"pandas-path spark  {a[:220]}")
+                res.problems.append(f"pandas-path oracle {b[:220]}")
+                break
+        else:
+            res.problems.append("pandas-path row multiset mismatch (length)")
     return res
 
 

@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship graph pipeline at sf0.001;
-``queries()`` / ``oracle_sql()`` expose the full operator registry
-(``opencypher_datalayer_spark.benchqueries``): 76 queries spanning
+``queries()`` / ``oracle_sql()`` expose the primary operator registry
+(``opencypher_datalayer_spark.benchqueries``): 50 queries — one per
+operator family, interleaved across families — spanning
 relational/TPC-H shapes, the graph read+write Cypher surface
 (including variable-length paths, WITH stages, UNWIND, and the write
 templates end-to-end), graph analytics (triangles, fixed-point
@@ -10,10 +11,13 @@ PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
 connected-components clustering), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. Every SQL-expressible operator (74 of 76) carries a DuckDB
-oracle with identical column names and exact (decimal / portable-hash
-/ integer-fixed-point) value semantics; the two pandas-UDF pipelines
-register without oracles for the driver's rows-only check.
+plumbing. A further 26 shape-twin queries (same operator family as a
+primary entry — see ``benchqueries.EXTENDED``) stay oracle-checked
+locally via ``scripts/selfcheck.py``. Every SQL-expressible operator
+(48 of 50 here) carries a DuckDB oracle with identical column names
+and driver-canonical output types (no raw DECIMAL/HUGEINT/array in
+final projections); the two pandas-UDF pipelines register without
+oracles for the driver's rows-only check.
 """
 
 from __future__ import annotations

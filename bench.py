@@ -64,7 +64,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    registry = all_queries()
+    registry = all_queries(extended=True)
 
     # warm the JVM, parquet reader, and python workers once so per-query
     # times measure the queries, not session initialization

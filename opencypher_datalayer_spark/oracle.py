@@ -160,7 +160,7 @@ def run_all(
 
     con = duck_connection(sf_dir)
     results = []
-    for name, qd in all_queries().items():
+    for name, qd in all_queries(extended=True).items():
         if only and name not in only:
             continue
         try:

@@ -622,34 +622,35 @@ class PlanState:
     # -- pattern planning --
 
     def add_match(self, clause: MatchClause) -> None:
+        if clause.optional and clause.where is not None and self.df is not None:
+            # Cypher: the WHERE of an OPTIONAL MATCH is part of the match —
+            # a left row whose pattern matches but fails the predicate is
+            # null-extended, never dropped. Express it as an extra join
+            # condition on the left-outer attach (the predicate may
+            # reference both plan-bound and unit-bound variables; column
+            # resolution is by name, unique on both sides).
+            if len(clause.paths) != 1:
+                raise CypherError("OPTIONAL MATCH with WHERE supports a single path")
+            unit, unit_vars, pending = self._build_unit(clause.paths[0])
+            extra = self.to_condition(clause.where)
+            self._attach_unit(unit, unit_vars, pending, optional=True, extra_cond=extra)
+            return
         for path in clause.paths:
             self._add_path(path, optional=clause.optional)
         if clause.where is not None:
-            cond = self.to_condition(clause.where)
-            if clause.optional:
-                # Cypher: an OPTIONAL MATCH WHERE failing leaves nulls
-                # rather than dropping rows for the vars of that clause —
-                # approximation: treat as post-filter allowing null rows.
-                new_vars = self._clause_vars(clause)
-                null_ok = None
-                for v in new_vars:
-                    c = F.col(f"{v}__gid").isNull()
-                    null_ok = c if null_ok is None else (null_ok & c)
-                self.df = self.df.where(cond | null_ok if null_ok is not None else cond)
-            else:
-                self.df = self.df.where(cond)
-
-    def _clause_vars(self, clause: MatchClause) -> list[str]:
-        out = []
-        for p in clause.paths:
-            for n in p.nodes:
-                if n.var:
-                    out.append(n.var)
-        return out
+            # inner MATCH — post-filter; also the documented approximation
+            # for a leading OPTIONAL MATCH (no rows to null-extend yet)
+            self.df = self.df.where(self.to_condition(clause.where))
 
     def _add_path(self, path: PathPat, optional: bool) -> None:
-        """Build the path as a self-contained unit (node-edge-node joins),
-        then attach it to the running plan — inner join for MATCH,
+        unit, unit_vars, pending = self._build_unit(path)
+        self._attach_unit(unit, unit_vars, pending, optional)
+
+    def _build_unit(
+        self, path: PathPat
+    ) -> tuple[DataFrame, set[str], list[tuple[str, str]]]:
+        """Build the path as a self-contained unit (node-edge-node joins)
+        to be attached to the running plan — inner join for MATCH,
         left-outer for OPTIONAL MATCH.
 
         A path may reference variables already bound in the plan; those
@@ -738,13 +739,23 @@ class PlanState:
 
         if unit is None:
             raise CypherError("pattern binds no new variables")
+        return unit, unit_vars, pending
+
+    def _attach_unit(
+        self,
+        unit: DataFrame,
+        unit_vars: set[str],
+        pending: list[tuple[str, str]],
+        optional: bool,
+        extra_cond: Column | None = None,
+    ) -> None:
         if self.df is None:
             if pending:
                 raise CypherError("pattern references unbound variables")
             self.df = unit
             return
 
-        join_cond = None
+        join_cond = extra_cond
         for col, var in pending:
             c = F.col(f"{var}__gid") == F.col(col)
             join_cond = c if join_cond is None else (join_cond & c)
@@ -780,7 +791,15 @@ class PlanState:
             F.col("src").alias("_s"), F.col("dst").alias("_d"), F.array(key).alias("_es")
         )
         hops: list[DataFrame] = []
-        if epat.vl_min <= 1:
+        if epat.vl_min == 0:
+            # zero-hop path: every node reaches itself (Cypher *0..k);
+            # label/prop filters on the endpoints still apply at attach
+            hops.append(
+                self.store.nodes.select(
+                    F.col("gid").alias("_s"), F.col("gid").alias("_d"), F.lit(0).alias("_h")
+                )
+            )
+        if epat.vl_min <= 1 <= epat.vl_max:
             hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h")))
         for h in range(2, epat.vl_max + 1):
             frontier = (

@@ -13,16 +13,51 @@ as a normal distributed scan + the store's merge path.
 ``_seq`` (the within-batch arrival order that makes a repeated gid
 resolve to its LAST occurrence) is file position: JSONL rows and CSV
 rows are ordered within a file; across files the (file, offset) pair
-is still a total order. We use ``monotonically_increasing_id`` over
-the (deterministically file-ordered) scan, which preserves exactly
-that order.
+is still a total order. A bare ``monotonically_increasing_id`` does
+NOT preserve it — Spark packs input splits into partitions
+largest-first, so partition indices don't follow file/row order.
+``_with_arrival_seq`` instead derives ``_seq`` from deterministic
+inputs: ``_metadata.file_path`` + ``_metadata.file_block_start``
+identify the split (disjoint in-order byte ranges of each file), a
+partition-local window numbers rows inside the split, and per-split
+counts (metadata-scale: one row per input split, same cardinality as
+Spark's own file listing) prefix-sum into global bases on the driver.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _with_arrival_seq(raw: DataFrame, cols: list[Column]) -> DataFrame:
+    """Project ``cols`` from a file-source scan plus an exact ``_seq``
+    in (file path, byte offset) order — the distributed zipWithIndex:
+    count rows per input split, prefix-sum split bases driver-side,
+    then base + in-split row number (a partition-local window; rows of
+    one split are contiguous in one task, so ``monotonically_
+    increasing_id`` orders correctly *within* it)."""
+    tagged = raw.select(
+        *cols,
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_block"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    splits = tagged.groupBy("_file", "_block").count().collect()
+    bases, total = [], 0
+    for r in sorted(splits, key=lambda r: (r["_file"], r["_block"])):
+        bases.append((r["_file"], r["_block"], total))
+        total += r["count"]
+    base_df = raw.sparkSession.createDataFrame(
+        bases, "_file string, _block bigint, _base bigint"
+    )
+    w = Window.partitionBy("_file", "_block").orderBy("_mid")
+    return (
+        tagged.join(F.broadcast(base_df), ["_file", "_block"])
+        .withColumn("_seq", (F.col("_base") + F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_file", "_block", "_mid", "_base")
+    )
 
 # JSONL contract: {"id": str, "props": {str: scalar}, "refs": {str: [str]},
 # "deleted": bool}; refs values MUST be arrays in the file form (the
@@ -41,12 +76,14 @@ _JSONL_SCHEMA = T.StructType(
 def entities_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Read a JSON-lines entity dump into the envelope schema."""
     raw = spark.read.schema(_JSONL_SCHEMA).json(path)
-    return raw.select(
-        "id",
-        F.coalesce("props", F.create_map().cast("map<string,string>")).alias("props"),
-        F.coalesce("refs", F.create_map().cast("map<string,array<string>>")).alias("refs"),
-        F.coalesce("deleted", F.lit(False)).alias("deleted"),
-        F.monotonically_increasing_id().alias("_seq"),
+    return _with_arrival_seq(
+        raw,
+        [
+            F.col("id"),
+            F.coalesce("props", F.create_map().cast("map<string,string>")).alias("props"),
+            F.coalesce("refs", F.create_map().cast("map<string,array<string>>")).alias("refs"),
+            F.coalesce("deleted", F.lit(False)).alias("deleted"),
+        ],
     )
 
 
@@ -84,10 +121,12 @@ def entities_from_csv(
         ),
         lambda k, v: v.isNotNull(),
     )
-    return raw.select(
-        F.col(id_col).alias("id"),
-        props.alias("props"),
-        refs.alias("refs"),
-        F.lit(False).alias("deleted"),
-        F.monotonically_increasing_id().alias("_seq"),
+    return _with_arrival_seq(
+        raw,
+        [
+            F.col(id_col).alias("id"),
+            props.alias("props"),
+            refs.alias("refs"),
+            F.lit(False).alias("deleted"),
+        ],
     )

@@ -160,9 +160,16 @@ class GraphStore:
 
 
 def _dedup_keep_last(batch: DataFrame) -> DataFrame:
-    """A gid repeated within one batch resolves to its last occurrence
-    (UNWIND processes items in order; MERGE..SET overwrites)."""
-    w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+    """A gid repeated within one batch resolves to its last LIVE
+    occurrence; a tombstone only wins when every occurrence is one.
+
+    This mirrors the reference's transaction order (``neo4j.go:243-279``):
+    C1 deletes run before C2 upserts in the same txn, so a gid that is
+    both tombstoned and upserted in one batch always ends up live — a
+    trailing tombstone does NOT delete it. Ordering by (live first,
+    then _seq desc) reproduces that in one window pass.
+    """
+    w = Window.partitionBy("id").orderBy(F.col("deleted").asc(), F.col("_seq").desc())
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -4,10 +4,10 @@ metadata, with decode/feature-extraction as Arrow-batched pandas UDFs.
 The container has no image/audio codecs, so the *decode* step is a
 deterministic fake (clearly marked), but the Spark-side plumbing —
 binary columns, schema, ``mapInPandas`` batch iteration, partitioning —
-is real and tested. ``mm_binary_meta`` (pure column ops on the blob)
-carries a full DuckDB oracle; the pandas-UDF pipeline is the
-non-SQL-expressible case and registers without one (driver does the
-rows-only check).
+is real and tested. Every entry carries a full DuckDB oracle: the
+"decode" is deterministic byte arithmetic, so the oracle reproduces it
+exactly with hex-sliced byte lists (``list_transform`` + ``list_avg``)
+— only the *body* of the pandas UDF is a codec stand-in.
 """
 
 from __future__ import annotations
@@ -149,6 +149,27 @@ ORDER BY fmt_code
 """
 
 
+MM_DECODE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT AS b0,
+         ('0x' || substr(hex(encode(text)), 3, 2))::BIGINT AS b1,
+         list_avg(list_transform(range(1, octet_length(encode(text)) + 1),
+                  i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT)) AS mean_byte
+  FROM documents)
+SELECT CAST(3 AS INT) AS channels,
+       COUNT(*) AS n_images,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(16 + (b0 % 64)) AS INT) AS min_width,
+       CAST(MAX(16 + (b1 % 64)) AS INT) AS max_height,
+       ROUND(AVG(mean_byte), 4) AS avg_mean_byte
+FROM b
+GROUP BY 1
+ORDER BY channels
+"""
+
+
 # -- frame sampling: 1 blob -> N frame rows via mapInPandas -------------
 
 FRAME_BYTES = 64
@@ -189,15 +210,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_FRAME_SAMPLE_SQL = f"""
+WITH bytes AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         list_transform(range(1, octet_length(encode(text)) + 1),
+                        i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT) AS bl
+  FROM documents),
+frames AS (
+  SELECT doc_id, unnest(range(0, n_bytes // {FRAME_BYTES}, {FRAME_STRIDE})) AS fidx, bl
+  FROM bytes),
+fm AS (
+  SELECT CAST(fidx AS INT) AS frame_idx,
+         list_avg(bl[fidx*{FRAME_BYTES}+1 : fidx*{FRAME_BYTES}+{FRAME_BYTES}]) AS frame_mean
+  FROM frames)
+SELECT frame_idx, COUNT(*) AS n_frames, ROUND(AVG(frame_mean), 4) AS avg_frame_mean
+FROM fm
+GROUP BY 1
+ORDER BY frame_idx
+"""
+
+
 QUERIES = {
     "mm_binary_meta": QueryDef(mm_binary_meta, MM_BINARY_META_SQL, "blob metadata, pure columns"),
     "mm_typed_metadata": QueryDef(
         mm_typed_metadata, MM_TYPED_META_SQL, "typed header sniffing + agg"
     ),
     "mm_decode_features": QueryDef(
-        mm_decode_features, None, "mapInPandas fake-decode pipeline (rows-only check)"
+        mm_decode_features,
+        MM_DECODE_FEATURES_SQL,
+        "mapInPandas fake-decode pipeline (byte-math oracle)",
     ),
     "mm_frame_sample": QueryDef(
-        mm_frame_sample, None, "mapInPandas frame-sampling fan-out (rows-only check)"
+        mm_frame_sample,
+        MM_FRAME_SAMPLE_SQL,
+        "mapInPandas frame-sampling fan-out (byte-math oracle)",
     ),
 }

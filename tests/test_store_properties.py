@@ -50,8 +50,16 @@ class Model:
         self.edges: set[tuple] = set()  # (src, rel, dst, source)
 
     def apply_batch(self, batch: list[dict], label: str, source: str) -> None:
+        # Per gid: the last LIVE occurrence wins; a tombstone wins only
+        # when every occurrence of that gid is a tombstone. Mirrors the
+        # reference's transaction order (neo4j.go:243-279): C1 deletes
+        # run before C2 upserts in the same txn, so an upsert anywhere
+        # in the batch outlives a trailing tombstone.
         last: dict[str, dict] = {}
-        for e in batch:  # last occurrence of a gid wins (UNWIND order)
+        for e in batch:
+            prev = last.get(e["id"])
+            if prev is not None and not prev["deleted"] and e["deleted"]:
+                continue  # live occurrence beats a later tombstone
             last[e["id"]] = e
         deletes = [e for e in last.values() if e["deleted"]]
         live = [e for e in last.values() if not e["deleted"]]

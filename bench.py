@@ -4,6 +4,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Each query is timed to completion of an action that materializes every
 result row (count on the final plan). Times include Catalyst planning —
 that is the real per-query cost a user sees.
+
+Each query runs REPEATS times and the MINIMUM is reported: single-shot
+timings on a busy local[32] swing ±2× (round-2 saw g_triangle_count move
++104% with zero code change), which makes real regressions undetectable.
+The min over 3 runs is the standard low-noise estimator of the query's
+actual cost; the total is the sum of per-query mins.
 """
 
 from __future__ import annotations
@@ -71,12 +77,18 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         qd = registry[name]
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +100,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "repeats": repeats,
+                "runs": all_runs,
             }
         )
     )

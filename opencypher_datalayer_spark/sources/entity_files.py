@@ -43,7 +43,14 @@ def _with_arrival_seq(raw: DataFrame, cols: list[Column]) -> DataFrame:
         F.col("_metadata.file_path").alias("_file"),
         F.col("_metadata.file_block_start").alias("_block"),
         F.monotonically_increasing_id().alias("_mid"),
-    )
+    ).persist()
+    # The counting job below materializes the cache, so the input files
+    # are scanned exactly ONCE; the numbering join then reads the cached
+    # partitions. Caching is also what makes the (_file, _block, _mid)
+    # keys sound: split sizing and partition packing are decided at
+    # materialization, so the counting and numbering jobs can never see
+    # different split boundaries (re-planning the scan twice could, if
+    # effective parallelism changed between the jobs).
     splits = tagged.groupBy("_file", "_block").count().collect()
     bases, total = [], 0
     for r in sorted(splits, key=lambda r: (r["_file"], r["_block"])):
@@ -53,11 +60,13 @@ def _with_arrival_seq(raw: DataFrame, cols: list[Column]) -> DataFrame:
         bases, "_file string, _block bigint, _base bigint"
     )
     w = Window.partitionBy("_file", "_block").orderBy("_mid")
-    return (
+    out = (
         tagged.join(F.broadcast(base_df), ["_file", "_block"])
         .withColumn("_seq", (F.col("_base") + F.row_number().over(w) - F.lit(1)).cast("long"))
         .drop("_file", "_block", "_mid", "_base")
-    )
+    ).localCheckpoint()  # pin the sequenced batch, then free the intermediate
+    tagged.unpersist()
+    return out
 
 # JSONL contract: {"id": str, "props": {str: scalar}, "refs": {str: [str]},
 # "deleted": bool}; refs values MUST be arrays in the file form (the

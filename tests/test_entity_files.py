@@ -49,3 +49,25 @@ def test_csv_reference_fixture_shape(spark, tmp_path):
     assert f"{NS}/c/mimiro" in nodes  # stub created
     edges = {(r["src"], r["rel_type"], r["dst"]) for r in store.edges.collect()}
     assert edges == {(f"{NS}/p/1", "worksfor", f"{NS}/c/mimiro")}
+
+
+def test_single_input_scan(spark, tmp_path):
+    """The sequenced batch must be pinned (localCheckpoint) so the input
+    files are scanned exactly once: the counting job materializes the
+    cached tagged frame and every downstream consumer reads memory, never
+    the source. A re-planned second scan could also see different split
+    boundaries, silently breaking the (_file, _block) join keys."""
+    p = tmp_path / "ents.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps({"id": f"{NS}/p/{i}", "props": {}, "refs": {}})
+            for i in range(10)
+        )
+    )
+    batch = entities_from_jsonl(spark, str(p))
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan  # reads the checkpoint, not the files
+    assert batch.count() == 10
+    assert [r["id"] for r in batch.orderBy("_seq").collect()] == [
+        f"{NS}/p/{i}" for i in range(10)
+    ]

@@ -180,8 +180,13 @@ class DataLayer:
         return self._store
 
     def _apply(self, batch: DataFrame, ds: DatasetConfig) -> None:
-        new = self._store.apply_batch(batch, ds.label, ds.name)
-        self._commit(new)
+        if self._storage is not None:
+            # pruned MERGE: rewrite only the files whose gid range the
+            # batch touches; untouched files carry forward as links
+            self._storage.merge_commit(self.spark, batch, ds.label, ds.name)
+            self._store = self._storage.load(self.spark)
+        else:
+            self._store = self._store.apply_batch(batch, ds.label, ds.name).checkpointed()
 
     def _wipe(self, ds: DatasetConfig) -> None:
         self._commit(self._store.delete_all(ds.label, ds.name))

@@ -45,21 +45,24 @@ _MANIFEST = "MANIFEST.json"
 
 # Key column used for file-skipping stats per table (the reference's only
 # index is on ``gid`` — ``neo4j.go:21``; edges are looked up by src gid in
-# the edge-clear / expand paths).
+# the edge-clear / expand paths). Edges additionally record ``dst`` stats
+# so tombstone DETACH (which removes edges incident in EITHER direction)
+# can prune too.
 _STATS_KEY = {"nodes": "gid", "edges": "src"}
+_EXTRA_STATS = {"edges": ["dst"]}
 
 
-def _file_key_stats(path: str, key: str) -> tuple[str | None, str | None, int]:
-    """Min/max of ``key`` across a parquet file's row groups, from the
-    footer only (no data pages read — driver-side, O(files) not O(rows))."""
+def _file_key_stats(path: str, keys: list[str]) -> tuple[dict[str, tuple], int]:
+    """Min/max of each ``keys`` column across a parquet file's row groups,
+    from the footer only (no data pages read — driver-side, O(files) not
+    O(rows)). Returns {key: (min, max)} and the row count."""
     md = pq.ParquetFile(path).metadata
-    mn: str | None = None
-    mx: str | None = None
+    stats: dict[str, tuple] = {k: (None, None) for k in keys}
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         for c in range(rg.num_columns):
             col = rg.column(c)
-            if col.path_in_schema != key:
+            if col.path_in_schema not in stats:
                 continue
             s = col.statistics
             if s is None or not s.has_min_max:
@@ -69,9 +72,12 @@ def _file_key_stats(path: str, key: str) -> tuple[str | None, str | None, int]:
                 lo = lo.decode("utf-8", "replace")
             if isinstance(hi, bytes):
                 hi = hi.decode("utf-8", "replace")
-            mn = lo if mn is None else min(mn, lo)
-            mx = hi if mx is None else max(mx, hi)
-    return mn, mx, md.num_rows
+            mn, mx = stats[col.path_in_schema]
+            stats[col.path_in_schema] = (
+                lo if mn is None else min(mn, lo),
+                hi if mx is None else max(mx, hi),
+            )
+    return stats, md.num_rows
 
 
 def _prune(entries: list[dict], values: list[str]) -> list[dict]:
@@ -84,6 +90,33 @@ def _prune(entries: list[dict], values: list[str]) -> list[dict]:
                 kept.append(e)
             continue
         if any(e["min"] <= v <= e["max"] for v in values):
+            kept.append(e)
+    return kept
+
+
+def _prune_edge_files(
+    entries: list[dict], src_keys: list[str], dst_keys: list[str]
+) -> list[dict]:
+    """Edge files that may hold an edge affected by the batch: src range
+    admits a batch id (edge clear / detach / re-add) OR dst range admits a
+    tombstoned id (detach removes edges in either direction). Files
+    without stats for a needed side are kept — pruning must never skip a
+    file that could contain an affected row."""
+    kept = []
+    for e in entries:
+        if not e["rows"]:
+            continue
+        src_unknown = e["min"] is None or e["max"] is None
+        hit = src_unknown and bool(src_keys)
+        if not src_unknown and any(e["min"] <= k <= e["max"] for k in src_keys):
+            hit = True
+        if not hit and dst_keys:
+            dmn, dmx = e.get("dst_min"), e.get("dst_max")
+            if dmn is None or dmx is None:  # pre-dst-stats manifest
+                hit = True
+            elif any(dmn <= k <= dmx for k in dst_keys):
+                hit = True
+        if hit:
             kept.append(e)
     return kept
 
@@ -170,20 +203,22 @@ class ParquetGraphStorage:
     def _write_manifest(self, vdir: str) -> None:
         manifest: dict[str, list[dict]] = {}
         for table, key in _STATS_KEY.items():
+            keys = [key] + _EXTRA_STATS.get(table, [])
             entries = []
             tdir = os.path.join(vdir, table)
             for path in sorted(
                 glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True)
             ):
-                mn, mx, rows = _file_key_stats(path, key)
-                entries.append(
-                    {
-                        "path": os.path.relpath(path, vdir),
-                        "rows": rows,
-                        "min": mn,
-                        "max": mx,
-                    }
-                )
+                stats, rows = _file_key_stats(path, keys)
+                entry = {
+                    "path": os.path.relpath(path, vdir),
+                    "rows": rows,
+                    "min": stats[key][0],
+                    "max": stats[key][1],
+                }
+                for extra in _EXTRA_STATS.get(table, []):
+                    entry[f"{extra}_min"], entry[f"{extra}_max"] = stats[extra]
+                entries.append(entry)
             manifest[table] = entries
         with open(os.path.join(vdir, _MANIFEST), "w") as f:
             json.dump(manifest, f)
@@ -232,6 +267,117 @@ class ParquetGraphStorage:
             .select("gid", "label", "source", "props")
         )
         return df.where(F.col("gid").isin(gids))
+
+    # -- pruned MERGE commit (the write-side payoff of C6) --------------
+
+    # Above this many batch rows, collecting keys driver-side stops being
+    # metadata-scale; bulk loads take the full-commit path instead.
+    MERGE_MAX_BATCH_ROWS = 100_000
+
+    def merge_commit(
+        self, spark: SparkSession, batch: DataFrame, label: str, source: str
+    ) -> int:
+        """Apply one entity batch and commit, rewriting ONLY the data
+        files whose key range intersects the batch — everything else is
+        carried into the new version as a hard link (zero data movement).
+
+        This is the real payoff of the gid-range manifest at 100 TB: the
+        reference's per-batch transaction touches the few Neo4j pages its
+        gid index points at (``neo4j.go:21``); a commit that rewrites the
+        whole table would be the equivalent of a full reindex per batch.
+        Here the batch's key set selects the files to rewrite:
+
+        - nodes: any file whose gid range admits a batch id (upsert or
+          tombstone) or a reference target (stub check) — pruning
+          soundness guarantees every existing row with an affected gid
+          is inside a selected file, so stub dedup against the subset is
+          exact;
+        - edges: any file whose src range admits a batch id (edge clear,
+          tombstone detach, new edges) or whose dst range admits a
+          tombstoned id (detach removes edges in either direction).
+
+        The selected subset is loaded as a miniature GraphStore and the
+        ordinary ``apply_batch`` runs on it — bit-identical semantics to
+        the full path, just restricted to the files that can change.
+        Repeated merges append small un-clustered files; a periodic
+        ``commit(store, cluster_buckets=N)`` is the compaction that
+        re-tightens the ranges (OPTIMIZE's role in a table format).
+
+        Falls back to a full commit when there is no manifest yet or the
+        batch is too large to key-collect driver-side.
+        """
+        v = self.current_version()
+        manifest = self._manifest(v)
+        if v == 0 or manifest is None:
+            return self.commit(self.load(spark).apply_batch(batch, label, source))
+        keys = batch.select(
+            "id", "deleted", F.flatten(F.map_values("refs")).alias("targets")
+        ).limit(self.MERGE_MAX_BATCH_ROWS + 1).collect()
+        if len(keys) > self.MERGE_MAX_BATCH_ROWS:
+            return self.commit(self.load(spark).apply_batch(batch, label, source))
+        dead = sorted({r["id"] for r in keys if r["deleted"]})
+        live = sorted({r["id"] for r in keys if not r["deleted"]})
+        targets = sorted(
+            {t for r in keys if not r["deleted"] for t in (r["targets"] or [])}
+        )
+        node_keys = sorted(set(live) | set(dead) | set(targets))
+        vdir = self._version_dir(v)
+
+        node_hit = {e["path"] for e in _prune(manifest["nodes"], node_keys)}
+        edge_hit = {
+            e["path"]
+            for e in _prune_edge_files(manifest["edges"], live + dead, dead)
+        }
+
+        sub = GraphStore(
+            self._read_files(spark, vdir, "nodes", sorted(node_hit)),
+            self._read_files(spark, vdir, "edges", sorted(edge_hit)),
+        )
+        merged = sub.apply_batch(batch, label, source)
+
+        new_v = v + 1
+        new_vdir = self._version_dir(new_v)
+        for table, hit in (("nodes", node_hit), ("edges", edge_hit)):
+            for e in manifest[table]:
+                if e["path"] in hit:
+                    continue
+                src_path = os.path.join(vdir, e["path"])
+                dst_path = os.path.join(new_vdir, e["path"])
+                os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+                try:
+                    os.link(src_path, dst_path)  # zero-copy carry-forward
+                except OSError:
+                    shutil.copy2(src_path, dst_path)  # cross-device fallback
+        merged.nodes.write.mode("append").partitionBy("label").parquet(
+            os.path.join(new_vdir, "nodes")
+        )
+        merged.edges.write.mode("append").partitionBy("rel_type").parquet(
+            os.path.join(new_vdir, "edges")
+        )
+        self._write_manifest(new_vdir)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(self.root, _CURRENT))
+        return new_v
+
+    def _read_files(
+        self, spark: SparkSession, vdir: str, table: str, rel_paths: list[str]
+    ) -> DataFrame:
+        schema = NODES_SCHEMA if table == "nodes" else EDGES_SCHEMA
+        cols = (
+            ["gid", "label", "source", "props"]
+            if table == "nodes"
+            else ["src", "rel_type", "dst", "source"]
+        )
+        if not rel_paths:
+            return spark.createDataFrame([], schema).select(*cols)
+        return (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(vdir, table))
+            .parquet(*[os.path.join(vdir, p) for p in rel_paths])
+            .select(*cols)
+        )
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop version directories older than the newest ``keep``."""

@@ -1,0 +1,146 @@
+"""End-to-end UDA HTTP service drive: sync the reference's canonical
+fixture (``layer_test.go:437-443``) over the wire — full-sync and
+incremental with the UDA batch headers — then read it back through the
+entities, changes, and query endpoints.
+
+The reference only implements the write half (reads answer
+LayerNotSupported, ``layer.go:257-265``); here both halves are real.
+"""
+
+import json
+import urllib.request
+
+import pytest
+
+from opencypher_datalayer_spark.ingest import DataLayer
+from opencypher_datalayer_spark.service_http import UdaService
+
+NS = "http://data.sample.org"
+
+CONFIG = {
+    "dataset_definitions": [
+        {"name": "people", "source_config": {"label": "Person", "batch_size": 100}}
+    ]
+}
+
+
+def _req(port, path, body=None, headers=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _fixture_entity(n):
+    """``makeEntity`` from layer_test.go:437-443, in UDA JSON with a
+    namespace-prefixed form resolved by the @context."""
+    return {
+        "id": f"ex:things/{n}",
+        "props": {"ex:name": "brian", "ex:age": 23},
+        "refs": {"ex:worksfor": "ex:things/mimiro"},
+    }
+
+
+CONTEXT = {"id": "@context", "namespaces": {"ex": f"{NS}/"}}
+
+
+@pytest.fixture
+def service(spark, tmp_path):
+    layer = DataLayer(spark, CONFIG, storage_root=str(tmp_path / "s"))
+    svc = UdaService(layer).start()
+    yield svc
+    svc.stop()
+
+
+def test_uda_sync_and_readback(service):
+    port = service.port
+
+    # dataset listing (S4)
+    status, body = _req(port, "/datasets")
+    assert status == 200 and body == [{"name": "people", "label": "Person"}]
+
+    # full sync in two batches with UDA headers (W10, layer.go:196-215)
+    status, body = _req(
+        port,
+        "/datasets/people/entities",
+        body=[CONTEXT, _fixture_entity(1), _fixture_entity(2)],
+        headers={
+            "universal-data-api-full-sync-start": "true",
+            "universal-data-api-full-sync-id": "sync-1",
+        },
+    )
+    assert status == 200 and body == {"written": 2}
+    status, body = _req(
+        port,
+        "/datasets/people/entities",
+        body=[CONTEXT, _fixture_entity(3)],
+        headers={
+            "universal-data-api-full-sync-id": "sync-1",
+            "universal-data-api-full-sync-end": "true",
+        },
+    )
+    assert status == 200 and body == {"written": 1}
+
+    # incremental upsert + tombstone (W11)
+    status, body = _req(
+        port,
+        "/datasets/people/entities",
+        body=[
+            CONTEXT,
+            {"id": "ex:things/2", "deleted": True},
+            {"id": "ex:things/4", "props": {"ex:name": "jane"}, "refs": {}},
+        ],
+    )
+    assert status == 200 and body == {"written": 2}
+
+    # read back via paged entities (S9)
+    status, body = _req(port, "/datasets/people/entities?limit=100")
+    assert status == 200
+    ents = {e["id"]: e for e in body if not e["id"].startswith("@")}
+    assert set(ents) == {
+        f"{NS}/things/1",
+        f"{NS}/things/3",
+        f"{NS}/things/4",
+        f"{NS}/things/mimiro",  # reference-target stub
+    }
+    assert ents[f"{NS}/things/1"]["props"] == {"name": "brian", "age": "23"}
+    assert ents[f"{NS}/things/1"]["refs"] == {"worksfor": [f"{NS}/things/mimiro"]}
+
+    # paging: limit=2 returns a continuation token that resumes the scan
+    status, page1 = _req(port, "/datasets/people/entities?limit=2")
+    token = page1[-1]
+    assert token["id"] == "@continuation"
+    status, page2 = _req(port, f"/datasets/people/entities?limit=100&from={token['token']}")
+    ids1 = {e["id"] for e in page1 if not e["id"].startswith("@")}
+    ids2 = {e["id"] for e in page2 if not e["id"].startswith("@")}
+    assert len(ids1) == 2 and ids1 | ids2 == set(ents) and not ids1 & ids2
+
+    # change feed (S8): everything is an upsert relative to version 0
+    status, body = _req(port, "/datasets/people/changes?since=0")
+    assert status == 200
+    changes = {e["id"] for e in body if not e["id"].startswith("@")}
+    assert f"{NS}/things/4" in changes
+    version = int([e for e in body if e["id"] == "@continuation"][0]["token"])
+    assert version >= 1
+
+    # ad-hoc query (S10)
+    status, body = _req(
+        port,
+        "/query",
+        body={"query": "MATCH (n:Person) WHERE n.name = 'jane' RETURN n.gid AS gid"},
+    )
+    assert status == 200
+    assert body["columns"] == ["gid"]
+    assert body["rows"] == [[f"{NS}/things/4"]]
+
+    # error surface: unknown dataset -> 404, bad query body -> 400
+    status, body = _req(port, "/datasets/nope/entities?limit=1")
+    assert status == 404
+    status, body = _req(port, "/query", body={"nope": 1})
+    assert status == 400

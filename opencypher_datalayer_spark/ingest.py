@@ -258,7 +258,10 @@ class DataLayer:
         fp = F.md5(
             F.to_json(
                 F.struct(
-                    "label", "source", F.expr("array_sort(map_entries(props))").alias("p")
+                    "label",
+                    F.expr("array_sort(labels)").alias("ls"),
+                    "source",
+                    F.expr("array_sort(map_entries(props))").alias("p"),
                 )
             )
         )

@@ -35,10 +35,17 @@ ENTITY_SCHEMA = T.StructType(
 
 # Node store. ``label``/``source``/``props`` are null/empty for dangling
 # reference-target stubs (reference ``neo4j.go:111-114``).
+#
+# ``labels`` is the full accumulated label SET: Neo4j's ``SET n:%s``
+# (``neo4j.go:107``) ADDS a label, so a gid synced under two datasets
+# carries both. ``label`` stays the latest-write label — it is the
+# physical partition key (write-side clustering) and the cheap scalar
+# for single-label workloads; label MATCHing consults ``labels``.
 NODES_SCHEMA = T.StructType(
     [
         T.StructField("gid", T.StringType(), False),
         T.StructField("label", T.StringType(), True),
+        T.StructField("labels", T.ArrayType(T.StringType()), True),
         T.StructField("source", T.StringType(), True),
         T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
     ]

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from opencypher_datalayer_spark.store import GraphStore
+from opencypher_datalayer_spark.store import GraphStore, where_label
 
 
 def match_nodes(
@@ -35,7 +35,7 @@ def match_nodes(
     """R1: label scan + property predicate filter."""
     nodes = store.nodes
     if label is not None:
-        nodes = nodes.where(F.col("label") == label)
+        nodes = where_label(nodes, label)  # multi-label set membership
     if source is not None:
         nodes = nodes.where(F.col("source") == source)
     for key, value in prop_filters.items():

@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from opencypher_datalayer_spark.store import GraphStore
+from opencypher_datalayer_spark.store import GraphStore, where_label
 
 
 class CypherError(ValueError):
@@ -576,7 +576,7 @@ def _pat_literal(k: str, v: object) -> object:
 def _node_df(store: GraphStore, pat: NodePat, var: str) -> DataFrame:
     df = store.nodes
     if pat.label is not None:
-        df = df.where(F.col("label") == pat.label)
+        df = where_label(df, pat.label)  # multi-label set membership
     for k, v in pat.props.items():
         val = _pat_literal(k, v)
         if k in ("gid", "label", "source"):

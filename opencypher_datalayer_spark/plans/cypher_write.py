@@ -49,7 +49,7 @@ from opencypher_datalayer_spark.plans.cypher import (
     _prop_cmp,
     tokenize,
 )
-from opencypher_datalayer_spark.store import GraphStore, _detach_edges
+from opencypher_datalayer_spark.store import GraphStore, _detach_edges, labels_expr
 
 # ----------------------------------------------------------------------
 # Write-statement AST
@@ -316,7 +316,8 @@ class _Exec:
             # store-filter scan: MATCH (n:Label {source: 'x'}) [WHERE ...]
             pred = F.lit(True)
             if pat.label is not None:
-                pred = pred & (F.col("label") == pat.label)
+                # multi-label set membership (SET n:%s accumulates)
+                pred = pred & F.array_contains(labels_expr(self.nodes), pat.label)
             for k, v in pat.props.items():
                 col = F.col(k) if k in ("gid", "label", "source") else F.col("props").getItem(k)
                 pred = pred & _prop_cmp(col, "=", _pat_literal(k, v))
@@ -382,10 +383,15 @@ class _Exec:
         stubs = missing.select(
             "gid",
             F.lit(pat.label).cast("string").alias("label"),
+            (
+                F.array(F.lit(pat.label))
+                if pat.label is not None
+                else F.array().cast("array<string>")
+            ).alias("labels"),
             F.lit(None).cast("string").alias("source"),
             F.create_map().cast("map<string,string>").alias("props"),
         )
-        self.nodes = self.nodes.unionByName(stubs)
+        self.nodes = self.nodes.unionByName(stubs, allowMissingColumns=True)
 
     def _merge_edge(self, path: PathPat) -> None:
         """MERGE (a)-[r:TYPE]->(b): at most one edge per (src, type, dst)
@@ -422,8 +428,17 @@ class _Exec:
             hits = F.broadcast(
                 self._gids_of(item.var).withColumn("__hit", F.lit(True))
             )
+            new_labels = F.array_sort(
+                F.array_union(labels_expr(self.nodes), F.array(F.lit(item.label)))
+            )
+            joined = self.nodes.join(hits, "gid", "left")
+            if "labels" not in joined.columns:
+                joined = joined.withColumn("labels", F.lit(None).cast("array<string>"))
             self.nodes = (
-                self.nodes.join(hits, "gid", "left")
+                joined.withColumn(
+                    "labels",  # SET n:%s ADDS to the label set (neo4j.go:107)
+                    F.when(F.col("__hit"), new_labels).otherwise(F.col("labels")),
+                )
                 .withColumn(
                     "label",
                     F.when(F.col("__hit"), F.lit(item.label)).otherwise(F.col("label")),

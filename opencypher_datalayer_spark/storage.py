@@ -121,6 +121,24 @@ def _prune_edge_files(
     return kept
 
 
+def _with_labels(nodes: DataFrame) -> DataFrame:
+    """Canonical node projection. ``labels`` is coalesced through the
+    scalar ``label`` so snapshots written before the multi-label column
+    (whose parquet files lack it -> null) read back as single-label."""
+    return nodes.select(
+        "gid",
+        "label",
+        F.coalesce(
+            F.col("labels"),
+            F.when(F.col("label").isNotNull(), F.array("label")).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).alias("labels"),
+        "source",
+        "props",
+    )
+
+
 class ParquetGraphStorage:
     def __init__(self, root: str):
         self.root = root
@@ -154,10 +172,8 @@ class ParquetGraphStorage:
         # explicit schemas: an empty snapshot has no data files to infer
         # from, and partition columns must come back string-typed and in
         # declared column order.
-        nodes = (
-            spark.read.schema(NODES_SCHEMA)
-            .parquet(os.path.join(vdir, "nodes"))
-            .select("gid", "label", "source", "props")
+        nodes = _with_labels(
+            spark.read.schema(NODES_SCHEMA).parquet(os.path.join(vdir, "nodes"))
         )
         edges = (
             spark.read.schema(EDGES_SCHEMA)
@@ -260,11 +276,10 @@ class ParquetGraphStorage:
         if not files:
             return GraphStore.empty(spark).nodes
         vdir = self._version_dir(v)
-        df = (
+        df = _with_labels(
             spark.read.schema(NODES_SCHEMA)
             .option("basePath", os.path.join(vdir, "nodes"))
             .parquet(*files)
-            .select("gid", "label", "source", "props")
         )
         return df.where(F.col("gid").isin(gids))
 
@@ -365,19 +380,17 @@ class ParquetGraphStorage:
         self, spark: SparkSession, vdir: str, table: str, rel_paths: list[str]
     ) -> DataFrame:
         schema = NODES_SCHEMA if table == "nodes" else EDGES_SCHEMA
-        cols = (
-            ["gid", "label", "source", "props"]
-            if table == "nodes"
-            else ["src", "rel_type", "dst", "source"]
-        )
         if not rel_paths:
-            return spark.createDataFrame([], schema).select(*cols)
-        return (
-            spark.read.schema(schema)
-            .option("basePath", os.path.join(vdir, table))
-            .parquet(*[os.path.join(vdir, p) for p in rel_paths])
-            .select(*cols)
-        )
+            df = spark.createDataFrame([], schema)
+        else:
+            df = (
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(vdir, table))
+                .parquet(*[os.path.join(vdir, p) for p in rel_paths])
+            )
+        if table == "nodes":
+            return _with_labels(df)
+        return df.select("src", "rel_type", "dst", "source")
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop version directories older than the newest ``keep``."""

@@ -42,6 +42,31 @@ def empty_nodes(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], NODES_SCHEMA)
 
 
+def labels_expr(df: DataFrame) -> F.Column:
+    """The node's label SET as a non-null array column.
+
+    Normalizes the two legacy shapes: frames with a null ``labels`` cell
+    (rows created before the multi-label column, or ad-hoc test frames)
+    fall back to the scalar ``label``; frames without the column at all
+    (ad-hoc query graphs built straight from tabular data) are treated as
+    single-label."""
+    has_col = "labels" in df.columns
+    base = F.col("labels") if has_col else F.lit(None).cast("array<string>")
+    return F.coalesce(
+        base,
+        F.when(F.col("label").isNotNull(), F.array("label")).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def where_label(nodes: DataFrame, label: str) -> DataFrame:
+    """Label scan with multi-label semantics: a node matches ``:Person``
+    when Person is IN its label set (Neo4j ``SET n:%s`` accumulates,
+    ``neo4j.go:107``) — not only when it was the latest write's label."""
+    return nodes.where(F.array_contains(labels_expr(nodes), label))
+
+
 def empty_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], EDGES_SCHEMA)
 
@@ -106,9 +131,28 @@ class GraphStore:
 
         # --- C2: node merge + outgoing-edge clear + property replace
         # (neo4j.go:101-109). Replace-not-patch means the new row simply
-        # supersedes the old one: broadcast anti-join + union.
+        # supersedes the old one: broadcast anti-join + union. Labels are
+        # the one accumulating field (``SET n:%s`` ADDS, neo4j.go:107):
+        # the superseding row unions the prior label set with the batch
+        # label. ``prior`` is batch-sized (store semi-joined against the
+        # broadcast batch gids), so the lookup stays a broadcast join.
         live_gids = live.select(F.col("id").alias("gid"))
-        nodes = _anti_by_gid(nodes, live_gids).unionByName(node_items)
+        prior = nodes.join(F.broadcast(live_gids), "gid", "left_semi").select(
+            "gid", labels_expr(nodes).alias("_prior_labels")
+        )
+        node_items = node_items.join(F.broadcast(prior), "gid", "left").select(
+            "gid",
+            "label",
+            F.array_sort(
+                F.array_union(
+                    F.coalesce("_prior_labels", F.array().cast("array<string>")),
+                    F.array(F.lit(label)),
+                )
+            ).alias("labels"),
+            "source",
+            "props",
+        )
+        nodes = _anti_by_gid(nodes, live_gids).unionByName(node_items, allowMissingColumns=True)
         edges = edges.join(
             F.broadcast(live_gids.withColumnRenamed("gid", "src")), "src", "left_anti"
         )
@@ -126,10 +170,11 @@ class GraphStore:
         stubs = targets.join(F.broadcast(existing), "gid", "left_anti").select(
             "gid",
             F.lit(None).cast("string").alias("label"),
+            F.array().cast("array<string>").alias("labels"),  # MERGE adds no label
             F.lit(None).cast("string").alias("source"),
             F.create_map().cast("map<string,string>").alias("props"),
         )
-        nodes = nodes.unionByName(stubs)
+        nodes = nodes.unionByName(stubs, allowMissingColumns=True)
 
         # --- C4: edge merge (neo4j.go:116-123). Both endpoints exist by
         # construction (src is a live entity, dst has a stub), so the MATCH
@@ -142,7 +187,10 @@ class GraphStore:
     def delete_all(self, label: str, source: str) -> "GraphStore":
         """C5 filtered bulk delete (full-sync wipe, ``neo4j.go:125-127``):
         drop every node with this label AND source, detaching its edges."""
-        doomed = F.col("label").eqNullSafe(label) & F.col("source").eqNullSafe(source)
+        # ``MATCH (n:%s {source: $source})`` matches via the label SET
+        doomed = F.array_contains(labels_expr(self.nodes), label) & F.col(
+            "source"
+        ).eqNullSafe(source)
         doomed_gids = self.nodes.where(doomed).select("gid")
         return GraphStore(self.nodes.where(~doomed), _detach_edges(self.edges, doomed_gids))
 

@@ -13,7 +13,7 @@ def _store(spark, edges, labels=None):
     nodes = sorted({e[0] for e in edges} | {e[2] for e in edges})
     labels = labels or {}
     ndf = spark.createDataFrame(
-        [(n, labels.get(n, "N"), "t", {}) for n in nodes], NODES_SCHEMA
+        [(n, labels.get(n, "N"), None, "t", {}) for n in nodes], NODES_SCHEMA
     )
     edf = spark.createDataFrame([(s, r, d, "t") for s, r, d in edges], EDGES_SCHEMA)
     return GraphStore(ndf, edf)

@@ -106,7 +106,7 @@ def test_manifest_file_skipping_point_lookup(spark, tmp_path):
     from opencypher_datalayer_spark.storage import ParquetGraphStorage, _prune
     from opencypher_datalayer_spark.store import GraphStore, empty_edges
 
-    rows = [(f"urn:g/{i:05d}", "Person", "people", {"n": str(i)}) for i in range(400)]
+    rows = [(f"urn:g/{i:05d}", "Person", None, "people", {"n": str(i)}) for i in range(400)]
     store = GraphStore(
         spark.createDataFrame(rows, NODES_SCHEMA), empty_edges(spark)
     )
@@ -137,7 +137,7 @@ def test_unclustered_commit_still_has_manifest(spark, tmp_path):
     from opencypher_datalayer_spark.storage import ParquetGraphStorage
     from opencypher_datalayer_spark.store import GraphStore, empty_edges
 
-    rows = [(f"urn:g/{i}", "Person", "people", None) for i in range(10)]
+    rows = [(f"urn:g/{i}", "Person", None, "people", None) for i in range(10)]
     store = GraphStore(spark.createDataFrame(rows, NODES_SCHEMA), empty_edges(spark))
     storage = ParquetGraphStorage(str(tmp_path / "s"))
     storage.commit(store)  # no clustering — stats still collected

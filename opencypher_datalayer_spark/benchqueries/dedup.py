@@ -266,13 +266,36 @@ SELECT * FROM banded ORDER BY doc_id
 """
 
 
+def band_self_join(bands: DataFrame) -> DataFrame:
+    """Bucket self-join: distinct candidate pairs of doc_ids sharing a
+    (band_idx, band_hash) bucket. The LSH hot path — an equi-join on the
+    bucket key, never a cross join. A hot bucket (a near-universal band
+    hash) skews the shuffle; both sides of a self-join are the same large
+    frame, so salting-by-replication (``operators.scale.salted_join``)
+    does not apply — AQE's skew-join split is the mechanism that handles
+    it, and ``tests/test_skew.py`` pins that verdict against the executed
+    plan of exactly this join shape."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one full LSH band.
 
     Scale shape: explode signatures to (band_idx, band_hash) rows and
-    self-join on the band bucket — an equi-join, not a cross join; bucket
-    skew (many docs in one band bucket) is the known LSH hot spot and is
-    AQE-split. The Spark and SQL plans differ; the *result* is the same
+    self-join on the band bucket (``band_self_join``); bucket skew (many
+    docs in one band bucket) is the known LSH hot spot and is AQE-split.
+    The Spark and SQL plans differ; the *result* is the same
     deterministic function of the signatures.
     """
     sig = _minhash_sigs(spark, sf_dir)
@@ -285,19 +308,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
-        .orderBy("doc_a", "doc_b")
-    )
+    return band_self_join(bands).orderBy("doc_a", "doc_b")
 
 
 DEDUP_MINHASH_PAIRS_SQL = f"""

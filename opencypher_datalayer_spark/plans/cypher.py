@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from opencypher_datalayer_spark.store import GraphStore, where_label
+from opencypher_datalayer_spark.store import GraphStore, labels_expr, where_label
 
 
 class CypherError(ValueError):
@@ -583,7 +583,13 @@ def _node_df(store: GraphStore, pat: NodePat, var: str) -> DataFrame:
             df = df.where(_prop_cmp(F.col(k), "=", val))
         else:
             df = df.where(_prop_cmp(F.col("props").getItem(k), "=", val))
-    return df.select(*[F.col(f).alias(f"{var}__{f}") for f in _NODE_FIELDS])
+    return df.select(
+        *[F.col(f).alias(f"{var}__{f}") for f in _NODE_FIELDS],
+        # full label SET, for the labels() accessor (not part of the
+        # RETURN-n struct: that shape predates multi-label and is the
+        # stable output contract)
+        labels_expr(df).alias(f"{var}__labels"),
+    )
 
 
 def _prop_cmp(col: Column, op: str, value: object) -> Column:
@@ -926,8 +932,15 @@ class PlanState:
             if e.key in ("gid", "label", "source"):
                 return F.col(f"{e.var}__{e.key}")
             if self.vars.get(e.var) == "edge":
-                if e.key in ("rel_type", "type"):
+                if e.key == "rel_type":
                     return F.col(f"{e.var}__rel_type")
+                if e.key == "type":
+                    # Reference quirk parity: the edge template sets
+                    # ``r.type = item.type`` but the item map never has a
+                    # ``type`` key (neo4j.go:116-123,215-220), and a null
+                    # SET removes the property — so ``r.type`` is always
+                    # NULL. The relationship TYPE is ``type(r)``.
+                    return F.lit(None).cast("string")
                 if e.key == "source":
                     return F.col(f"{e.var}__rel_source")
                 raise CypherError(f"unknown edge property {e.key}")
@@ -1011,6 +1024,22 @@ class PlanState:
             if len(e.args) == 2:
                 return F.round(arg(0).cast("double"), lit_int(1))
             raise CypherError("round() takes 1 or 2 arguments")
+        if n in ("type", "labels"):
+            # graph accessors: type(r) -> relationship type string;
+            # labels(n) -> the node's accumulated label set (multi-label,
+            # SET n:%s semantics)
+            if len(e.args) != 1 or not isinstance(e.args[0], Var):
+                raise CypherError(f"{n}() takes one variable argument")
+            v = e.args[0].name
+            self._check_var(v)
+            kind = self.vars.get(v)
+            if n == "type":
+                if kind != "edge":
+                    raise CypherError("type() requires a relationship variable")
+                return F.col(f"{v}__rel_type")
+            if kind != "node":
+                raise CypherError("labels() requires a node variable")
+            return F.col(f"{v}__labels")
         if n == "tostring":
             return arg(0).cast("string")
         if n == "tointeger":

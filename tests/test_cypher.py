@@ -357,3 +357,26 @@ def test_in_list_predicate(store):
 def test_in_requires_list_literal(store):
     with pytest.raises(CypherError):
         run_cypher(store, "MATCH (n:Person) WHERE n.name IN 'ann' RETURN n.name AS name")
+
+
+def test_type_and_labels_accessors(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person)-[r]->(m) "
+            "RETURN n.name AS name, type(r) AS t, labels(n) AS ls, r.type AS quirk "
+            "ORDER BY name",
+        )
+    )
+    assert [r["t"] for r in out] == ["worksfor"] * 3
+    assert all(r["ls"] == ["Person"] for r in out)
+    # reference quirk: SET r.type = item.type with no 'type' key in the
+    # item map is a null SET — the edge property never exists
+    assert all(r["quirk"] is None for r in out)
+
+
+def test_type_labels_argument_validation(store):
+    with pytest.raises(CypherError):
+        run_cypher(store, "MATCH (n:Person) RETURN type(n) AS t")
+    with pytest.raises(CypherError):
+        run_cypher(store, "MATCH (n:Person)-[r]->(m) RETURN labels(r) AS l")

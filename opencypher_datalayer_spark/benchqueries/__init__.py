@@ -95,6 +95,9 @@ EXTENDED = {
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank
     # multimodal
     "mm_binary_meta": "mm_typed_metadata",
+    # demoted to make primary room for chunking/packing (round 3):
+    "q_cube_agg": "q_rollup_lineitem",  # grouping-sets family (CUBE vs ROLLUP)
+    "q_like_pushdown": "q19_disjunctive",  # string-predicate scan pushdown
 }
 
 

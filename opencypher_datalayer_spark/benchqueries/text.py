@@ -266,6 +266,127 @@ ORDER BY lang, source
 """
 
 
+# -- token-window chunking ---------------------------------------------
+
+CHUNK_W = 16  # tokens per chunk
+CHUNK_STRIDE = 12  # chunk start spacing (overlap = W - stride)
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the context-window prep step of
+    a training pipeline): each doc explodes into windows of CHUNK_W
+    whitespace tokens every CHUNK_STRIDE tokens; the last window may be
+    short. Pure column expressions (sequence/posexplode/slice — JVM-side,
+    codegen'd): chunking is embarrassingly parallel, no shuffle except
+    the presentation orderBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).where(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
+    return (
+        d.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TEXT_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(length(toks) AS BIGINT), {CHUNK_STRIDE})) AS start
+  FROM t WHERE length(toks) > 0)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(length(list_slice(toks, start + 1, start + {CHUNK_W})) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_W}), ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# -- sequence packing ---------------------------------------------------
+
+PACK_BUDGET = 256  # token budget per packed sequence
+PACK_SHARDS = 8  # parallel packing shards
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing: assign docs (in doc_id order) to
+    training sequences of at most PACK_BUDGET tokens; a doc that would
+    overflow starts the next sequence (an over-budget doc gets one to
+    itself). Packing is a sequential scan, so it shards: docs hash to
+    PACK_SHARDS independent streams (doc_id % shards here — a numeric
+    id; hash a string id the same way), each packed by one Arrow-batched
+    applyInPandas pass. At 100 TB shard count scales with the cluster —
+    state per task is two integers, and the single shuffle is the
+    groupBy(shard) exchange. The oracle replays the same scan as a
+    recursive CTE per shard."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    out_schema = (
+        "doc_id bigint, shard bigint, n_tokens int, seq_id bigint, seq_tokens bigint"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, acc = 0, 0
+        seq_ids, fills = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if acc and acc + t > PACK_BUDGET:
+                seq += 1
+                acc = 0
+            acc += t
+            seq_ids.append(seq)
+            fills.append(acc)
+        pdf["seq_id"] = seq_ids
+        # running fill of the sequence after this doc was placed
+        pdf["seq_tokens"] = fills
+        return pdf[["doc_id", "shard", "n_tokens", "seq_id", "seq_tokens"]]
+
+    return docs.groupBy("shard").applyInPandas(pack, out_schema).orderBy("doc_id")
+
+
+TEXT_PACK_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id,
+         CAST(n_tokens AS BIGINT) AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+         CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + d.n_tokens > {PACK_BUDGET} THEN CAST(d.n_tokens AS BIGINT)
+              ELSE p.acc + d.n_tokens END
+  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+SELECT doc_id, shard, n_tokens, seq_id, acc AS seq_tokens
+FROM packed
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "per-doc quality metrics"),
     "text_token_count": QueryDef(
@@ -281,5 +402,11 @@ QUERIES = {
     "text_corpus_stats": QueryDef(text_corpus_stats, TEXT_CORPUS_SQL, "per-corpus rollup"),
     "text_stratified_sample": QueryDef(
         text_stratified_sample, TEXT_SAMPLE_SQL, "deterministic Bernoulli + quota sampling"
+    ),
+    "text_chunk_windows": QueryDef(
+        text_chunk_windows, TEXT_CHUNK_SQL, "overlapping token-window chunking"
+    ),
+    "text_pack_sequences": QueryDef(
+        text_pack_sequences, TEXT_PACK_SQL, "sharded next-fit sequence packing"
     ),
 }

@@ -55,6 +55,8 @@ HEADLINE = [
     # text
     "text_fingerprint",
     "text_quality",
+    "text_chunk_windows",
+    "text_pack_sequences",
     # temporal / streaming twins
     "ev_sessionize",
     "ev_asof_join",

@@ -43,6 +43,7 @@ HEADLINE = [
     "cy_write_roundtrip",
     "g_pagerank",
     "g_triangle_count",
+    "g_bfs_distances",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh_pairs",

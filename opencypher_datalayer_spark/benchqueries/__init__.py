@@ -95,9 +95,10 @@ EXTENDED = {
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank
     # multimodal
     "mm_binary_meta": "mm_typed_metadata",
-    # demoted to make primary room for chunking/packing (round 3):
+    # demoted to make primary room for chunking/packing/BFS (round 3):
     "q_cube_agg": "q_rollup_lineitem",  # grouping-sets family (CUBE vs ROLLUP)
     "q_like_pushdown": "q19_disjunctive",  # string-predicate scan pushdown
+    "g_nation_in_degree": "g_order_region_revenue",  # edge agg ⊂ motif+agg
 }
 
 

@@ -18,6 +18,7 @@ from opencypher_datalayer_spark.operators.graph_algorithms import (
     PR_DAMPING_DEN,
     PR_DAMPING_NUM,
     PR_SCALE,
+    bfs_distances,
     pagerank_fixedpoint,
     triangle_count,
 )
@@ -38,18 +39,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the supplier co-supply graph (suppliers linked when
     they share >= {CO_SUPPLY_SUPPORT} orders — the support threshold
     sparsifies an otherwise near-complete projection)."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey").dropDuplicates()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        a.join(b, "o")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= CO_SUPPLY_SUPPORT)
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-    )
-    return triangle_count(edges)
+    return triangle_count(_co_supply_edges(spark, sf_dir))
 
 
 G_TRIANGLES_SQL = f"""
@@ -120,9 +110,60 @@ def _pagerank_oracle_sql(n_iter: int) -> str:
 G_PAGERANK_SQL = _pagerank_oracle_sql(PR_ITER)
 
 
+# -- single-source BFS over the co-supply graph -------------------------
+
+BFS_SOURCE = 1  # supplier key 1 exists at every SF
+BFS_MAX_HOPS = 4
+
+
+def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey").dropDuplicates()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "o")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= CO_SUPPLY_SUPPORT)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+
+
+def g_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from supplier {BFS_SOURCE} to every co-supply-
+    reachable supplier within {BFS_MAX_HOPS} hops (undirected: the edge
+    list is symmetrized). The oracle replays the expansion as a
+    UNION-deduplicating recursive CTE (state bounded by nodes x hops)
+    and takes MIN(hops) — identical to first-reach BFS."""
+    e = _co_supply_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return bfs_distances(sym, BFS_SOURCE, BFS_MAX_HOPS).orderBy("id")
+
+
+G_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e0 AS (
+  SELECT a.s AS x, b.s AS y
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {CO_SUPPLY_SUPPORT}),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+walk(node, d) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+  UNION
+  SELECT e.y, w.d + 1 FROM walk w JOIN e ON e.x = w.node WHERE w.d < {BFS_MAX_HOPS})
+SELECT node AS id, CAST(MIN(d) AS INTEGER) AS dist
+FROM walk GROUP BY node ORDER BY id
+"""
+
+
 QUERIES = {
     "g_triangle_count": QueryDef(
         g_triangle_count, G_TRIANGLES_SQL, "triangles in the supplier co-supply graph"
+    ),
+    "g_bfs_distances": QueryDef(
+        g_bfs_distances, G_BFS_SQL, f"BFS hop distances <= {BFS_MAX_HOPS} from one supplier"
     ),
     "g_pagerank": QueryDef(
         g_pagerank, G_PAGERANK_SQL, f"{PR_ITER}-iter fixed-point PageRank, exact oracle"

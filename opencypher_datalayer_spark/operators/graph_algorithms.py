@@ -127,3 +127,53 @@ def pagerank_fixedpoint(
         # lineage is only n_iter joins deep — shallow for typical
         # iteration counts. Checkpoint outside if n_iter is large.
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: object,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS hop distances over the directed edge list,
+    bounded at ``max_hops`` (pass a symmetrized edge list for
+    undirected semantics).
+
+    Frontier-expansion BFS as iterative DataFrame joins: each round
+    joins the current frontier to the edge list and anti-joins the
+    settled set, so a node's distance is fixed the first time it is
+    reached — exactly min-hop distance. The frontier is lineage-cut
+    per round (its size is data-dependent); the settled set is a union
+    of the per-round frontiers. Each round is one equi-join on the edge
+    key + one anti-join — at cluster scale both are shuffle-partitioned
+    on the node id, and a small frontier broadcasts under AQE.
+
+    Returns (id, dist) for every node within ``max_hops`` of
+    ``source``, including (source, 0).
+    """
+    # literal seed (not a vertex-set filter): an isolated source still
+    # reports distance 0, matching the oracle's VALUES anchor
+    spark = edges.sparkSession
+    frontier = spark.range(1).select(
+        F.lit(source).cast(edges.schema[src].dataType).alias("id"),
+        F.lit(0).alias("dist"),
+    )
+    settled = frontier
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("id")).dropDuplicates()
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("id", "u")
+            .select("u")
+            .join(e, "u")
+            .select("id")
+            .dropDuplicates()
+            .join(settled, "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+    return settled

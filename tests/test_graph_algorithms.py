@@ -62,3 +62,34 @@ def test_pagerank_dangling_and_no_inedge(spark):
     assert got == _py_pagerank(edges, 4)
     teleport = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
     assert got[1] == teleport  # teleport-only
+
+
+def test_bfs_chain_and_bound(spark):
+    from opencypher_datalayer_spark.operators.graph_algorithms import bfs_distances
+
+    # 0 -> 1 -> 2 -> 3 -> 4, plus a disconnected 9 -> 10
+    chain = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 10)]
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(_edges_df(spark, chain), 0, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 is beyond the bound; 9/10 unreachable
+
+
+def test_bfs_cycle_terminates_min_distance(spark):
+    from opencypher_datalayer_spark.operators.graph_algorithms import bfs_distances
+
+    # cycle 0-1-2 plus shortcut 0 -> 2: dist(2) is 1, not 2
+    cyc = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(_edges_df(spark, cyc), 0, max_hops=5).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1}
+
+
+def test_bfs_isolated_source(spark):
+    from opencypher_datalayer_spark.operators.graph_algorithms import bfs_distances
+
+    rows = bfs_distances(_edges_df(spark, [(5, 6)]), 99, max_hops=2).collect()
+    assert [(r["id"], r["dist"]) for r in rows] == [(99, 0)]

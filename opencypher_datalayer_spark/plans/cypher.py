@@ -1024,6 +1024,22 @@ class PlanState:
             if len(e.args) == 2:
                 return F.round(arg(0).cast("double"), lit_int(1))
             raise CypherError("round() takes 1 or 2 arguments")
+        if n in ("keys", "properties"):
+            # property-map accessors; keys() sorted for determinism
+            # (openCypher leaves the order unspecified)
+            if len(e.args) != 1 or not isinstance(e.args[0], Var):
+                raise CypherError(f"{n}() takes one variable argument")
+            v = e.args[0].name
+            self._check_var(v)
+            if self.vars.get(v) != "node":
+                raise CypherError(f"{n}() requires a node variable")
+            props = F.col(f"{v}__props")
+            return F.array_sort(F.map_keys(props)) if n == "keys" else props
+        if n == "exists":
+            # exists(n.prop): property-presence predicate
+            if len(e.args) != 1 or not isinstance(e.args[0], Prop):
+                raise CypherError("exists() takes a property expression")
+            return self.to_column(e.args[0]).isNotNull()
         if n in ("type", "labels"):
             # graph accessors: type(r) -> relationship type string;
             # labels(n) -> the node's accumulated label set (multi-label,
@@ -1093,6 +1109,8 @@ class PlanState:
             return ops[e.op]
         if isinstance(e, Lit):
             return F.lit(bool(e.value))
+        if isinstance(e, Func) and e.name == "exists":
+            return self.to_column(e)
         raise CypherError(f"cannot use {e} as predicate")
 
     def _check_var(self, v: str) -> None:

@@ -380,3 +380,20 @@ def test_type_labels_argument_validation(store):
         run_cypher(store, "MATCH (n:Person) RETURN type(n) AS t")
     with pytest.raises(CypherError):
         run_cypher(store, "MATCH (n:Person)-[r]->(m) RETURN labels(r) AS l")
+
+
+def test_keys_properties_exists(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE exists(n.age) "
+            "RETURN n.name AS name, keys(n) AS ks, properties(n) AS ps "
+            "ORDER BY name LIMIT 1",
+        )
+    )
+    assert out[0]["name"] == "ann"
+    assert out[0]["ks"] == ["age", "name"]
+    assert out[0]["ps"] == {"name": "ann", "age": "31"}
+    # exists() filters out absent properties
+    n = rows(run_cypher(store, "MATCH (n:Person) WHERE exists(n.nope) RETURN count(*) AS c"))
+    assert n == [{"c": 0}]

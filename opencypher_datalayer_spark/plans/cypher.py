@@ -635,9 +635,26 @@ class PlanState:
             # condition on the left-outer attach (the predicate may
             # reference both plan-bound and unit-bound variables; column
             # resolution is by name, unique on both sides).
-            if len(clause.paths) != 1:
-                raise CypherError("OPTIONAL MATCH with WHERE supports a single path")
-            unit, unit_vars, pending = self._build_unit(clause.paths[0])
+            units = [self._build_unit(p) for p in clause.paths]
+            seen: set[str] = set()
+            for _, uv, _ in units:
+                if seen & uv:
+                    raise CypherError(
+                        "OPTIONAL MATCH with WHERE: paths sharing new variables unsupported"
+                    )
+                seen |= uv
+            # combine sibling paths into ONE unit so the null-extension is
+            # all-or-nothing across the whole pattern (Cypher semantics).
+            # The cross join is constrained at attach time by each unit's
+            # pointer equalities to plan-bound vars; a multi-path OPTIONAL
+            # MATCH whose paths are NOT anchored to the plan would
+            # cartesian — anchored patterns (the common form) stay
+            # join-selective.
+            unit, unit_vars, pending = units[0]
+            for u2, uv2, p2 in units[1:]:
+                unit = unit.crossJoin(u2)
+                unit_vars = unit_vars | uv2
+                pending = pending + p2
             extra = self.to_condition(clause.where)
             self._attach_unit(unit, unit_vars, pending, optional=True, extra_cond=extra)
             return
@@ -669,12 +686,12 @@ class PlanState:
         unit: DataFrame | None = None
         unit_vars: set[str] = set()
         pending: list[tuple[str, str]] = []  # (ptr column, plan var)
-        ptr_n = 0
 
         def new_ptr(var: str) -> str:
-            nonlocal ptr_n
-            ptr_n += 1
-            col = f"{var}__ptr{ptr_n}"
+            # plan-unique suffix: units built for sibling paths of one
+            # clause may both point at the same plan var and later join
+            self._anon += 1
+            col = f"{var}__ptr{self._anon}"
             pending.append((col, var))
             return col
 

@@ -397,3 +397,24 @@ def test_keys_properties_exists(store):
     # exists() filters out absent properties
     n = rows(run_cypher(store, "MATCH (n:Person) WHERE exists(n.nope) RETURN count(*) AS c"))
     assert n == [{"c": 0}]
+
+
+def test_optional_match_where_multi_path(store):
+    """WHERE over a multi-path OPTIONAL MATCH is part of the match:
+    null-extension is all-or-nothing across both paths."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "OPTIONAL MATCH (n)-[r]->(c), (n)-[r2]->(c2) "
+            "WHERE c.name = 'Mimiro' AND c2.name = 'Mimiro' "
+            "RETURN n.name AS name, c.name AS e1, c2.name AS e2 ORDER BY name",
+        )
+    )
+    # brian + ann work for mimiro (both paths bind to the same edge pair
+    # combos); joe works for acme -> predicate fails -> null-extended row
+    by_name = {r["name"]: r for r in out}
+    assert by_name["ann"]["e1"] == "Mimiro" and by_name["ann"]["e2"] == "Mimiro"
+    assert by_name["joe"]["e1"] is None and by_name["joe"]["e2"] is None
+    assert by_name["zoe"]["e1"] is None  # no edge at all
+    assert set(by_name) == {"ann", "brian", "joe", "zoe"}

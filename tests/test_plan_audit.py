@@ -69,3 +69,30 @@ def test_write_path_broadcasts_batch_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_prunes_and_avoids_shuffle(spark, sf_dir):
+    """Token-window chunking reads only (doc_id, text) and its ONLY
+    exchange is the presentation orderBy — chunk generation itself is
+    map-side (sequence/posexplode/slice)."""
+    from opencypher_datalayer_spark.benchqueries.text import text_chunk_windows
+
+    plan = explain_str(text_chunk_windows(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema
+    assert plan.count("- Exchange") == 1  # orderBy only (tree section)
+
+
+def test_packing_single_shard_exchange(spark, sf_dir):
+    """Sequence packing shuffles ONCE on the shard key into the
+    Arrow-batched group map; the second exchange is the presentation
+    orderBy."""
+    from opencypher_datalayer_spark.benchqueries.text import text_pack_sequences
+
+    plan = explain_str(text_pack_sequences(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("- Exchange") == 2  # groupBy(shard) + orderBy (tree section)

@@ -272,6 +272,24 @@ CHUNK_W = 16  # tokens per chunk
 CHUNK_STRIDE = 12  # chunk start spacing (overlap = W - stride)
 
 
+def chunk_transform(docs: DataFrame) -> DataFrame:
+    """The chunking expression pipeline on any (doc_id, text) frame —
+    stateless pure column expressions, so the SAME transform runs on a
+    stream unchanged (tests/test_streaming.py pins stream == batch)."""
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).where(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (the context-window prep step of
     a training pipeline): each doc explodes into windows of CHUNK_W
@@ -280,21 +298,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd): chunking is embarrassingly parallel, no shuffle except
     the presentation orderBy."""
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).where(F.size("toks") > 0)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
-    )
-    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
-    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
-    return (
-        d.select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.size(chunk).alias("chunk_tokens"),
-            F.array_join(chunk, " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
+    return chunk_transform(docs).orderBy("doc_id", "chunk_idx")
 
 
 TEXT_CHUNK_SQL = f"""

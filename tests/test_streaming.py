@@ -173,3 +173,40 @@ def test_foreachbatch_graph_sync(spark, tmp_path):
 
     assert layer.store.nodes.where(F.col("label") == "Person").count() == 6
     assert layer.store.edges.where(F.col("rel_type") == "knows").count() == 6
+
+
+def test_streaming_chunking_equals_batch(spark, sf_dir):
+    """chunk_transform is stateless column expressions, so the identical
+    pipeline runs on a document stream (append mode, no state) and must
+    emit exactly the batch chunk set."""
+    from pyspark.sql import types as T
+
+    from opencypher_datalayer_spark.benchqueries.text import (
+        chunk_transform,
+        text_chunk_windows,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    q = run_to_memory(chunk_transform(docs), "stream_chunks", output_mode="append")
+    try:
+        streamed = {
+            tuple(r) for r in spark.sql("SELECT * FROM stream_chunks").collect()
+        }
+        batch = {tuple(r) for r in text_chunk_windows(spark, sf_dir).collect()}
+        assert streamed == batch and len(streamed) > 0
+    finally:
+        q.stop()

@@ -116,18 +116,33 @@ BFS_SOURCE = 1  # supplier key 1 exists at every SF
 BFS_MAX_HOPS = 4
 
 
+_CO_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared upstream of triangle counting and BFS: the support-
+    thresholded co-supply projection is the expensive step (order-level
+    self-join over lineitem), so it is computed once per (app, sf_dir)
+    and lineage-cut — the same sharing discipline as the minhash
+    signature frame in ``benchqueries.dedup``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CO_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey").dropDuplicates()
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
-    return (
+    out = (
         a.join(b, "o")
         .where(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= CO_SUPPLY_SUPPORT)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .localCheckpoint(eager=False)
     )
+    _CO_EDGES_CACHE[key] = out
+    return out
 
 
 def g_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,20 +160,28 @@ def bfs_distances(
         F.lit(0).alias("dist"),
     )
     settled = frontier
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("id")).dropDuplicates()
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.withColumnRenamed("id", "u")
-            .select("u")
-            .join(e, "u")
-            .select("id")
-            .dropDuplicates()
-            .join(settled, "id", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        settled = settled.unionByName(nxt)
-        frontier = nxt
+    # persist the projected edge list: every hop is its OWN action (the
+    # frontier checkpoint), so without a shared materialization the edge
+    # derivation (often an expensive projection, e.g. the co-supply
+    # self-join) would recompute once per hop. Unpersisted before
+    # returning — the result depends only on the checkpointed frontiers.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("id")).dropDuplicates().persist()
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.withColumnRenamed("id", "u")
+                .select("u")
+                .join(e, "u")
+                .select("id")
+                .dropDuplicates()
+                .join(settled, "id", "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            settled = settled.unionByName(nxt)
+            frontier = nxt
+    finally:
+        e.unpersist()
     return settled

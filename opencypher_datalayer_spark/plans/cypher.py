@@ -628,34 +628,28 @@ class PlanState:
     # -- pattern planning --
 
     def add_match(self, clause: MatchClause) -> None:
-        if clause.optional and clause.where is not None and self.df is not None:
-            # Cypher: the WHERE of an OPTIONAL MATCH is part of the match —
-            # a left row whose pattern matches but fails the predicate is
-            # null-extended, never dropped. Express it as an extra join
-            # condition on the left-outer attach (the predicate may
-            # reference both plan-bound and unit-bound variables; column
-            # resolution is by name, unique on both sides).
-            units = [self._build_unit(p) for p in clause.paths]
-            seen: set[str] = set()
-            for _, uv, _ in units:
-                if seen & uv:
-                    raise CypherError(
-                        "OPTIONAL MATCH with WHERE: paths sharing new variables unsupported"
-                    )
-                seen |= uv
-            # combine sibling paths into ONE unit so the null-extension is
-            # all-or-nothing across the whole pattern (Cypher semantics).
-            # The cross join is constrained at attach time by each unit's
-            # pointer equalities to plan-bound vars; a multi-path OPTIONAL
-            # MATCH whose paths are NOT anchored to the plan would
-            # cartesian — anchored patterns (the common form) stay
-            # join-selective.
-            unit, unit_vars, pending = units[0]
-            for u2, uv2, p2 in units[1:]:
-                unit = unit.crossJoin(u2)
-                unit_vars = unit_vars | uv2
-                pending = pending + p2
-            extra = self.to_condition(clause.where)
+        if (
+            clause.optional
+            and self.df is not None
+            and (clause.where is not None or len(clause.paths) > 1)
+        ):
+            # Cypher: an OPTIONAL MATCH — its comma-paths AND its WHERE —
+            # is one all-or-nothing pattern: a left row whose pattern
+            # matches but fails the predicate (or matches only some of the
+            # sibling paths) is null-extended, never dropped and never
+            # half-matched. Build the sibling paths into ONE unit
+            # (variables shared between siblings become intra-unit joins)
+            # and express the WHERE as an extra condition on the single
+            # left-outer attach (the predicate may reference both
+            # plan-bound and unit-bound variables; column resolution is by
+            # name, unique on both sides). A multi-path OPTIONAL MATCH
+            # whose paths are NOT anchored to the plan would cartesian —
+            # anchored patterns (the common form) stay join-selective.
+            cont: tuple[DataFrame | None, set[str], list[tuple[str, str]]] | None = None
+            for p in clause.paths:
+                cont = self._build_unit(p, cont=cont)
+            unit, unit_vars, pending = cont
+            extra = self.to_condition(clause.where) if clause.where is not None else None
             self._attach_unit(unit, unit_vars, pending, optional=True, extra_cond=extra)
             return
         for path in clause.paths:
@@ -670,7 +664,9 @@ class PlanState:
         self._attach_unit(unit, unit_vars, pending, optional)
 
     def _build_unit(
-        self, path: PathPat
+        self,
+        path: PathPat,
+        cont: tuple[DataFrame | None, set[str], list[tuple[str, str]]] | None = None,
     ) -> tuple[DataFrame, set[str], list[tuple[str, str]]]:
         """Build the path as a self-contained unit (node-edge-node joins)
         to be attached to the running plan — inner join for MATCH,
@@ -682,10 +678,20 @@ class PlanState:
         attach time. This keeps OPTIONAL MATCH correct: the whole pattern
         either matches or yields one all-null row, never a half-matched
         edge.
+
+        ``cont`` continues a unit under construction (the sibling comma-
+        paths of one OPTIONAL MATCH build into a single unit, so variables
+        shared between siblings resolve as intra-unit joins and the
+        null-extension stays all-or-nothing across the whole clause).
         """
-        unit: DataFrame | None = None
-        unit_vars: set[str] = set()
-        pending: list[tuple[str, str]] = []  # (ptr column, plan var)
+        unit: DataFrame | None
+        unit_vars: set[str]
+        pending: list[tuple[str, str]]  # (ptr column, plan var)
+        if cont is None:
+            unit, unit_vars, pending = None, set(), []
+        else:
+            unit, unit_vars, pending = cont
+            unit_vars, pending = set(unit_vars), list(pending)
 
         def new_ptr(var: str) -> str:
             # plan-unique suffix: units built for sibling paths of one
@@ -700,15 +706,18 @@ class PlanState:
             var = npat.var or self.fresh("n")
             in_plan = var in self.vars and self.df is not None and f"{var}__gid" in self.df.columns
             in_unit = var in unit_vars
-            if in_plan and (npat.label or npat.props):
+            if (in_plan or in_unit) and (npat.label or npat.props):
                 raise CypherError(f"re-binding {var} with new label/props unsupported")
 
             if idx == 0:
-                if not in_plan:
-                    unit = _node_df(self.store, npat, var)
+                if not in_plan and not in_unit:
+                    ndf = _node_df(self.store, npat, var)
+                    # a sibling path starting at a fresh var extends the
+                    # unit under construction (constrained by later joins)
+                    unit = ndf if unit is None else unit.crossJoin(ndf)
                     unit_vars.add(var)
-                # else: path starts at a plan-bound var; the first edge
-                # will carry a pointer to it
+                # else: path starts at a plan- or unit-bound var; the
+                # first edge joins on (or carries a pointer to) it
             else:
                 epat = path.edges[idx - 1]
                 evar = epat.var or self.fresh("e")

@@ -418,3 +418,70 @@ def test_optional_match_where_multi_path(store):
     assert by_name["joe"]["e1"] is None and by_name["joe"]["e2"] is None
     assert by_name["zoe"]["e1"] is None  # no edge at all
     assert set(by_name) == {"ann", "brian", "joe", "zoe"}
+
+
+def test_optional_match_shared_new_vars(spark):
+    """Sibling comma-paths of one OPTIONAL MATCH sharing a NEW variable:
+    the shared var resolves as an intra-unit join and the null-extension
+    is all-or-nothing — a row matching only the first path comes back
+    fully null, never half-matched."""
+    layer = DataLayer(
+        spark,
+        {
+            "dataset_definitions": [
+                {"name": "staff", "source_config": {"label": "Person", "batch_size": 100}},
+                {"name": "firms", "source_config": {"label": "Company", "batch_size": 100}},
+                {"name": "cities", "source_config": {"label": "City", "batch_size": 100}},
+            ]
+        },
+    )
+    w = layer.dataset("staff").incremental()
+    w.write(
+        {
+            "id": f"{NS}/things/a",
+            "props": {f"{NS}/name": "alma"},
+            "refs": {f"{NS}/worksfor": f"{NS}/things/c1"},
+        }
+    )
+    w.write(
+        {
+            "id": f"{NS}/things/b",
+            "props": {f"{NS}/name": "bert"},
+            "refs": {f"{NS}/worksfor": f"{NS}/things/c2"},
+        }
+    )
+    w.close()
+    w = layer.dataset("firms").incremental()
+    # c1 is based in Oslo; c2 has no basedin edge
+    w.write(
+        {
+            "id": f"{NS}/things/c1",
+            "props": {f"{NS}/name": "C1"},
+            "refs": {f"{NS}/basedin": f"{NS}/things/oslo"},
+        }
+    )
+    w.write({"id": f"{NS}/things/c2", "props": {f"{NS}/name": "C2"}, "refs": {}})
+    w.close()
+    w = layer.dataset("cities").incremental()
+    w.write({"id": f"{NS}/things/oslo", "props": {f"{NS}/name": "Oslo"}, "refs": {}})
+    w.close()
+
+    q = (
+        "MATCH (n:Person) "
+        "OPTIONAL MATCH (n)-[:worksfor]->(c), (c)-[:basedin]->(t) "
+        "{where}RETURN n.name AS name, c.name AS comp, t.name AS city ORDER BY name"
+    )
+    # without WHERE: bert's first path matches (c2) but the sibling path
+    # does not -> whole pattern null (a per-path left join would have
+    # leaked comp='C2')
+    out = rows(run_cypher(layer.store, q.format(where="")))
+    assert out == [
+        {"name": "alma", "comp": "C1", "city": "Oslo"},
+        {"name": "bert", "comp": None, "city": None},
+    ]
+    # with WHERE on the shared-path target: same all-or-nothing rule
+    out = rows(run_cypher(layer.store, q.format(where="WHERE t.name = 'Oslo' ")))
+    assert out == [
+        {"name": "alma", "comp": "C1", "city": "Oslo"},
+        {"name": "bert", "comp": None, "city": None},
+    ]

@@ -70,6 +70,31 @@ class CompareResult:
         return msg
 
 
+def _pd_cell(v) -> str:
+    """Canonicalize one pandas cell: collapse the NA family (None/NaN/NaT/
+    pd.NA) to one token and unwrap numpy scalars/arrays to their Python
+    equivalents, so dtype-name noise between ``toPandas()`` and DuckDB
+    ``.df()`` (int64 vs Int64 vs int) doesn't read as a driver hazard —
+    while real hazards (Decimal vs float, list cells) keep their type tag.
+    """
+    if v is None:
+        return "∅"
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass  # array-likes: pd.isna returns an array → fall through
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    return f"{type(v).__name__}:{v!r}"
+
+
 def _pandas_rows(pdf) -> list[str]:
     """Canonicalize a pandas frame the way the driver does.
 
@@ -84,7 +109,7 @@ def _pandas_rows(pdf) -> list[str]:
     pdf = pdf[cols]
     pdf.sort_values(by=cols)  # raises TypeError on unhashable cells, like the driver
     return sorted(
-        "|".join(f"{type(v).__name__}:{v!r}" for v in tup)
+        "|".join(_pd_cell(v) for v in tup)
         for tup in pdf.itertuples(index=False, name=None)
     )
 

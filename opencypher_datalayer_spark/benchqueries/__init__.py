@@ -83,8 +83,11 @@ EXTENDED = {
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_simhash": "dedup_simhash_pairs",
-    # text
+    # text / curation
     "text_lang_confusion": "text_lang_id",
+    "text_repetition": "text_quality",  # per-doc quality-stat family
+    "text_mixture_upsample": "text_stratified_sample",  # deterministic-hash sampling
+    "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
@@ -108,6 +111,7 @@ def all_queries(extended: bool = False) -> dict[str, QueryDef]:
     ``extended=True`` adds the shape-twin tier for local verification.
     """
     from opencypher_datalayer_spark.benchqueries import (
+        curation,
         dedup,
         graph,
         graphalgo,
@@ -126,6 +130,7 @@ def all_queries(extended: bool = False) -> dict[str, QueryDef]:
         graphalgo,
         dedup,
         text,
+        curation,
         similarity,
         temporal,
         multimodal,

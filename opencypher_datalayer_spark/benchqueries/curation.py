@@ -1,0 +1,284 @@
+"""Training-data curation operators over ``documents``: Gopher-style
+repetition quality, epoch-weighted mixture upsampling, and benchmark
+decontamination (cross-set n-gram overlap).
+
+All three are standard large-corpus pipeline stages (repetition filters
+and mixture weights per Rae et al. 2021 "Scaling Language Models"
+(Gopher) §A1.1 and the usual pretraining-mix recipes; decontamination
+per Brown et al. 2020 (GPT-3) §C). Spark-first shapes: n-gram explodes
+feed map-side-combinable counts keyed by ``doc_id``; the eval side of
+decontamination is broadcast (it is always tiny next to the training
+corpus); upsampling is a pure column expression with a deterministic
+hash in place of RNG, so results are reproducible across engines, runs,
+and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.sources.tables import load_table
+
+
+def _tokens(col) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Token n-grams as strings; empty array when the doc is shorter than
+    ``n`` (guarded: Spark's ``sequence`` would otherwise count DOWN for
+    stop < start)."""
+    if n == 1:
+        return toks
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(1, n + 1)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _duck_toks(expr: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> '')"
+
+
+def _duck_grams(n: int) -> str:
+    """DuckDB mirror of ``_grams`` over a ``toks`` column (1-based list
+    indexing; ``range(1, len - n + 2)`` enumerates gram starts)."""
+    if n == 1:
+        return "toks"
+    join = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN length(toks) >= {n} "
+        f"THEN list_transform(range(1, length(toks) - {n} + 2), i -> {join}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# -- repetition quality (Gopher-style) ----------------------------------
+
+# thresholds chosen to split the synthetic corpus; the operator shape is
+# the point — swap thresholds per corpus
+TOP_BIGRAM_MAX = 0.08
+DUP_TRIGRAM_MAX = 0.02
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats: most-frequent-unigram token share,
+    most-frequent-bigram token share, duplicate-trigram share, and the
+    resulting keep/drop flag.
+
+    Each n-gram order is one explode -> count -> per-doc aggregate —
+    partial aggregation combines map-side, the only shuffles are on
+    ``(doc_id, gram)`` then ``doc_id``, and the three aggregates join
+    co-partitioned on ``doc_id``. No all-pairs anything: cost is linear
+    in corpus tokens at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+
+    def stats(n: int, top_alias: str, total_alias: str, distinct_alias: str) -> DataFrame:
+        return (
+            toks.select("doc_id", F.explode(_grams(F.col("toks"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias(top_alias),
+                F.sum("c").alias(total_alias),
+                F.count("*").alias(distinct_alias),
+            )
+        )
+
+    uni = stats(1, "top_uni", "n_tokens", "n_uni")
+    bi = stats(2, "top_bi", "n_bi", "n_bi_distinct")
+    tri = stats(3, "top_tri", "n_tri", "n_tri_distinct")
+    top_bigram_frac = F.when(
+        F.col("n_tokens") > 0, F.col("top_bi") * 2.0 / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    dup_trigram_frac = F.when(
+        F.col("n_tri") > 0,
+        (F.col("n_tri") - F.col("n_tri_distinct")).cast("double") / F.col("n_tri"),
+    ).otherwise(F.lit(0.0))
+    return (
+        uni.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("top_uni").cast("double") / F.col("n_tokens")).alias("top_unigram_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_trigram_frac.alias("dup_trigram_frac"),
+            (
+                (top_bigram_frac <= TOP_BIGRAM_MAX) & (dup_trigram_frac <= DUP_TRIGRAM_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, max(c) AS top_uni, CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g)
+  GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, max(c) AS top_bi
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({_duck_grams(2)}) AS g FROM t) GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS n_tri_distinct
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({_duck_grams(3)}) AS g FROM t) GROUP BY doc_id, g)
+  GROUP BY doc_id),
+j AS (
+  SELECT uni.doc_id, n_tokens,
+         CAST(top_uni AS DOUBLE) / n_tokens AS top_unigram_frac,
+         CASE WHEN n_tokens > 0 THEN top_bi * 2.0 / n_tokens ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN n_tri > 0 THEN CAST(n_tri - n_tri_distinct AS DOUBLE) / n_tri
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM uni LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id))
+SELECT doc_id, n_tokens, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac <= {TOP_BIGRAM_MAX} AND dup_trigram_frac <= {DUP_TRIGRAM_MAX})
+         AS keep
+FROM j ORDER BY doc_id
+"""
+
+
+# -- epoch-weighted mixture upsampling ----------------------------------
+
+# per-language epoch weights, percent: 220 => 2 full copies + a 20%
+# chance of a third; 40 => 40% chance of one copy
+MIX_WEIGHTS = {"en": 40, "de": 130, "es": 100, "fr": 220, "zh": 75}
+
+
+def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a training mixture: each doc appears ``floor(w/100)``
+    times plus one more with probability ``(w mod 100)%``, where ``w`` is
+    its language's epoch weight. The fractional copy is decided by a
+    deterministic md5 threshold (no RNG — reproducible across engines and
+    partitionings, the same trick as ``text_stratified_sample``).
+    Pure column expressions + one explode; embarrassingly parallel.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv])[F.col("lang")],
+        F.lit(100),
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    n_copies = (w / F.lit(100)).cast("int") + (h % 100 < w % 100).cast("int")
+    return (
+        docs.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_copies",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_idx"),
+        )
+        .select(
+            "doc_id", "lang", "n_copies", F.col("copy_idx").cast("int").alias("copy_idx")
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+    + " ELSE 100 END"
+)
+
+TEXT_MIXTURE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_MIX_CASE} AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(w // 100 + CASE WHEN h % 100 < w % 100 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_copies
+  FROM w)
+SELECT doc_id, lang, n_copies, CAST(unnest(range(0, n_copies)) AS INTEGER) AS copy_idx
+FROM c WHERE n_copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+
+# -- benchmark decontamination ------------------------------------------
+
+DECON_N = 8  # token n-gram length for overlap detection
+EVAL_SRC = "src0"  # the held-out benchmark slice of the corpus
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find training docs sharing any ``DECON_N``-gram with the eval set
+    (``source = EVAL_SRC``) — the GPT-3-style decontamination scan run
+    before training. Returns one row per contaminated training doc with
+    the distinct shared-gram and matched-eval-doc counts.
+
+    Scale shape: both sides explode to DISTINCT ``(doc, gram)`` pairs;
+    the eval side is a benchmark suite (tiny vs a 100 TB training
+    corpus), so it is broadcast and the probe never shuffles the
+    training side — then one ``doc_id`` aggregation.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks")
+    )
+
+    def gram_pairs(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.explode(_grams(F.col("toks"), DECON_N)).alias("g")
+        ).dropDuplicates(["doc_id", "g"])
+
+    ev = gram_pairs(toks.where(F.col("source") == EVAL_SRC)).withColumnRenamed(
+        "doc_id", "eval_doc"
+    )
+    train = gram_pairs(toks.where(F.col("source") != EVAL_SRC))
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_duck_toks()} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source, unnest({_duck_grams(DECON_N)}) AS g FROM t)
+SELECT tr.doc_id,
+       count(DISTINCT tr.g) AS n_shared_grams,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM g tr JOIN g ev ON tr.g = ev.g
+WHERE tr.source <> '{EVAL_SRC}' AND ev.source = '{EVAL_SRC}'
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
+QUERIES = {
+    "text_repetition": QueryDef(
+        text_repetition, TEXT_REPETITION_SQL, "Gopher-style n-gram repetition quality"
+    ),
+    "text_mixture_upsample": QueryDef(
+        text_mixture_upsample, TEXT_MIXTURE_SQL, "epoch-weighted deterministic mixture"
+    ),
+    "text_decontaminate": QueryDef(
+        text_decontaminate, TEXT_DECONTAMINATE_SQL, "eval-set n-gram decontamination"
+    ),
+}

@@ -37,13 +37,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read it as raw nanos and convert. Integer div
-        # (never float: epoch-ns ~1.7e18 exceeds double's 2^53 mantissa)
-        # floors to micros exactly like DuckDB's TIMESTAMP_NS fetch.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across driver data generations; normalize
+        # either to session-TZ TimestampType. NANOS is rejected by the
+        # vectorized reader, so it is read as raw int64 nanos
+        # (nanosAsLong) and floored to micros with integer div (never
+        # float: epoch-ns ~1.7e18 exceeds double's 2^53 mantissa) —
+        # exactly DuckDB's TIMESTAMP_NS fetch. MICROS arrives as
+        # TIMESTAMP_NTZ; the cast reinterprets the wall-clock in the
+        # UTC session zone, matching DuckDB's naive TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -14,32 +14,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Parquet streaming source needs an explicit schema. ``ts`` arrives as
-# raw nanos (TIMESTAMP(NANOS) parquet, read with nanosAsLong) and is
-# converted with integer division — same as the batch loader.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Parquet streaming source needs an explicit schema. ``ts`` has shipped
+# as both TIMESTAMP(NANOS) (read as raw int64 via nanosAsLong, floored
+# to micros with integer division) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ,
+# reinterpreted in the UTC session zone) across driver data generations —
+# same normalization as the batch loader in ``sources.tables``.
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # one footer read decides which generation of the file we have
+    ts_type = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    )
+    nanos = ts_type.simpleString() == "bigint"
     # the table is a single parquet FILE; the file stream source wants a
     # directory, so stream the parent dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_raw_schema(T.LongType() if nanos else T.TimestampNTZType())
+        )
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

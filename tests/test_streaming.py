@@ -36,22 +36,19 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     """Duplicated delivery (the events table written twice into the
     source directory) collapses back to exactly the distinct event_ids."""
     from opencypher_datalayer_spark.sources.tables import load_table
-    from opencypher_datalayer_spark.streaming.windows import (
-        EVENTS_RAW_SCHEMA,
-        dedup_stream,
-    )
+    from opencypher_datalayer_spark.streaming.windows import dedup_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(sf_dir + "/events.parquet")
+    # write the NORMALIZED table twice so the stream schema is the
+    # engine's own envelope, independent of the source file's ts encoding
+    norm = load_table(spark, "events", sf_dir)
     src = tmp_path / "dup_events"
-    raw.write.mode("overwrite").parquet(str(src / "copy1"))
-    raw.write.mode("overwrite").parquet(str(src / "copy2"))
+    norm.write.mode("overwrite").parquet(str(src / "copy1"))
+    norm.write.mode("overwrite").parquet(str(src / "copy2"))
 
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(norm.schema)
         .option("recursiveFileLookup", "true")
         .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
         dedup_stream(stream)

@@ -11,13 +11,13 @@ PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
 connected-components clustering), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. A further 26 shape-twin queries (same operator family as a
+plumbing. A further 36 shape-twin queries (same operator family as a
 primary entry — see ``benchqueries.EXTENDED``) stay oracle-checked
-locally via ``scripts/selfcheck.py``. Every SQL-expressible operator
-(48 of 50 here) carries a DuckDB oracle with identical column names
-and driver-canonical output types (no raw DECIMAL/HUGEINT/array in
-final projections); the two pandas-UDF pipelines register without
-oracles for the driver's rows-only check.
+locally via ``scripts/selfcheck.py``. Every query — all 50 primaries
+and all 36 twins, including the pandas-UDF multimodal pipelines and
+the iterative graph algorithms — carries a full DuckDB value oracle
+with identical column names and driver-canonical output types (no raw
+DECIMAL/HUGEINT/array in final projections).
 """
 
 from __future__ import annotations

@@ -79,6 +79,7 @@ EXTENDED = {
     "g_match_filter": "cy_match_filter",
     "g_expand_collect": "cy_expand_collect",
     "g_two_hop": "g_order_region_revenue",  # 3-hop subsumes 2-hop
+    "g_label_prop": "g_pagerank",  # iterative fixed-schedule graph algorithm
     "cy_scalar_functions": "q_scalar_functions",  # fn library (parser covered by 5 cy_ entries)
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
@@ -88,11 +89,14 @@ EXTENDED = {
     "text_repetition": "text_quality",  # per-doc quality-stat family
     "text_mixture_upsample": "text_stratified_sample",  # deterministic-hash sampling
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
+    "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
+    "text_shard_layout": "text_stratified_sample",  # deterministic-hash partitioning
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
     "sim_ivf_cells": "sim_ivf_topk",
     "sim_label_centroids": "sim_ivf_topk",  # centroid build is IVF's first stage
+    "sim_sq8_topk": "sim_ivf_topk",  # quantize-then-rerank ANN family
     # temporal
     "ev_sliding_window": "ev_tumbling_window",  # F.window, slide = width special case
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank

@@ -19,6 +19,7 @@ from opencypher_datalayer_spark.operators.graph_algorithms import (
     PR_DAMPING_NUM,
     PR_SCALE,
     bfs_distances,
+    label_propagation,
     pagerank_fixedpoint,
     triangle_count,
 )
@@ -173,6 +174,66 @@ FROM walk GROUP BY node ORDER BY id
 """
 
 
+# -- label-propagation communities over the co-supply graph -------------
+
+LPA_ITER = 3
+
+
+def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPA_ITER}-round synchronous label-propagation communities on the
+    co-supply graph (smallest-label tie-break => fully deterministic;
+    see ``operators.graph_algorithms.label_propagation``). Returns each
+    supplier's community plus the community size."""
+    e = _co_supply_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = label_propagation(sym, n_iter=LPA_ITER)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("id", F.col("label").alias("community"), "community_size")
+        .orderBy("id")
+    )
+
+
+def _lpa_oracle_sql(n_iter: int) -> str:
+    ctes = [
+        f"""pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e0 AS (
+  SELECT a.s AS x, b.s AS y
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {CO_SUPPLY_SUPPORT}),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+verts AS (SELECT DISTINCT x AS id FROM e),
+l0 AS (SELECT id, id AS label FROM verts)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT v.id, COALESCE(p.label, v.id) AS label
+  FROM verts v LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT e.x AS id, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY e.x
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM e JOIN l{i - 1} l ON e.y = l.id
+      GROUP BY e.x, l.label)
+    WHERE rn = 1) p ON v.id = p.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sizes AS (SELECT label, COUNT(*) AS community_size FROM l{n_iter} GROUP BY label)
+SELECT l.id, l.label AS community, s.community_size
+FROM l{n_iter} l JOIN sizes s ON l.label = s.label
+ORDER BY l.id"""
+    )
+
+
+G_LPA_SQL = _lpa_oracle_sql(LPA_ITER)
+
+
 QUERIES = {
     "g_triangle_count": QueryDef(
         g_triangle_count, G_TRIANGLES_SQL, "triangles in the supplier co-supply graph"
@@ -182,5 +243,8 @@ QUERIES = {
     ),
     "g_pagerank": QueryDef(
         g_pagerank, G_PAGERANK_SQL, f"{PR_ITER}-iter fixed-point PageRank, exact oracle"
+    ),
+    "g_label_prop": QueryDef(
+        g_label_prop, G_LPA_SQL, f"{LPA_ITER}-round deterministic LPA communities"
     ),
 }

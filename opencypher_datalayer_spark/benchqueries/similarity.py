@@ -399,6 +399,123 @@ ORDER BY emb.vec_id
 """
 
 
+# -- int8 scalar quantization + quantized-dot ANN -----------------------
+
+SQ8_RERANK = 20  # candidates kept per query from the quantized pass
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOPK} via int8 scalar quantization: per-dimension
+    symmetric codes ``round(x / (maxabs_d / 127))``, candidates ranked by
+    the exact INTEGER code dot product (4x smaller vectors, SIMD-friendly
+    integer math — the memory-bound scan path of a quantized index),
+    top-{SQ8_RERANK} per query reranked with exact float cosine.
+
+    Scale shape: the per-dimension scale vector is one tiny aggregate
+    (posexplode -> max(abs) per dim, {DIM} rows) broadcast back as a
+    single-row array — the corpus is scanned once to train, once to
+    encode, never shuffled; the quantized scan itself is a broadcast
+    (queries) x corpus map-side pass. All arithmetic is
+    engine-portable: integer codes are exact, ``floor(x/s + 0.5)``
+    rounds identically in Spark and DuckDB (no round-half-to-even
+    ambiguity), and the rerank reuses the 6dp-rounded cosine."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
+    scales_row = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s["mx"] / F.lit(127.0)).alias("scales"))
+    )
+    code = F.zip_with(
+        F.col("v"),
+        F.col("scales"),
+        lambda x, s: F.when(s > 0, F.floor(x / s + F.lit(0.5))).otherwise(F.lit(0)).cast(
+            "bigint"
+        ),
+    )
+    coded = emb.crossJoin(F.broadcast(scales_row)).select(
+        "vec_id", "v", "nrm", code.alias("code")
+    )
+    queries = coded.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("code").alias("qc"),
+    )
+    cand = coded.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("code").alias("cc"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wapprox = Window.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), F.col("c_id").asc())
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        F.broadcast(queries)
+        .join(cand, F.col("q_id") != F.col("c_id"))
+        .withColumn("approx_dot", qdot)
+        .withColumn("ark", F.row_number().over(wapprox))
+        .where(F.col("ark") <= SQ8_RERANK)
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "c_id", "approx_dot", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_SQ8_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+sc AS (
+  SELECT list(mx / 127 ORDER BY pos) AS scales FROM (
+    SELECT i AS pos, max(abs(v[i])) AS mx
+    FROM e, range(1, {DIM} + 1) r(i) GROUP BY i)),
+coded AS (
+  SELECT vec_id, v, nrm,
+         list_transform(range(1, {DIM} + 1),
+           i -> CAST(CASE WHEN scales[i] > 0
+                          THEN floor(v[i] / scales[i] + 0.5)
+                          ELSE 0 END AS BIGINT)) AS code
+  FROM e, sc),
+approx AS (
+  SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn,
+         c.vec_id AS c_id, c.v AS cv, c.nrm AS cn,
+         CAST(list_sum(list_transform(list_zip(q.code, c.code), t -> t[1] * t[2]))
+              AS BIGINT) AS approx_dot
+  FROM coded q JOIN coded c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY}),
+shortlist AS (
+  SELECT q_id, c_id, approx_dot, qv, qn, cv, cn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY approx_dot DESC, c_id ASC) AS ark
+    FROM approx)
+  WHERE ark <= {SQ8_RERANK}),
+rescored AS (
+  SELECT q_id, c_id, approx_dot,
+         ROUND({_DUCK_DOT.format(a='qv', b='cv')} / (qn * cn), 6) AS cosine
+  FROM shortlist)
+SELECT q_id, c_id, approx_dot, cosine, rk FROM (
+  SELECT q_id, c_id, approx_dot, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM rescored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
 # -- centroid aggregation (vector agg over groups) ----------------------
 
 
@@ -456,5 +573,10 @@ QUERIES = {
     ),
     "sim_ivf_topk": QueryDef(
         sim_ivf_topk, SIM_IVF_TOPK_SQL, f"IVF nprobe={NPROBE} ANN top-{TOPK}"
+    ),
+    "sim_sq8_topk": QueryDef(
+        sim_sq8_topk,
+        SIM_SQ8_TOPK_SQL,
+        f"int8 scalar-quantized scan, top-{SQ8_RERANK} rerank, top-{TOPK}",
     ),
 }

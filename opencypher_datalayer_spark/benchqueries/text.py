@@ -391,6 +391,102 @@ ORDER BY doc_id
 """
 
 
+# -- sensitive-term scrubbing (regex redaction with audit trail) --------
+
+# term list stands in for a PII/blocklist pattern set; the operator shape
+# (regex scan + global replace + audit counts, one embarrassingly
+# parallel pass) is identical for emails/phones/IDs on a real corpus.
+# Patterns stay in the Java-regex ∩ RE2 dialect so both engines agree.
+SCRUB_PATTERN = r"\b(key|hash|merge)\b"
+SCRUB_TOKEN = "[REDACTED]"
+
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact a sensitive-term pattern from every document, emitting the
+    audit row a compliance pipeline needs: hit count, before/after
+    lengths, and an md5 of the redacted text (value-level proof the
+    rewrite is byte-identical across engines). Pure column expressions —
+    no shuffle at all; at 100 TB this is a map-only pass that Catalyst
+    pipelines into the scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    redacted = F.regexp_replace(F.col("text"), SCRUB_PATTERN, SCRUB_TOKEN)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(SCRUB_PATTERN)).alias("n_hits"),
+        F.length("text").alias("n_chars_before"),
+        F.length(redacted).alias("n_chars_after"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+TEXT_SCRUB_SQL = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS n_hits,
+       length(text) AS n_chars_before,
+       length(regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g'))
+         AS n_chars_after,
+       md5(regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g'))
+         AS redacted_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- deterministic shard layout (training-file export plan) -------------
+
+N_SHARDS = 16
+
+
+def text_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a shard, a position, and a byte/token offset
+    — the exact layout a training-data exporter materializes as
+    ``shard-00000-of-00016`` files. Shard = portable hash mod
+    {N_SHARDS} (uniform, reproducible, no RNG); order within a shard =
+    (hash, doc_id) so the global shuffle is deterministic; offset = the
+    exclusive prefix sum of token counts within the shard (a window
+    cumulative sum). One shuffle on ``shard`` — at 100 TB each shard is
+    written by its own reducer, ``partitionBy(shard)`` style."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    n_tokens = F.size(_tokens(F.col("text")))
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    woff = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        docs.select("doc_id", h.alias("h"), n_tokens.alias("n_tokens"))
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "token_offset", F.coalesce(F.sum("n_tokens").over(woff), F.lit(0)).cast("bigint")
+        )
+        .select("doc_id", "shard", "pos_in_shard", "n_tokens", "token_offset")
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+TEXT_SHARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, h, n_tokens, CAST(h % {N_SHARDS} AS INTEGER) AS shard FROM t)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos_in_shard,
+       n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS BIGINT)
+         AS token_offset
+FROM s
+WINDOW w AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+ORDER BY shard, pos_in_shard
+"""
+
+
 QUERIES = {
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "per-doc quality metrics"),
     "text_token_count": QueryDef(
@@ -412,5 +508,11 @@ QUERIES = {
     ),
     "text_pack_sequences": QueryDef(
         text_pack_sequences, TEXT_PACK_SQL, "sharded next-fit sequence packing"
+    ),
+    "text_scrub": QueryDef(
+        text_scrub, TEXT_SCRUB_SQL, "regex redaction with audit counts + value proof"
+    ),
+    "text_shard_layout": QueryDef(
+        text_shard_layout, TEXT_SHARD_SQL, f"deterministic {N_SHARDS}-shard export layout"
     ),
 }

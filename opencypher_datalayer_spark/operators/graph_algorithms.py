@@ -129,6 +129,58 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected graph induced by the edge list (pass a symmetrized list;
+    this function uses rows as directed neighbor pairs).
+
+    Initial label = own id. Each round, every node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label; isolated nodes keep their label. The synchronous
+    schedule plus the total tie-break order makes the result a pure
+    function of the graph — no RNG, no visit order — which is what
+    allows a value-level oracle for a community algorithm.
+
+    Each round is one shuffle join (edges x labels on the neighbor) and
+    one windowed mode-pick partitioned by node — both keyed on node id,
+    so at cluster scale consecutive rounds reuse the same hash
+    partitioning. Lineage stays shallow (n_iter joins); cut outside if
+    n_iter is large.
+    """
+    from pyspark.sql import Window
+
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nbrs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).localCheckpoint()
+    labels = verts.withColumn("label", F.col("id"))
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        picked = (
+            nbrs.join(
+                labels.select(F.col("id").alias("nbr"), F.col("label")), "nbr"
+            )
+            .groupBy("id", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        labels = (
+            verts.join(picked.withColumnRenamed("label", "new_label"), "id", "left")
+            .select("id", F.coalesce(F.col("new_label"), F.col("id")).alias("label"))
+        )
+    return labels
+
+
 def bfs_distances(
     edges: DataFrame,
     source: object,

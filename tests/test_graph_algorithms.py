@@ -93,3 +93,44 @@ def test_bfs_isolated_source(spark):
 
     rows = bfs_distances(_edges_df(spark, [(5, 6)]), 99, max_hops=2).collect()
     assert [(r["id"], r["dist"]) for r in rows] == [(99, 0)]
+
+
+def _sym(edges):
+    return edges + [(b, a) for a, b in edges]
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge converge to two DISTINCT
+    communities (hand-traced fixed point of the synchronous min-label
+    schedule: A = {0,1,2} -> 0; the bridge leaks node 2's seed label
+    into B = {10,11,12} -> 2, still disjoint from A's)."""
+    from opencypher_datalayer_spark.operators.graph_algorithms import label_propagation
+
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            _edges_df(spark, _sym(tri_a + tri_b + bridge)), n_iter=4
+        ).collect()
+    }
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[10] == labels[11] == labels[12] == 2
+
+
+def test_lpa_deterministic_tiebreak(spark):
+    """A node with two equally frequent neighbor labels adopts the
+    smaller one — and a re-run returns the identical assignment."""
+    from opencypher_datalayer_spark.operators.graph_algorithms import label_propagation
+
+    # after one round the hub sees labels {1, 2} once each -> min wins
+    star = [(5, 1), (5, 2)]
+    df = _edges_df(spark, _sym(star))
+    first = sorted(tuple(r) for r in label_propagation(df, n_iter=1).collect())
+    second = sorted(tuple(r) for r in label_propagation(df, n_iter=1).collect())
+    assert first == second
+    labels = dict(first)
+    assert labels[5] == 1  # tie between 1 and 2 -> min
+    # leaves simultaneously adopt the hub's seed label
+    assert labels[1] == labels[2] == 5

@@ -173,6 +173,18 @@ class Param:
 
 
 @dataclass
+class Case:
+    """CASE expression (engine extension), both openCypher forms:
+    generic ``CASE WHEN pred THEN v ... [ELSE v] END`` and simple
+    ``CASE operand WHEN val THEN v ... [ELSE v] END``. Maps 1:1 onto
+    ``F.when().when().otherwise()`` — stays inside codegen."""
+
+    operand: "Expr | None"
+    whens: list[tuple["Expr", "Expr"]]
+    default: "Expr | None"
+
+
+@dataclass
 class Func:
     """Scalar function call (engine extension — the reference's only
     scalar function is its Go-side prefix strip, W9)."""
@@ -181,7 +193,7 @@ class Func:
     args: list["Expr"]
 
 
-Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func
+Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
 
 
 def _expr_name(e: Expr) -> str:
@@ -221,6 +233,7 @@ _KEYWORDS = {
     "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
     "asc", "ascending", "desc", "descending", "collect", "count", "sum",
     "min", "max", "avg", "starts", "ends", "contains", "in",
+    "case", "when", "then", "else", "end",
     # write-statement clauses (plans.cypher_write)
     "unwind", "with", "merge", "set", "delete", "detach",
 }
@@ -522,6 +535,23 @@ class Parser:
             return Agg(fn, inner, distinct)
         if t.kind == "param":
             return Param(self.take().value)
+        if self.at_kw("case"):
+            self.take()
+            operand = None if self.at_kw("when") else self.parse_expr()
+            whens: list[tuple[Expr, Expr]] = []
+            while self.at_kw("when"):
+                self.take()
+                w = self.parse_expr()
+                self.expect_kw("then")
+                whens.append((w, self.parse_expr()))
+            if not whens:
+                raise CypherError("CASE requires at least one WHEN")
+            default = None
+            if self.at_kw("else"):
+                self.take()
+                default = self.parse_expr()
+            self.expect_kw("end")
+            return Case(operand, whens, default)
         if self.at_sym("["):
             self.take()
             vals: list[object] = []
@@ -1000,6 +1030,21 @@ class PlanState:
             )
         if isinstance(e, Func):
             return self._func_column(e)
+        if isinstance(e, Case):
+            col: Column | None = None
+            for w, then in e.whens:
+                # simple form compares the operand with Cypher's typed
+                # comparison semantics (same path as WHERE equality)
+                cond = (
+                    self.to_condition(w)
+                    if e.operand is None
+                    else self.to_condition(Cmp("=", e.operand, w))
+                )
+                tc = self.to_column(then)
+                col = F.when(cond, tc) if col is None else col.when(cond, tc)
+            if e.default is not None:
+                col = col.otherwise(self.to_column(e.default))
+            return col
         if isinstance(e, Agg):
             raise CypherError("aggregate in non-return position")
         raise CypherError(f"cannot evaluate {e} as value")
@@ -1137,6 +1182,8 @@ class PlanState:
             return F.lit(bool(e.value))
         if isinstance(e, Func) and e.name == "exists":
             return self.to_column(e)
+        if isinstance(e, Case):
+            return self.to_column(e).cast("boolean")
         raise CypherError(f"cannot use {e} as predicate")
 
     def _check_var(self, v: str) -> None:

@@ -485,3 +485,58 @@ def test_optional_match_shared_new_vars(spark):
         {"name": "alma", "comp": "C1", "city": "Oslo"},
         {"name": "bert", "comp": None, "city": None},
     ]
+
+
+def test_case_generic(store):
+    """Generic CASE WHEN ... THEN ... ELSE ... END as a return item."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN n.name AS name, "
+            "CASE WHEN n.age < 25 THEN 'young' WHEN n.age < 40 THEN 'mid' "
+            "ELSE 'senior' END AS bracket ORDER BY name",
+        )
+    )
+    assert out == [
+        {"name": "ann", "bracket": "mid"},
+        {"name": "brian", "bracket": "young"},
+        {"name": "joe", "bracket": "senior"},
+        {"name": "zoe", "bracket": "young"},
+    ]
+
+
+def test_case_simple_form_and_null_default(store):
+    """Simple CASE operand WHEN value ...; missing ELSE yields NULL."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN n.name AS name, "
+            "CASE n.name WHEN 'brian' THEN 'match' END AS hit ORDER BY name",
+        )
+    )
+    assert [r["hit"] for r in out] == [None, "match", None, None]
+
+
+def test_case_inside_aggregate(store):
+    """sum(CASE ...) — the conditional-aggregation idiom."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN sum(CASE WHEN n.age < 30 THEN 1 ELSE 0 END) AS n_young",
+        )
+    )
+    assert out == [{"n_young": 2.0}]
+
+
+def test_case_in_where(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE CASE WHEN n.age > 40 THEN true ELSE false END "
+            "RETURN n.name AS name",
+        )
+    )
+    assert out == [{"name": "joe"}]

@@ -173,6 +173,17 @@ class Param:
 
 
 @dataclass
+class PatternExists:
+    """EXISTS((n)-[:T]->(m)) / EXISTS { (n)-[:T]->(m) } pattern
+    predicate (engine extension): true iff the bound variable has at
+    least one matching edge. Planned as a left join against a
+    deduplicated marker frame + IS NOT NULL — a semi-join the optimizer
+    can reorder, composing correctly under NOT/AND/OR."""
+
+    path: "PathPat"
+
+
+@dataclass
 class Case:
     """CASE expression (engine extension), both openCypher forms:
     generic ``CASE WHEN pred THEN v ... [ELSE v] END`` and simple
@@ -193,7 +204,7 @@ class Func:
     args: list["Expr"]
 
 
-Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
+Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case | PatternExists
 
 
 def _expr_name(e: Expr) -> str:
@@ -566,6 +577,22 @@ class Parser:
             return Lit(vals)
         if t.kind == "name":
             name = self.take().text
+            if name.lower() == "exists" and self.at_sym("{"):
+                self.take()
+                path = self.parse_path()
+                self.expect_sym("}")
+                return PatternExists(path)
+            if (
+                name.lower() == "exists"
+                and self.at_sym("(")
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].kind == "sym"
+                and self.toks[self.i + 1].text == "("
+            ):
+                self.take()
+                path = self.parse_path()
+                self.expect_sym(")")
+                return PatternExists(path)
             if self.at_sym("("):
                 self.take()
                 args: list[Expr] = []
@@ -655,6 +682,56 @@ class PlanState:
         self._anon += 1
         return f"_{prefix}{self._anon}"
 
+    def bind_pattern_exists(self, e: Expr) -> Expr:
+        """Rewrite every PatternExists in a predicate tree into a marker
+        column: left-join a deduplicated (src has a matching edge) frame
+        keyed on the bound variable's gid, then test IS NOT NULL. Doing
+        the join before evaluating the predicate keeps the rewrite
+        composable under NOT/AND/OR (the marker is just a column), and
+        the deduplicated build side makes it a proper semi-join — no
+        fan-out, broadcastable when the filtered edge set is small."""
+        if isinstance(e, PatternExists):
+            p = e.path
+            if len(p.nodes) != 2 or len(p.edges) != 1:
+                raise CypherError("EXISTS supports a single-hop pattern")
+            srcp, dstp = p.nodes
+            ep = p.edges[0]
+            if ep.vl_min is not None:
+                raise CypherError("EXISTS pattern does not take a var-length edge")
+            if srcp.var is None or self.vars.get(srcp.var) != "node":
+                raise CypherError("EXISTS pattern must start at a bound node variable")
+            if srcp.label or srcp.props:
+                raise CypherError("EXISTS source must be a bare bound variable")
+            if dstp.var is not None and dstp.var in self.vars:
+                raise CypherError("EXISTS target must be unbound (use a plain MATCH)")
+            flag = self.fresh("exists")
+            ed = self.store.edges
+            if ep.rel_type is not None:
+                ed = ed.where(F.col("rel_type") == ep.rel_type)
+            if dstp.label is not None or dstp.props:
+                tvar = self.fresh("t")
+                tgt = _node_df(self.store, dstp, tvar)
+                ed = ed.join(
+                    tgt.select(F.col(f"{tvar}__gid").alias("dst")), "dst"
+                )
+            marker = (
+                ed.select(F.col("src").alias(f"{flag}__gid"))
+                .dropDuplicates()
+                .withColumn(flag, F.lit(True))
+            )
+            self.df = self.df.join(
+                marker,
+                F.col(f"{srcp.var}__gid") == F.col(f"{flag}__gid"),
+                "left",
+            ).drop(f"{flag}__gid")
+            self.vars[flag] = "scalar"
+            return IsNull(Var(flag), negated=True)
+        if isinstance(e, Bool):
+            return Bool(e.op, self.bind_pattern_exists(e.left), self.bind_pattern_exists(e.right))
+        if isinstance(e, Not):
+            return Not(self.bind_pattern_exists(e.inner))
+        return e
+
     # -- pattern planning --
 
     def add_match(self, clause: MatchClause) -> None:
@@ -687,7 +764,8 @@ class PlanState:
         if clause.where is not None:
             # inner MATCH — post-filter; also the documented approximation
             # for a leading OPTIONAL MATCH (no rows to null-extend yet)
-            self.df = self.df.where(self.to_condition(clause.where))
+            cond = self.bind_pattern_exists(clause.where)
+            self.df = self.df.where(self.to_condition(cond))
 
     def _add_path(self, path: PathPat, optional: bool) -> None:
         unit, unit_vars, pending = self._build_unit(path)
@@ -973,7 +1051,7 @@ class PlanState:
             new_vars[r.name] = "scalar"
         self.df, self.vars = out, new_vars
         if where is not None:
-            self.df = self.df.where(self.to_condition(where))
+            self.df = self.df.where(self.to_condition(self.bind_pattern_exists(where)))
 
     # -- expressions --
 

@@ -540,3 +540,61 @@ def test_case_in_where(store):
         )
     )
     assert out == [{"name": "joe"}]
+
+
+def test_exists_pattern_predicate(store):
+    """EXISTS((n)-[:worksfor]->()) keeps only employed people."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE EXISTS((n)-[:worksfor]->()) "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian", "joe"]
+
+
+def test_not_exists_pattern(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE NOT EXISTS((n)-[:worksfor]->()) "
+            "RETURN n.name AS name",
+        )
+    )
+    assert [r["name"] for r in out] == ["zoe"]
+
+
+def test_exists_brace_form_with_target_constraint(store):
+    """EXISTS { (n)-[:worksfor]->(m:Company) } — target label filter;
+    only the stub-upgraded mimiro node carries the Company label."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE EXISTS { (n)-[:worksfor]->(m:Company) } "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian"]
+
+
+def test_exists_composes_with_and(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE EXISTS((n)-[:worksfor]->()) AND n.age > 25 "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "joe"]
+
+
+def test_exists_scalar_form_still_works(store):
+    """exists(n.prop) (property-existence function) is unchanged."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE exists(n.age) RETURN count(*) AS n",
+        )
+    )
+    assert out == [{"n": 4}]

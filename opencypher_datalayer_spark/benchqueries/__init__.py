@@ -81,6 +81,7 @@ EXTENDED = {
     "g_two_hop": "g_order_region_revenue",  # 3-hop subsumes 2-hop
     "g_label_prop": "g_pagerank",  # iterative fixed-schedule graph algorithm
     "cy_scalar_functions": "q_scalar_functions",  # fn library (parser covered by 5 cy_ entries)
+    "cy_case_exists": "cy_with_having",  # WITH-stage bucketing via front-end
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_simhash": "dedup_simhash_pairs",

@@ -372,6 +372,35 @@ ORDER BY nation
 """
 
 
+def cy_case_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing + EXISTS pattern predicate through the front-end:
+    French customers by account-balance bracket. EXISTS plans as a
+    deduplicated marker semi-join (target label/prop filter pushed into
+    the build side); CASE compiles to an F.when chain."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (c:Customer) "
+        "WHERE EXISTS { (c)-[:in_nation]->(n:Nation {name: 'FRANCE'}) } "
+        "WITH CASE WHEN c.acctbal < 0 THEN 'neg' WHEN c.acctbal < 5000 THEN 'mid' "
+        "ELSE 'high' END AS bracket "
+        "RETURN bracket, count(*) AS n_customers ORDER BY bracket",
+    )
+
+
+CY_CASE_EXISTS_SQL = """
+SELECT bracket, COUNT(*) AS n_customers FROM (
+  SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS bracket
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name = 'FRANCE')
+GROUP BY bracket ORDER BY bracket
+"""
+
+
 def cy_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library through the Cypher front-end (0-based
     substring, Cypher-style names)."""
@@ -414,6 +443,9 @@ QUERIES = {
     ),
     "cy_scalar_functions": QueryDef(
         cy_scalar_functions, CY_SCALAR_SQL, "scalar function library via front-end"
+    ),
+    "cy_case_exists": QueryDef(
+        cy_case_exists, CY_CASE_EXISTS_SQL, "CASE buckets + EXISTS semi-join via front-end"
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

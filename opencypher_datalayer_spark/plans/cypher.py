@@ -56,6 +56,9 @@ class EdgePat:
     # variable-length bounds (MATCH (a)-[:T*1..3]->(b)); None = single hop
     vl_min: int | None = None
     vl_max: int | None = None
+    # shortestPath(...) wrapper: reduce the expansion to min-hops per
+    # endpoint pair before attaching
+    shortest: bool = False
 
 
 @dataclass
@@ -407,6 +410,20 @@ class Parser:
         return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
 
     def parse_path(self) -> PathPat:
+        t = self.peek()
+        if t and t.kind == "name" and t.text.lower() == "shortestpath":
+            # shortestPath((a)-[:T*1..k]->(b)) — openCypher wrapper; the
+            # inner pattern must be a single var-length relationship
+            self.take()
+            self.expect_sym("(")
+            inner = self.parse_path()
+            self.expect_sym(")")
+            if len(inner.edges) != 1 or inner.edges[0].vl_min is None:
+                raise CypherError(
+                    "shortestPath requires a single var-length relationship"
+                )
+            inner.edges[0].shortest = True
+            return inner
         nodes = [self.parse_node()]
         edges: list[EdgePat] = []
         while self.at_sym("-[") or self.at_sym("-->"):
@@ -958,6 +975,12 @@ class PlanState:
         out = hops[0]
         for more in hops[1:]:
             out = out.unionByName(more)
+        if epat.shortest:
+            # shortestPath: one row per endpoint pair at the minimum hop
+            # count — a groupBy-min instead of per-path rows, so the
+            # all-paths blowup between well-connected endpoints never
+            # reaches the attach join
+            out = out.groupBy("_s", "_d").agg(F.min("_h").alias("_h"))
         return out.select(
             F.col("_s").alias(f"__src_{evar}"),
             F.col("_h").alias(f"{evar}__hops"),

@@ -96,3 +96,43 @@ def test_varlen_rejects_bad_range(spark):
     st = _store(spark, [("a", "x", "b")])
     with pytest.raises(CypherError):
         run_cypher(st, "MATCH (p)-[r:x*3..2]->(q) RETURN p.gid AS s")
+
+
+def test_shortest_path_min_hops(spark):
+    # diamond with a long way round: a->b->d (2 hops) and a->c->e->d (3);
+    # plus direct a->d (1). shortestPath keeps only the 1-hop row.
+    st = _store(
+        spark,
+        [
+            ("a", "x", "b"), ("b", "x", "d"),
+            ("a", "x", "c"), ("c", "x", "e"), ("e", "x", "d"),
+            ("a", "x", "d"),
+        ],
+    )
+    out = rows(
+        run_cypher(
+            st,
+            "MATCH shortestPath((p {gid: 'a'})-[r:x*1..4]->(q {gid: 'd'})) "
+            "RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+        )
+    )
+    assert out == [("a", "d", 1)]
+
+
+def test_shortest_path_all_pairs_from_source(spark):
+    # chain a->b->c plus shortcut a->c: shortest to c is 1
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c"), ("a", "x", "c")])
+    out = rows(
+        run_cypher(
+            st,
+            "MATCH shortestPath((p {gid: 'a'})-[r:x*1..3]->(q)) "
+            "RETURN q.gid AS d, r.hops AS h ORDER BY d",
+        )
+    )
+    assert out == [("b", 1), ("c", 1)]
+
+
+def test_shortest_path_requires_varlength(spark):
+    st = _store(spark, [("a", "x", "b")])
+    with pytest.raises(CypherError):
+        run_cypher(st, "MATCH shortestPath((p)-[r:x]->(q)) RETURN p.gid AS s")

@@ -91,6 +91,7 @@ EXTENDED = {
     "text_mixture_upsample": "text_stratified_sample",  # deterministic-hash sampling
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
     "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
+    "text_tfidf_topk": "text_corpus_stats",  # corpus-level term statistics family
     "text_shard_layout": "text_stratified_sample",  # deterministic-hash partitioning
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",

@@ -266,6 +266,70 @@ ORDER BY lang, source
 """
 
 
+# -- TF-IDF top terms ---------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} characteristic terms per document by TF-IDF.
+
+    The score is ``tf * (N + 1) / (df + 1)`` computed as ONE double
+    division of exact int64 operands — IEEE division is correctly
+    rounded, so both engines get the identical double (a log-based IDF
+    would risk last-ulp libm drift between JVM and C++). Scale shape:
+    token explode -> per-(doc, term) counts (map-side combinable), a
+    document-frequency aggregate joined back on the term (the df side
+    is vocabulary-sized: broadcastable), corpus size N as a broadcast
+    1-row cross join, and one window per doc for the top-k."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_side = pairs.groupBy("tok").agg(F.count("*").alias("df"))
+    score = (F.col("tf") * (F.col("n_corpus") + 1)).cast("double") / (F.col("df") + 1)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        pairs.join(df_side, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "tok", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents),
+pairs AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+dfs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY tok),
+scored AS (
+  SELECT p.doc_id, p.tok, p.tf, d.df,
+         CAST(p.tf * ((SELECT COUNT(*) FROM documents) + 1) AS DOUBLE) / (d.df + 1)
+           AS tfidf
+  FROM pairs p JOIN dfs d ON p.tok = d.tok)
+SELECT doc_id, tok, tf, df, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+  FROM scored)
+WHERE rk <= {TFIDF_TOPK}
+ORDER BY doc_id, rk
+"""
+
+
 # -- token-window chunking ---------------------------------------------
 
 CHUNK_W = 16  # tokens per chunk
@@ -514,5 +578,8 @@ QUERIES = {
     ),
     "text_shard_layout": QueryDef(
         text_shard_layout, TEXT_SHARD_SQL, f"deterministic {N_SHARDS}-shard export layout"
+    ),
+    "text_tfidf_topk": QueryDef(
+        text_tfidf_topk, TEXT_TFIDF_SQL, f"top-{TFIDF_TOPK} TF-IDF terms per doc"
     ),
 }

@@ -130,3 +130,13 @@ def run_to_memory(agg: DataFrame, query_name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to each event. The static side is re-planned per
+    micro-batch (so dimension updates are picked up between batches) and
+    is broadcast when small — the stateless, no-watermark fast path that
+    covers most pipeline enrichments; reach for a stream-stream join
+    only when BOTH sides move."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -207,3 +207,40 @@ def test_streaming_chunking_equals_batch(spark, sf_dir):
         assert streamed == batch and len(streamed) > 0
     finally:
         q.stop()
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    from opencypher_datalayer_spark.sources.tables import load_table
+    from opencypher_datalayer_spark.streaming.windows import enrich_stream
+
+    # derived user dimension: cohort by user-id residue (stands in for a
+    # customer table keyed on the stream's join column)
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 7).cast("int"))
+    )
+    q = (
+        enrich_stream(read_events_stream(spark, sf_dir), dim)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["cohort"], r["n"]) for r in spark.sql("SELECT * FROM stream_enrich").collect()
+    }
+    batch = {
+        (r["cohort"], r["n"])
+        for r in enrich_stream(load_table(spark, "events", sf_dir), dim)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch

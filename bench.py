@@ -44,6 +44,7 @@ HEADLINE = [
     "g_pagerank",
     "g_triangle_count",
     "g_bfs_distances",
+    "g_label_prop",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -53,11 +54,14 @@ HEADLINE = [
     "sim_lsh_candidate_pairs",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_sq8_topk",
     # text
     "text_fingerprint",
     "text_quality",
     "text_chunk_windows",
     "text_pack_sequences",
+    "text_tfidf_topk",
+    "text_scrub",
     # temporal / streaming twins
     "ev_sessionize",
     "ev_asof_join",

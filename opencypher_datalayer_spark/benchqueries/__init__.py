@@ -67,6 +67,7 @@ EXTENDED = {
     "q_order_priority": "q21_lone_returner",  # EXISTS semi-join
     "q_customers_no_orders": "q22_idle_customers",  # NOT EXISTS anti-join
     "q_running_order_total": "q_window_navigation",  # window family
+    "q_percentiles": "q_window_navigation",  # window rank-pick family
     "q_date_functions": "q8_market_share",  # date-part extraction (EXTRACT YEAR)
     "q_distinct_agg": "q_pivot_status",  # grouped conditional/distinct agg
     "q10_returned_items": "q3_shipping_priority",  # join + group + top-k

@@ -615,6 +615,84 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+# -- exact group percentiles -------------------------------------------
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of per-order revenue by market
+    segment: the value at index floor((n-1)*p) of the ascending sort.
+    Index-picking (instead of interpolating quantile functions) keeps
+    the result engine-portable — the selected value is an exact decimal,
+    no averaging, no library-specific interpolation. One revenue
+    aggregate, one window rank per segment, then a tiny literal-array
+    explode to emit the three percentile rows per group."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").asc(), F.col("l_orderkey").asc()
+    )
+    ranked = rev.select(
+        "c_mktsegment",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    return (
+        ranked.select(
+            "*", F.explode(F.array(*[F.lit(x) for x in PCTS])).alias("p")
+        )
+        .where(F.col("rn") - 1 == F.floor((F.col("n") - 1) * F.col("p")))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "p",
+            F.col("revenue").cast("double").alias("revenue_pct"),
+        )
+        .orderBy("segment", "p")
+    )
+
+
+Q_PERCENTILES_SQL = f"""
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT c_mktsegment, revenue, l_orderkey
+  FROM rev JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey),
+ranked AS (
+  SELECT c_mktsegment, revenue, l_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue ASC, l_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j)
+SELECT c_mktsegment AS segment, p, CAST(revenue AS DOUBLE) AS revenue_pct
+FROM ranked,
+     unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in PCTS)}]) AS t(p)
+WHERE rn - 1 = floor((n - 1) * p)
+ORDER BY segment, p
+"""
+
+
 QUERIES = {
     "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "4-way join + group + top-20"),
     "q12_priority_lines": QueryDef(q12_priority_lines, Q12_SQL, "join + CASE aggregation"),
@@ -636,4 +714,7 @@ QUERIES = {
         q_window_navigation, Q_WINDOW_NAV_SQL, "lag/lead/first_value/ntile"
     ),
     "q_cube_agg": QueryDef(q_cube_agg, Q_CUBE_SQL, "CUBE grouping sets"),
+    "q_percentiles": QueryDef(
+        q_percentiles, Q_PERCENTILES_SQL, "exact index-picked group percentiles"
+    ),
 }

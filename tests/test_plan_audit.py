@@ -96,3 +96,44 @@ def test_packing_single_shard_exchange(spark, sf_dir):
     assert "doc_id" in read_schema and "text" in read_schema
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("- Exchange") == 2  # groupBy(shard) + orderBy (tree section)
+
+
+def test_sq8_broadcasts_queries_and_scales(spark, sf_dir):
+    """The quantized ANN scan must broadcast both tiny sides (the scale
+    vector and the query set) — the corpus side is never shuffled before
+    the integer-dot scan."""
+    from opencypher_datalayer_spark.benchqueries.similarity import sim_sq8_topk
+
+    plan = explain_str(sim_sq8_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the candidate generation
+    assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+def test_tfidf_scan_prunes_columns(spark, sf_dir):
+    """TF-IDF reads only (doc_id, text) — no full-row documents scan."""
+    from opencypher_datalayer_spark.benchqueries.text import text_tfidf_topk
+
+    plan = explain_str(text_tfidf_topk(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema
+    for unused in ("lang", "n_chars"):
+        assert unused not in read_schema
+
+
+def test_exists_marker_is_broadcast_semi_shape(spark, sf_dir):
+    """The EXISTS marker frame (deduplicated, label-filtered) joins the
+    matched frame via broadcast — pattern-existence never shuffles the
+    probe side."""
+    from opencypher_datalayer_spark.plans import run_cypher
+    from opencypher_datalayer_spark.sources.tabular import graph_from_tables
+
+    store = graph_from_tables(spark, sf_dir)
+    df = run_cypher(
+        store,
+        "MATCH (c:Customer) "
+        "WHERE EXISTS { (c)-[:in_nation]->(n:Nation {name: 'FRANCE'}) } "
+        "RETURN count(*) AS n",
+    )
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan

@@ -102,6 +102,7 @@ EXTENDED = {
     "sim_sq8_topk": "sim_ivf_topk",  # quantize-then-rerank ANN family
     # temporal
     "ev_sliding_window": "ev_tumbling_window",  # F.window, slide = width special case
+    "ev_funnel": "ev_interval_join",  # time-banded equi-join chain family
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank
     # multimodal
     "mm_binary_meta": "mm_typed_metadata",

@@ -290,6 +290,67 @@ ORDER BY event_type
 """
 
 
+# -- funnel analysis ----------------------------------------------------
+
+FUNNEL_STEP_MIN = 30  # max minutes between consecutive funnel steps
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel view -> click -> purchase with each step within
+    {FUNNEL_STEP_MIN} minutes of the previous: distinct users reaching
+    each stage, existence semantics (ANY qualifying chain converts the
+    user — order-independent, so partitioning never changes the answer).
+
+    Scale shape: two time-banded equi-joins on ``user_id`` (the same
+    range-join pattern as ``ev_interval_join``, so all three frames
+    co-partition on the user key and the bands bound the per-user
+    fan-out), then one distinct-count pass per stage."""
+    ev = load_table(spark, "events", sf_dir)
+    step = F.expr(f"INTERVAL {FUNNEL_STEP_MIN} MINUTES")
+
+    def stage(t: str, user: str, ts: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select(
+            F.col("user_id").alias(user), F.col("ts").alias(ts)
+        )
+
+    views = stage("view", "v_user", "v_ts")
+    clicks = stage("click", "c_user", "c_ts")
+    purchases = stage("purchase", "p_user", "p_ts")
+    vc = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + step),
+    )
+    vcp = vc.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + step),
+    )
+    return (
+        views.agg(F.countDistinct("v_user").alias("n_view"))
+        .crossJoin(vc.agg(F.countDistinct("v_user").alias("n_view_click")))
+        .crossJoin(vcp.agg(F.countDistinct("v_user").alias("n_full_funnel")))
+    )
+
+
+EV_FUNNEL_SQL = f"""
+WITH v AS (SELECT user_id u, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id u, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id u, ts FROM events WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.u, c.ts AS c_ts FROM v JOIN c ON v.u = c.u
+  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL {FUNNEL_STEP_MIN} MINUTE),
+vcp AS (
+  SELECT vc.u FROM vc JOIN p ON vc.u = p.u
+  AND p.ts > vc.c_ts AND p.ts <= vc.c_ts + INTERVAL {FUNNEL_STEP_MIN} MINUTE)
+SELECT (SELECT COUNT(DISTINCT u) FROM v) AS n_view,
+       (SELECT COUNT(DISTINCT u) FROM vc) AS n_view_click,
+       (SELECT COUNT(DISTINCT u) FROM vcp) AS n_full_funnel
+"""
+
+
 QUERIES = {
     "ev_tumbling_window": QueryDef(ev_tumbling_window, EV_TUMBLING_SQL, "5m tumbling window agg"),
     "ev_sliding_window": QueryDef(ev_sliding_window, EV_SLIDING_SQL, "1h/15m sliding window"),
@@ -298,4 +359,7 @@ QUERIES = {
     "ev_first_touch": QueryDef(ev_first_touch, EV_FIRST_TOUCH_SQL, "first-touch dedup by rank"),
     "ev_json_props": QueryDef(ev_json_props, EV_JSON_SQL, "JSON path extraction + agg"),
     "ev_interval_join": QueryDef(ev_interval_join, EV_INTERVAL_SQL, "1-hour range join"),
+    "ev_funnel": QueryDef(
+        ev_funnel, EV_FUNNEL_SQL, f"3-step funnel, {FUNNEL_STEP_MIN}m step windows"
+    ),
 }

@@ -232,9 +232,16 @@ def bfs_distances(
     # persist the projected edge list: every hop is its OWN action (the
     # frontier checkpoint), so without a shared materialization the edge
     # derivation (often an expensive projection, e.g. the co-supply
-    # self-join) would recompute once per hop. Unpersisted before
-    # returning — the result depends only on the checkpointed frontiers.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("id")).dropDuplicates().persist()
+    # self-join) would recompute once per hop. Partitioned on the join
+    # key so each hop shuffles only the (small) frontier, never the edge
+    # table. Unpersisted before returning — the result depends only on
+    # the checkpointed frontiers.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("id"))
+        .dropDuplicates()
+        .repartition("u")
+        .persist()
+    )
     try:
         for hop in range(1, max_hops + 1):
             nxt = (

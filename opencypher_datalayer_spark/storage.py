@@ -376,6 +376,21 @@ class ParquetGraphStorage:
         os.replace(tmp, os.path.join(self.root, _CURRENT))
         return new_v
 
+    def compact(self, spark: SparkSession, cluster_buckets: int = 8) -> int:
+        """Rewrite the current version range-clustered — the OPTIMIZE
+        role in a table format. Repeated ``merge_commit``s each append a
+        few small files with overlapping key ranges, which slowly erodes
+        manifest pruning selectivity; compaction loads the live snapshot
+        once, range-partitions each table on its merge key, and commits
+        a fresh version whose files cover narrow disjoint ranges (old
+        versions stay readable for time travel until ``vacuum``)."""
+        return self.commit(self.load(spark), cluster_buckets=cluster_buckets)
+
+    def file_count(self, table: str, version: int | None = None) -> int:
+        v = self.current_version() if version is None else version
+        tdir = os.path.join(self._version_dir(v), table)
+        return len(glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True))
+
     def _read_files(
         self, spark: SparkSession, vdir: str, table: str, rel_paths: list[str]
     ) -> DataFrame:

@@ -137,3 +137,39 @@ def _snapshot_of(spark, storage, batch):
          for r in full.nodes.collect()},
         {(r["src"], r["rel_type"], r["dst"], r["source"]) for r in full.edges.collect()},
     )
+
+
+def test_compact_shrinks_files_preserves_data(spark, tmp_path):
+    """Repeated merge commits accumulate small appended files; compact
+    rewrites the snapshot range-clustered with fewer files and exactly
+    the same rows."""
+    storage = _seed(spark, str(tmp_path / "st"), n=40, buckets=4)
+    for k in range(5):
+        batch = _batch(
+            spark,
+            [
+                {
+                    "id": f"{NS}/n{(7 * k + j) % 40:04d}",
+                    "props": {f"{NS}/name": f"upd{k}_{j}"},
+                    "refs": {},
+                }
+                for j in range(3)
+            ],
+        )
+        storage.merge_commit(spark, batch, "P", "s")
+    before_files = storage.file_count("nodes")
+    before = sorted(
+        (r["gid"], r["props"]["name"]) for r in storage.load(spark).nodes.collect()
+    )
+
+    v = storage.compact(spark, cluster_buckets=4)
+    after_files = storage.file_count("nodes")
+    after = sorted(
+        (r["gid"], r["props"]["name"]) for r in storage.load(spark).nodes.collect()
+    )
+    assert v == storage.current_version()
+    assert after == before
+    assert after_files < before_files
+    # compaction re-tightens pruning: a point lookup hits few files again
+    hit, total = storage.pruned_files("nodes", [f"{NS}/n0005"])
+    assert hit is not None and len(hit) < total

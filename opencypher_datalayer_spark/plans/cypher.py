@@ -86,12 +86,18 @@ class ReturnItem:
 
 @dataclass
 class WithStage:
-    """MATCH* WITH items [WHERE expr] — a projection/aggregation stage
-    feeding the next part of the query (Cypher's pipeline operator)."""
+    """MATCH* WITH items [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE expr]
+    — a projection/aggregation stage feeding the next part of the query
+    (Cypher's pipeline operator). ORDER BY/SKIP/LIMIT select rows on
+    the projected stage (mid-pipeline top-k); WHERE then filters the
+    selected rows."""
 
     matches: list[MatchClause]
     items: list["ReturnItem"]
     where: "Expr | None"
+    order_by: list[tuple["Expr", bool]] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -367,11 +373,12 @@ class Parser:
             while self.at_sym(","):
                 self.take()
                 items.append(self.parse_return_item())
+            order_by, skip, limit = self._parse_order_skip_limit()
             where = None
             if self.at_kw("where"):
                 self.take()
                 where = self.parse_expr()
-            stages.append(WithStage(matches, items, where))
+            stages.append(WithStage(matches, items, where, order_by, skip, limit))
             matches = self.parse_matches()
 
         self.expect_kw("return")
@@ -384,6 +391,14 @@ class Parser:
             self.take()
             returns.append(self.parse_return_item())
 
+        order_by, skip, limit = self._parse_order_skip_limit()
+        if self.peek() is not None:
+            raise CypherError(f"unexpected trailing input: {self._ctx()}")
+        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
+
+    def _parse_order_skip_limit(
+        self,
+    ) -> tuple[list[tuple[Expr, bool]], int | None, int | None]:
         order_by: list[tuple[Expr, bool]] = []
         if self.at_kw("order"):
             self.take()
@@ -405,9 +420,7 @@ class Parser:
         if self.at_kw("limit"):
             self.take()
             limit = int(self.take().value)
-        if self.peek() is not None:
-            raise CypherError(f"unexpected trailing input: {self._ctx()}")
-        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
+        return order_by, skip, limit
 
     def parse_path(self) -> PathPat:
         t = self.peek()
@@ -1035,12 +1048,21 @@ class PlanState:
             return [f"{v}__hops"]
         return [v]  # scalar: one plain column
 
-    def apply_with(self, items: list[ReturnItem], where: Expr | None) -> None:
+    def apply_with(
+        self,
+        items: list[ReturnItem],
+        where: Expr | None,
+        order_by: list[tuple[Expr, bool]] | None = None,
+        skip: int | None = None,
+        limit: int | None = None,
+    ) -> None:
         """WITH projection/aggregation: pattern variables pass through
         with their full column namespace (so later MATCH/RETURN can keep
         using them); everything else becomes a named scalar column.
         Aggregates trigger Cypher's implicit group-by over the
-        non-aggregated items."""
+        non-aggregated items. ORDER BY/SKIP/LIMIT select rows on the
+        projected stage (mid-pipeline top-k); WHERE filters after the
+        selection."""
         agg_items = [r for r in items if isinstance(r.expr, Agg)]
         passthrough: list[str] = []
         scalar_items: list[ReturnItem] = []
@@ -1073,6 +1095,16 @@ class PlanState:
         for r in agg_items:
             new_vars[r.name] = "scalar"
         self.df, self.vars = out, new_vars
+        if order_by:
+            sort_cols = []
+            for e, asc in order_by:
+                col = self.to_column(e)
+                sort_cols.append(col.asc() if asc else col.desc())
+            self.df = self.df.orderBy(*sort_cols)
+        if skip:
+            self.df = self.df.offset(skip)
+        if limit is not None:
+            self.df = self.df.limit(limit)
         if where is not None:
             self.df = self.df.where(self.to_condition(self.bind_pattern_exists(where)))
 
@@ -1326,7 +1358,9 @@ def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> Dat
     for stage in q.stages:
         for m in stage.matches:
             state.add_match(m)
-        state.apply_with(stage.items, stage.where)
+        state.apply_with(
+            stage.items, stage.where, stage.order_by, stage.skip, stage.limit
+        )
     for m in q.matches:
         state.add_match(m)
 

@@ -598,3 +598,39 @@ def test_exists_scalar_form_still_works(store):
         )
     )
     assert out == [{"n": 4}]
+
+
+def test_with_order_limit_topk_stage(store):
+    """WITH ... ORDER BY ... LIMIT — mid-pipeline top-k feeding a later
+    stage."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH n ORDER BY n.age DESC LIMIT 2 "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "joe"]
+
+
+def test_with_order_skip(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH n.name AS name, n.age AS age "
+            "ORDER BY age ASC SKIP 1 LIMIT 2 RETURN name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian"]
+
+
+def test_with_limit_then_where(store):
+    """WHERE filters the limited rows (selection before predicate)."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH n.name AS name, n.age AS age "
+            "ORDER BY age DESC LIMIT 2 WHERE age > 40 RETURN name",
+        )
+    )
+    assert [r["name"] for r in out] == ["joe"]

@@ -253,7 +253,7 @@ _KEYWORDS = {
     "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
     "asc", "ascending", "desc", "descending", "collect", "count", "sum",
     "min", "max", "avg", "starts", "ends", "contains", "in",
-    "case", "when", "then", "else", "end",
+    "case", "when", "then", "else", "end", "union", "all",
     # write-statement clauses (plans.cypher_write)
     "unwind", "with", "merge", "set", "delete", "detach",
 }
@@ -392,9 +392,27 @@ class Parser:
             returns.append(self.parse_return_item())
 
         order_by, skip, limit = self._parse_order_skip_limit()
+        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
+
+    def parse_union(self) -> list[tuple[bool, "Query"]]:
+        """Top level: query (UNION [ALL] query)*. Returns [(all?, q), ...]
+        with the first branch's flag unused. Mixing UNION and UNION ALL
+        in one statement is rejected (as in openCypher)."""
+        branches = [(False, self.parse())]
+        flags: set[bool] = set()
+        while self.at_kw("union"):
+            self.take()
+            keep_dups = False
+            if self.at_kw("all"):
+                self.take()
+                keep_dups = True
+            flags.add(keep_dups)
+            branches.append((keep_dups, self.parse()))
+        if len(flags) > 1:
+            raise CypherError("cannot mix UNION and UNION ALL")
         if self.peek() is not None:
             raise CypherError(f"unexpected trailing input: {self._ctx()}")
-        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
+        return branches
 
     def _parse_order_skip_limit(
         self,
@@ -1347,8 +1365,27 @@ def _agg_column(state: PlanState, a: Agg, name: str) -> Column:
 
 
 def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> DataFrame:
-    """Parse and execute a read-only Cypher query against the store."""
-    q = Parser(tokenize(query)).parse()
+    """Parse and execute a read-only Cypher query against the store.
+    UNION branches plan independently and combine by column name; plain
+    UNION deduplicates the combined result (openCypher set semantics),
+    UNION ALL keeps every row."""
+    branches = Parser(tokenize(query)).parse_union()
+    out = _run_single(store, branches[0][1], params)
+    if len(branches) > 1:
+        for _, q2 in branches[1:]:
+            df2 = _run_single(store, q2, params)
+            if df2.columns != out.columns:
+                raise CypherError(
+                    f"UNION branches must return the same columns: "
+                    f"{out.columns} vs {df2.columns}"
+                )
+            out = out.unionByName(df2)
+        if not branches[1][0]:  # plain UNION => set semantics
+            out = out.dropDuplicates()
+    return out
+
+
+def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
     state = PlanState(store)
     for src, var in q.unwinds:
         values = (params or {}).get(src.name) if isinstance(src, Param) else src.value

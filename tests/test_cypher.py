@@ -634,3 +634,44 @@ def test_with_limit_then_where(store):
         )
     )
     assert [r["name"] for r in out] == ["joe"]
+
+
+def test_union_all_keeps_duplicates(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'brian'}) RETURN n.name AS name "
+            "UNION ALL MATCH (n:Person) WHERE n.age < 30 RETURN n.name AS name",
+        )
+    )
+    assert sorted(r["name"] for r in out) == ["brian", "brian", "zoe"]
+
+
+def test_union_set_semantics(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'brian'}) RETURN n.name AS name "
+            "UNION MATCH (n:Person) WHERE n.age < 30 RETURN n.name AS name",
+        )
+    )
+    assert sorted(r["name"] for r in out) == ["brian", "zoe"]
+
+
+def test_union_column_mismatch_raises(store):
+    with pytest.raises(CypherError):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name "
+            "UNION MATCH (n:Person) RETURN n.age AS age",
+        )
+
+
+def test_union_mixed_flags_raises(store):
+    with pytest.raises(CypherError):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name "
+            "UNION MATCH (n:Person) RETURN n.name AS name "
+            "UNION ALL MATCH (n:Person) RETURN n.name AS name",
+        )

@@ -140,3 +140,37 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> Da
     covers most pipeline enrichments; reach for a stream-stream join
     only when BOTH sides move."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_funnel(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Chained stream-stream joins: the 3-step funnel (view -> click ->
+    purchase, each step within 30 minutes) as two time-banded joins with
+    watermarks on every input — Spark's multiple-stateful-operator
+    pipeline. State for each join is bounded by the watermark plus the
+    30-minute band; identical chain condition to
+    ``benchqueries.temporal.ev_funnel``'s vcp stage."""
+    step = F.expr("INTERVAL 30 MINUTES")
+
+    def leg(t: str, user: str, ts: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == t)
+            .select(F.col("user_id").alias(user), F.col("ts").alias(ts))
+            .withWatermark(ts, watermark)
+        )
+
+    vc = leg("view", "v_user", "v_ts").join(
+        leg("click", "c_user", "c_ts"),
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + step),
+    )
+    # downstream stateful ops allow ONE event-time column: rebuild v_ts
+    # through integer micros so it sheds its watermark metadata and
+    # c_ts alone drives the second join's state eviction
+    vc = vc.withColumn("v_ts", F.timestamp_micros(F.unix_micros(F.col("v_ts"))))
+    return vc.join(
+        leg("purchase", "p_user", "p_ts"),
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + step),
+    ).select("v_user", "v_ts", "c_ts", "p_ts")

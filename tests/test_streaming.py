@@ -244,3 +244,47 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_funnel_chain_equals_batch(spark, sf_dir):
+    """Chained stream-stream joins (two time-banded joins, watermarks on
+    all inputs) emit exactly the batch funnel chains."""
+    from opencypher_datalayer_spark.sources.tables import load_table
+    from opencypher_datalayer_spark.streaming.windows import stream_funnel
+
+    q = (
+        stream_funnel(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_funnel")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM stream_funnel").collect()
+    }
+
+    ev = load_table(spark, "events", sf_dir)
+    step = F.expr("INTERVAL 30 MINUTES")
+    leg = lambda t, u, ts: ev.where(F.col("event_type") == t).select(  # noqa: E731
+        F.col("user_id").alias(u), F.col("ts").alias(ts)
+    )
+    batch_df = (
+        leg("view", "v_user", "v_ts")
+        .join(
+            leg("click", "c_user", "c_ts"),
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + step),
+        )
+        .join(
+            leg("purchase", "p_user", "p_ts"),
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + step),
+        )
+        .select("v_user", "v_ts", "c_ts", "p_ts")
+    )
+    batch = {tuple(r) for r in batch_df.collect()}
+    assert streamed == batch

@@ -81,6 +81,7 @@ EXTENDED = {
     "g_expand_collect": "cy_expand_collect",
     "g_two_hop": "g_order_region_revenue",  # 3-hop subsumes 2-hop
     "g_label_prop": "g_pagerank",  # iterative fixed-schedule graph algorithm
+    "g_neighborhood_agg": "g_order_region_revenue",  # motif join + aggregation family
     "cy_scalar_functions": "q_scalar_functions",  # fn library (parser covered by 5 cy_ entries)
     "cy_case_exists": "cy_with_having",  # WITH-stage bucketing via front-end
     # dedup: intermediate artifacts of their consumer queries
@@ -93,6 +94,7 @@ EXTENDED = {
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
     "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
     "text_tfidf_topk": "text_corpus_stats",  # corpus-level term statistics family
+    "text_negative_samples": "text_stratified_sample",  # deterministic-hash pairing
     "text_shard_layout": "text_stratified_sample",  # deterministic-hash partitioning
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",
@@ -103,6 +105,7 @@ EXTENDED = {
     # temporal
     "ev_sliding_window": "ev_tumbling_window",  # F.window, slide = width special case
     "ev_funnel": "ev_interval_join",  # time-banded equi-join chain family
+    "ev_gap_fill": "ev_sessionize",  # per-user ordered-window family
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank
     # multimodal
     "mm_binary_meta": "mm_typed_metadata",

@@ -271,6 +271,83 @@ ORDER BY tr.doc_id
 """
 
 
+# -- deterministic negative sampling ------------------------------------
+
+NEG_K = 4  # negatives kept per document
+NEG_OVERSAMPLE = 4  # extra candidates to absorb self-hits / misses
+
+
+def text_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{NEG_K} pseudo-random negative documents per document for
+    contrastive training — deterministic (hash-derived, no RNG), so the
+    pairing is reproducible across engines, runs, and partitionings.
+
+    Candidate ``i`` for a doc is ``md5(doc_id || '#' || i) mod N``,
+    semi-joined against the real id set (drops misses on sparse id
+    domains), self-pairs excluded, then the first {NEG_K} surviving
+    candidates by ``i`` are kept. No global sort or index: candidate
+    generation is a pure column explode and the validity check is one
+    equi-join on the id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    cand_i = F.explode(
+        F.sequence(F.lit(0), F.lit(NEG_K + NEG_OVERSAMPLE - 1))
+    ).alias("i")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"), F.col("i").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cands = (
+        docs.crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "n_corpus", cand_i)
+        .withColumn("cand", h % F.col("n_corpus"))
+        .where(F.col("cand") != F.col("doc_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("cand")).dropDuplicates(), "cand"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("neg_rank") <= NEG_K)
+        .select("doc_id", F.col("cand").alias("neg_doc_id"), "neg_rank")
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+TEXT_NEGATIVES_SQL = f"""
+WITH ids AS (SELECT doc_id FROM documents),
+n AS (SELECT COUNT(*) AS n_corpus FROM ids),
+cands AS (
+  SELECT ids.doc_id, t.i,
+         ('0x' || substr(md5(CAST(ids.doc_id AS VARCHAR) || '#'
+                             || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+           % n.n_corpus AS cand
+  FROM ids, n, unnest(range(0, {NEG_K + NEG_OVERSAMPLE})) AS t(i)),
+valid AS (
+  SELECT c.doc_id, c.i, c.cand
+  FROM cands c JOIN ids r ON c.cand = r.doc_id
+  WHERE c.cand <> c.doc_id)
+SELECT doc_id, cand AS neg_doc_id, CAST(neg_rank AS BIGINT) AS neg_rank FROM (
+  SELECT doc_id, i, cand,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS neg_rank
+  FROM valid)
+WHERE neg_rank <= {NEG_K}
+ORDER BY doc_id, neg_rank
+"""
+
+
 QUERIES = {
     "text_repetition": QueryDef(
         text_repetition, TEXT_REPETITION_SQL, "Gopher-style n-gram repetition quality"
@@ -280,5 +357,10 @@ QUERIES = {
     ),
     "text_decontaminate": QueryDef(
         text_decontaminate, TEXT_DECONTAMINATE_SQL, "eval-set n-gram decontamination"
+    ),
+    "text_negative_samples": QueryDef(
+        text_negative_samples,
+        TEXT_NEGATIVES_SQL,
+        f"deterministic {NEG_K}-per-doc contrastive negatives",
     ),
 }

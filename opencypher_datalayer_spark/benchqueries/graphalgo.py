@@ -234,6 +234,84 @@ ORDER BY l.id"""
 G_LPA_SQL = _lpa_oracle_sql(LPA_ITER)
 
 
+# -- neighborhood feature aggregation (GNN sampling shape) --------------
+
+
+def g_neighborhood_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node neighborhood features on the co-supply graph — the
+    aggregation a GNN sampler materializes per layer: own degree, 1-hop
+    neighbor degree sum/max, and the distinct 2-hop neighborhood size
+    (excluding self). All-integer arithmetic => exact oracle.
+
+    Scale shape: the degree frame is joined onto the edge list (both
+    keyed on the node id — co-partitioned), 1-hop stats are one
+    map-side-combinable aggregate, and the 2-hop count is the standard
+    two-edge join with a distinct before counting; no collect, no
+    per-row Python."""
+    e = _co_supply_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    hop1 = (
+        sym.join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum("nd").alias("nbr_deg_sum"),
+            F.max("nd").alias("nbr_deg_max"),
+        )
+    )
+    two = (
+        sym.select(F.col("src").alias("id"), F.col("dst").alias("mid"))
+        .join(
+            sym.select(F.col("src").alias("mid"), F.col("dst").alias("far")), "mid"
+        )
+        .where(F.col("far") != F.col("id"))
+        .select("id", "far")
+        .dropDuplicates()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_two_hop"))
+    )
+    return (
+        deg.join(hop1, "id")
+        .join(two, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.col("nbr_deg_sum").cast("bigint").alias("nbr_deg_sum"),
+            "nbr_deg_max",
+            F.coalesce(F.col("n_two_hop"), F.lit(0)).cast("bigint").alias("n_two_hop"),
+        )
+        .orderBy("id")
+    )
+
+
+G_NEIGHBORHOOD_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e0 AS (
+  SELECT a.s AS x, b.s AS y
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {CO_SUPPLY_SUPPORT}),
+e AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+deg AS (SELECT x AS id, COUNT(*) AS deg FROM e GROUP BY x),
+hop1 AS (
+  SELECT e.x AS id, CAST(SUM(d.deg) AS BIGINT) AS nbr_deg_sum,
+         MAX(d.deg) AS nbr_deg_max
+  FROM e JOIN deg d ON e.y = d.id GROUP BY e.x),
+two AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_two_hop FROM (
+    SELECT DISTINCT a.x AS id, b.y AS far
+    FROM e a JOIN e b ON a.y = b.x WHERE b.y <> a.x)
+  GROUP BY id)
+SELECT deg.id, deg.deg, hop1.nbr_deg_sum, hop1.nbr_deg_max,
+       CAST(COALESCE(two.n_two_hop, 0) AS BIGINT) AS n_two_hop
+FROM deg JOIN hop1 ON deg.id = hop1.id
+LEFT JOIN two ON deg.id = two.id
+ORDER BY deg.id
+"""
+
+
 QUERIES = {
     "g_triangle_count": QueryDef(
         g_triangle_count, G_TRIANGLES_SQL, "triangles in the supplier co-supply graph"
@@ -246,5 +324,8 @@ QUERIES = {
     ),
     "g_label_prop": QueryDef(
         g_label_prop, G_LPA_SQL, f"{LPA_ITER}-round deterministic LPA communities"
+    ),
+    "g_neighborhood_agg": QueryDef(
+        g_neighborhood_agg, G_NEIGHBORHOOD_SQL, "1/2-hop GNN-style node features"
     ),
 }

@@ -290,6 +290,97 @@ ORDER BY event_type
 """
 
 
+# -- gap-fill / resample ------------------------------------------------
+
+GAPFILL_USER_MOD = 50  # keep the per-user grid fan-out bounded in tests
+
+
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto an hourly grid with
+    forward-fill — the gap-fill operator time-series stores ship
+    natively, composed from Spark primitives: per-user min/max bounds
+    one tiny aggregate, ``sequence`` + ``explode`` generates the grid
+    (no driver loop), observations aggregate per bucket with
+    ``max_by(value, (ts, event_id))`` (exact last-in-bucket, no float
+    accumulation), and the fill is ``last(ignorenulls)`` over the
+    user-partitioned grid order.
+
+    Scale shape: grid generation is embarrassingly parallel from the
+    per-user bounds row; the bucket aggregate and the fill window both
+    key on user_id, so the whole pipeline is one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour).alias("h_min"), F.max(hour).alias("h_max")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("grid_ts"),
+    )
+    # last-in-bucket needs a TOTAL order key; DuckDB's max_by takes only
+    # scalar keys, so encode (ts, event_id) as one fixed-width string —
+    # lexicographic order == numeric order for zero-padded fields
+    last_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    obs = (
+        ev.groupBy("user_id", hour.alias("grid_ts"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.max_by("value", last_key).alias("last_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "grid_ts"], "left")
+        .select(
+            "user_id",
+            "grid_ts",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+EV_GAPFILL_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h_min,
+         date_trunc('hour', MAX(ts)) AS h_max
+  FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR))
+           AS grid_ts
+  FROM bounds),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS grid_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_value
+  FROM ev GROUP BY user_id, date_trunc('hour', ts))
+SELECT g.user_id, g.grid_ts,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       last_value(o.last_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.grid_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts = o.grid_ts
+ORDER BY g.user_id, g.grid_ts
+"""
+
+
 # -- funnel analysis ----------------------------------------------------
 
 FUNNEL_STEP_MIN = 30  # max minutes between consecutive funnel steps
@@ -361,5 +452,8 @@ QUERIES = {
     "ev_interval_join": QueryDef(ev_interval_join, EV_INTERVAL_SQL, "1-hour range join"),
     "ev_funnel": QueryDef(
         ev_funnel, EV_FUNNEL_SQL, f"3-step funnel, {FUNNEL_STEP_MIN}m step windows"
+    ),
+    "ev_gap_fill": QueryDef(
+        ev_gap_fill, EV_GAPFILL_SQL, "hourly grid resample + forward fill"
     ),
 }

@@ -80,7 +80,6 @@ EXTENDED = {
     "g_match_filter": "cy_match_filter",
     "g_expand_collect": "cy_expand_collect",
     "g_two_hop": "g_order_region_revenue",  # 3-hop subsumes 2-hop
-    "g_label_prop": "g_pagerank",  # iterative fixed-schedule graph algorithm
     "g_neighborhood_agg": "g_order_region_revenue",  # motif join + aggregation family
     "cy_scalar_functions": "q_scalar_functions",  # fn library (parser covered by 5 cy_ entries)
     "cy_case_exists": "cy_with_having",  # WITH-stage bucketing via front-end
@@ -93,15 +92,17 @@ EXTENDED = {
     "text_mixture_upsample": "text_stratified_sample",  # deterministic-hash sampling
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
     "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
-    "text_tfidf_topk": "text_corpus_stats",  # corpus-level term statistics family
     "text_negative_samples": "text_stratified_sample",  # deterministic-hash pairing
+    # demoted to make primary room for LPA / SQ8 / TF-IDF (round-3 cont.):
+    "mm_frame_sample": "mm_decode_features",  # same mapInPandas binary family
+    "text_fingerprint": "dedup_exact",  # canonical-form hash fingerprint family
+    "text_token_count": "text_quality",  # per-doc token statistics family
     "text_shard_layout": "text_stratified_sample",  # deterministic-hash partitioning
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
     "sim_ivf_cells": "sim_ivf_topk",
     "sim_label_centroids": "sim_ivf_topk",  # centroid build is IVF's first stage
-    "sim_sq8_topk": "sim_ivf_topk",  # quantize-then-rerank ANN family
     # temporal
     "ev_sliding_window": "ev_tumbling_window",  # F.window, slide = width special case
     "ev_funnel": "ev_interval_join",  # time-banded equi-join chain family

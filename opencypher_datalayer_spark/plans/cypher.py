@@ -1417,10 +1417,18 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
         out = out.dropDuplicates()
     if q.order_by:
         by_name = {r.name for r in q.returns}
+        by_expr = {repr(r.expr): r.name for r in q.returns}
         sort_cols = []
         for e, asc in q.order_by:
             nm = _expr_name(e)
-            col = _ncol(nm) if nm in by_name else state.to_column(e)
+            if nm in by_name:
+                col = _ncol(nm)
+            elif repr(e) in by_expr:
+                # ORDER BY repeats a return expression (e.g. an aliased
+                # aggregate: RETURN count(c) AS n ... ORDER BY count(c))
+                col = _ncol(by_expr[repr(e)])
+            else:
+                col = state.to_column(e)
             sort_cols.append(col.asc() if asc else col.desc())
         out = out.orderBy(*sort_cols)
     if q.skip:

@@ -675,3 +675,19 @@ def test_union_mixed_flags_raises(store):
             "UNION MATCH (n:Person) RETURN n.name AS name "
             "UNION ALL MATCH (n:Person) RETURN n.name AS name",
         )
+
+
+def test_order_by_aggregate_expression(store):
+    """ORDER BY count(r) where the RETURN aliases the same aggregate."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person)-[r:worksfor]->(m) "
+            "RETURN m.gid AS employer, count(r) AS n_emps "
+            "ORDER BY count(r) DESC, employer ASC",
+        )
+    )
+    assert out == [
+        {"employer": f"{NS}/things/mimiro", "n_emps": 2},
+        {"employer": f"{NS}/things/acme", "n_emps": 1},
+    ]

@@ -45,6 +45,7 @@ HEADLINE = [
     "g_triangle_count",
     "g_bfs_distances",
     "g_label_prop",
+    "g_neighborhood_agg",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -68,6 +69,8 @@ HEADLINE = [
     "ev_tumbling_window",
     "ev_interval_join",
     "ev_json_props",
+    "ev_funnel",
+    "ev_gap_fill",
     # multimodal
     "mm_decode_features",
 ]

@@ -40,9 +40,13 @@ _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, P) for _ in range(H)]
 MINHASH_B = [_rng.randrange(0, P) for _ in range(H)]
 
-# SimHash: 32-bit fingerprint over word tokens, banded into 4 chunks of 8
-# bits; Hamming radius 3 < 4 chunks => chunk-equality banding is lossless.
-SIMHASH_BITS = 32
+# SimHash: 60-bit fingerprint over word tokens, banded into 4 chunks of
+# 15 bits; Hamming radius 3 < 4 chunks => chunk-equality banding is
+# lossless. 60 bits = the full entropy of a 15-hex-digit md5 prefix
+# (a mod-P hash would cap the usable bits at ~30 and leave the high
+# fingerprint bits constant), and 15-bit bands give 32768 bucket values
+# — band-collision volume scales as n^2/2^15 instead of n^2/2^8.
+SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3
 
@@ -54,6 +58,16 @@ def _spark_hash64(col) -> F.Column:  # type: ignore[name-defined]
 
 def _duck_hash64(expr: str) -> str:
     return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
+
+
+def _spark_hash60(col) -> F.Column:  # type: ignore[name-defined]
+    """Unreduced 60-bit md5-prefix hash — full bit entropy for per-bit
+    consumers (SimHash needs independent bits, not a modular residue)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _duck_hash60(expr: str) -> str:
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
 
 
 def _shingles(
@@ -379,13 +393,15 @@ ORDER BY d.doc_id
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash over word tokens: bit j is the sign of the
-    sum over tokens of +-1 depending on bit j of the token hash."""
+    """Per-doc {SIMHASH_BITS}-bit SimHash over word tokens: bit j is the
+    sign of the sum over tokens of +-1 depending on bit j of the token
+    hash (the UNREDUCED 60-bit hash — a modular residue would zero the
+    high bits)."""
     docs = load_table(spark, "documents", sf_dir)
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    tokens = tokens.withColumn("h", _spark_hash64(F.col("tok")))
+    tokens = tokens.withColumn("h", _spark_hash60(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -412,7 +428,7 @@ def _duck_simhash_cte() -> str:
     return f"""
 tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
-toks AS (SELECT doc_id, {_duck_hash64('t')} AS h FROM tok WHERE t <> ''),
+toks AS (SELECT doc_id, {_duck_hash60('t')} AS h FROM tok WHERE t <> ''),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
 simhashed AS (SELECT doc_id, {fp} AS simhash FROM sums)
 """

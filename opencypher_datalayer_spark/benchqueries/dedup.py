@@ -402,34 +402,58 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     tokens = tokens.withColumn("h", _spark_hash60(F.col("tok")))
-    bit_sums = [
+    # pack 3 per-bit ONES-counters into each int64 aggregate (21 bits
+    # per counter => exact up to 2^21 tokens/doc): 20 packed sums + one
+    # count instead of 60 conditional sums. bit j of the fingerprint is
+    # sign(sum +-1) > 0  <=>  2*ones_j > n_tokens — identical result.
+    packed = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+            sum(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), 3 * g + k).bitwiseAND(F.lit(1)).cast(
+                        "bigint"
+                    ),
+                    21 * k,
+                )
+                for k in range(3)
+            )
+        ).alias(f"p{g}")
+        for g in range(SIMHASH_BITS // 3)
     ]
-    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    sums = tokens.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
+    mask = (1 << 21) - 1
     fp = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        g, k = divmod(j, 3)
+        ones = F.shiftright(F.col(f"p{g}"), 21 * k).bitwiseAND(F.lit(mask))
+        bit = F.when(ones * 2 > F.col("n"), F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         fp = bit if fp is None else (fp + bit)
     return sums.select("doc_id", fp.alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:
-    bit_sums = ",\n    ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+    # mirror of the packed-counter build: 3 ones-counters per int64
+    packed = ",\n    ".join(
+        "SUM("
+        + " + ".join(
+            f"(((h >> {3 * g + k}) & 1) << {21 * k})" for k in range(3)
+        )
+        + f") AS p{g}"
+        for g in range(SIMHASH_BITS // 3)
     )
+    mask = (1 << 21) - 1
     fp = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN ((p{j // 3} >> {21 * (j % 3)}) & {mask}) * 2 > n "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
     return f"""
 tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
 toks AS (SELECT doc_id, {_duck_hash60('t')} AS h FROM tok WHERE t <> ''),
-sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+sums AS (SELECT doc_id, COUNT(*) AS n, {packed} FROM toks GROUP BY doc_id),
 simhashed AS (SELECT doc_id, {fp} AS simhash FROM sums)
 """
 
@@ -453,7 +477,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming filter runs only on candidates. The oracle does the
     naive pairwise filter — same result, different (non-scalable) plan.
     """
-    fp = _simhash(spark, sf_dir)
+    # the banding self-join references the fingerprint frame twice;
+    # a lazy lineage cut materializes the (tiny, one row per doc)
+    # aggregate once instead of re-running the token pipeline per side
+    fp = _simhash(spark, sf_dir).localCheckpoint(eager=False)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = fp.select(

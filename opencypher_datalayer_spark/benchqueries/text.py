@@ -383,6 +383,76 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# -- chunk-level exact dedup -------------------------------------------
+
+
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity — the pass a training pipeline
+    runs after windowing, where duplication hides below the document
+    level: chunk -> md5 fingerprint -> keeper = lexicographically first
+    (doc_id, chunk_idx) occurrence; per-doc rollup of how much of the
+    doc survives. Composition of two already-verified stages (chunking
+    expressions + hash-groupBy dedup): one shuffle on the fingerprint,
+    one on doc_id."""
+    chunks = chunk_transform(load_table(spark, "documents", sf_dir))
+    fp = chunks.withColumn("fp", F.md5("chunk_text"))
+    keeper_key = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("chunk_idx").cast("string"), 8, "0"),
+    )
+    keepers = (
+        fp.withColumn("k", keeper_key)
+        .groupBy("fp")
+        .agg(F.min("k").alias("keeper_k"), F.count("*").alias("n_copies"))
+    )
+    return (
+        fp.withColumn("k", keeper_key)
+        .join(keepers, "fp")
+        .withColumn("is_keeper", F.col("k") == F.col("keeper_k"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).cast("bigint").alias(
+                "n_dup_chunks"
+            ),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CHUNK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(length(toks) AS BIGINT), {CHUNK_STRIDE})) AS start
+  FROM t WHERE length(toks) > 0),
+chunks AS (
+  SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+         md5(array_to_string(list_slice(toks, start + 1, start + {CHUNK_W}), ' '))
+           AS fp,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0')
+           || lpad(CAST(start // {CHUNK_STRIDE} AS VARCHAR), 8, '0') AS k
+  FROM s),
+keepers AS (
+  SELECT fp, MIN(k) AS keeper_k, COUNT(*) AS n_copies FROM chunks GROUP BY fp)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.k = kp.keeper_k THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN c.k = kp.keeper_k THEN 0 ELSE 1 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM chunks c JOIN keepers kp ON c.fp = kp.fp
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 # -- sequence packing ---------------------------------------------------
 
 PACK_BUDGET = 256  # token budget per packed sequence
@@ -581,5 +651,8 @@ QUERIES = {
     ),
     "text_tfidf_topk": QueryDef(
         text_tfidf_topk, TEXT_TFIDF_SQL, f"top-{TFIDF_TOPK} TF-IDF terms per doc"
+    ),
+    "text_chunk_dedup": QueryDef(
+        text_chunk_dedup, TEXT_CHUNK_DEDUP_SQL, "chunk-granularity exact dedup rollup"
     ),
 }

@@ -1364,6 +1364,65 @@ def _agg_column(state: PlanState, a: Agg, name: str) -> Column:
     return getattr(F, a.fn)(c).alias(name)
 
 
+def _subst_params(e: Expr, params: dict | None) -> Expr:
+    """Resolve ``$name`` parameters in a read expression tree to literal
+    values at plan time — the read-side analog of the reference's
+    parameterized write statements (``$items``, neo4j.go:245)."""
+    s = lambda x: _subst_params(x, params)  # noqa: E731
+    if isinstance(e, Param):
+        if params is None or e.name not in params:
+            raise CypherError(f"missing parameter ${e.name}")
+        return Lit(params[e.name])
+    if isinstance(e, Cmp):
+        return Cmp(e.op, s(e.left), s(e.right))
+    if isinstance(e, Bool):
+        return Bool(e.op, s(e.left), s(e.right))
+    if isinstance(e, Not):
+        return Not(s(e.inner))
+    if isinstance(e, IsNull):
+        return IsNull(s(e.inner), e.negated)
+    if isinstance(e, StrPred):
+        return StrPred(e.op, s(e.left), s(e.right))
+    if isinstance(e, Agg):
+        return Agg(e.fn, None if e.inner is None else s(e.inner), e.distinct)
+    if isinstance(e, Func):
+        return Func(e.name, [s(a) for a in e.args])
+    if isinstance(e, Case):
+        return Case(
+            None if e.operand is None else s(e.operand),
+            [(s(w), s(t)) for w, t in e.whens],
+            None if e.default is None else s(e.default),
+        )
+    return e
+
+
+def _subst_query_params(q: Query, params: dict | None) -> None:
+    """In-place parameter resolution over every expression position of a
+    parsed read query (pattern property maps, WHEREs, WITH items,
+    RETURN items, ORDER BY)."""
+    def fix_match(m: MatchClause) -> None:
+        for p in m.paths:
+            for node in p.nodes:
+                for k, v in list(node.props.items()):
+                    node.props[k] = _subst_params(v, params)
+        if m.where is not None:
+            m.where = _subst_params(m.where, params)
+
+    for stage in q.stages:
+        for m in stage.matches:
+            fix_match(m)
+        for r in stage.items:
+            r.expr = _subst_params(r.expr, params)
+        if stage.where is not None:
+            stage.where = _subst_params(stage.where, params)
+        stage.order_by = [(_subst_params(e, params), a) for e, a in stage.order_by]
+    for m in q.matches:
+        fix_match(m)
+    for r in q.returns:
+        r.expr = _subst_params(r.expr, params)
+    q.order_by = [(_subst_params(e, params), a) for e, a in q.order_by]
+
+
 def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> DataFrame:
     """Parse and execute a read-only Cypher query against the store.
     UNION branches plan independently and combine by column name; plain
@@ -1386,6 +1445,7 @@ def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> Dat
 
 
 def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
+    _subst_query_params(q, params)  # UNWIND params resolve separately below
     state = PlanState(store)
     for src, var in q.unwinds:
         values = (params or {}).get(src.name) if isinstance(src, Param) else src.value

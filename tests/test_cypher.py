@@ -691,3 +691,32 @@ def test_order_by_aggregate_expression(store):
         {"employer": f"{NS}/things/mimiro", "n_emps": 2},
         {"employer": f"{NS}/things/acme", "n_emps": 1},
     ]
+
+
+def test_read_query_parameters(store):
+    """$params resolve in WHERE, pattern property maps, and RETURN."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.age > $min_age "
+            "RETURN n.name AS name, $tag AS tag ORDER BY name",
+            params={"min_age": 30, "tag": "senior"},
+        )
+    )
+    assert out == [
+        {"name": "ann", "tag": "senior"},
+        {"name": "joe", "tag": "senior"},
+    ]
+    out2 = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: $who}) RETURN n.gid AS gid",
+            params={"who": "brian"},
+        )
+    )
+    assert out2 == [{"gid": f"{NS}/things/p0"}]
+
+
+def test_missing_read_parameter_raises(store):
+    with pytest.raises(CypherError):
+        run_cypher(store, "MATCH (n:Person) WHERE n.age > $m RETURN n.name AS name")

@@ -94,6 +94,7 @@ EXTENDED = {
     "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
     "text_negative_samples": "text_stratified_sample",  # deterministic-hash pairing
     "text_chunk_dedup": "dedup_exact",  # hash-groupBy exact dedup family
+    "text_split_assign": "text_stratified_sample",  # deterministic-hash assignment
     # demoted to make primary room for LPA / SQ8 / TF-IDF (round-3 cont.):
     "mm_frame_sample": "mm_decode_features",  # same mapInPandas binary family
     "text_fingerprint": "dedup_exact",  # canonical-form hash fingerprint family

@@ -453,6 +453,45 @@ ORDER BY c.doc_id
 """
 
 
+# -- deterministic train/val/test split ---------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder is test
+
+
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment: the split is a
+    pure function of the doc_id hash, so it survives reshards, reruns,
+    engine swaps, and corpus growth (an existing doc never changes
+    split when new docs arrive — the property random splits lack).
+    Embarrassingly parallel; the rollup is one tiny aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    bucket = h % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 # -- sequence packing ---------------------------------------------------
 
 PACK_BUDGET = 256  # token budget per packed sequence
@@ -654,5 +693,8 @@ QUERIES = {
     ),
     "text_chunk_dedup": QueryDef(
         text_chunk_dedup, TEXT_CHUNK_DEDUP_SQL, "chunk-granularity exact dedup rollup"
+    ),
+    "text_split_assign": QueryDef(
+        text_split_assign, TEXT_SPLIT_SQL, "hash-stable train/val/test assignment"
     ),
 }

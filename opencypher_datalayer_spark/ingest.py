@@ -210,7 +210,7 @@ class DataLayer:
         toks = tokenize(statement)
         is_read = any(t.kind == "kw" and t.value == "return" for t in toks)
         if is_read:
-            return run_cypher(self._store, statement)
+            return run_cypher(self._store, statement, params)
         self._commit(run_cypher_write(self._store, statement, params))
         return None
 

@@ -139,6 +139,18 @@ def test_uda_sync_and_readback(service):
     assert body["columns"] == ["gid"]
     assert body["rows"] == [[f"{NS}/things/4"]]
 
+    # parameterized read over the wire (read path must forward params)
+    status, body = _req(
+        port,
+        "/query",
+        body={
+            "query": "MATCH (n:Person) WHERE n.name = $who RETURN n.gid AS gid",
+            "params": {"who": "jane"},
+        },
+    )
+    assert status == 200
+    assert body["rows"] == [[f"{NS}/things/4"]]
+
     # error surface: unknown dataset -> 404, bad query body -> 400
     status, body = _req(port, "/datasets/nope/entities?limit=1")
     assert status == 404

@@ -1124,11 +1124,11 @@ class PlanState:
         non-aggregated items. ORDER BY/SKIP/LIMIT select rows on the
         projected stage (mid-pipeline top-k); WHERE filters after the
         selection."""
-        agg_items = [r for r in items if isinstance(r.expr, Agg)]
+        agg_items = [r for r in items if _contains_agg(r.expr)]
         passthrough: list[str] = []
         scalar_items: list[ReturnItem] = []
         for r in items:
-            if isinstance(r.expr, Agg):
+            if _contains_agg(r.expr):
                 continue
             if (
                 isinstance(r.expr, Var)
@@ -1144,9 +1144,26 @@ class PlanState:
         group_cols = [F.col(c) for v in passthrough for c in self._var_cols(v)]
         scalar_cols = [self.to_column(r.expr).alias(r.name) for r in scalar_items]
         if agg_items:
-            aggs = [_agg_column(self, r.expr, r.name) for r in agg_items]
+            # unique aggregates compute once under positional names, then
+            # any wrapping arithmetic evaluates over the aggregated frame
+            # (same scheme as the RETURN path)
+            agg_map: dict[str, str] = {}
+            aggs = []
+            for r in agg_items:
+                for a in _collect_aggs(r.expr):
+                    key = repr(a)
+                    if key not in agg_map:
+                        agg_map[key] = f"__agg{len(agg_map)}"
+                        aggs.append(_agg_column(self, a, agg_map[key]))
             keys = group_cols + scalar_cols
             out = (self.df.groupBy(*keys) if keys else self.df.groupBy()).agg(*aggs)
+            out = out.select(
+                "*",
+                *[
+                    _post_agg_column(r.expr, agg_map).alias(r.name)
+                    for r in agg_items
+                ],
+            ).drop(*agg_map.values())
         else:
             out = self.df.select(*group_cols, *scalar_cols)
 

@@ -769,3 +769,18 @@ def test_arithmetic_with_aggregate(store):
         )
     )
     assert out == [{"deka": 40.0}]
+
+
+def test_with_arithmetic_over_aggregate(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person)-[r:worksfor]->(m) "
+            "WITH m, count(n) * 100 AS pct_x100 "
+            "RETURN m.gid AS employer, pct_x100 ORDER BY employer",
+        )
+    )
+    assert out == [
+        {"employer": f"{NS}/things/acme", "pct_x100": 100.0},
+        {"employer": f"{NS}/things/mimiro", "pct_x100": 200.0},
+    ]

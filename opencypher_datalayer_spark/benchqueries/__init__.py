@@ -64,6 +64,7 @@ def _driver_safe(fn: Callable[[SparkSession, str], DataFrame]):
 EXTENDED = {
     # relational
     "q5_local_supplier": "q8_market_share",  # multiway join + agg
+    "q7_volume_shipping": "q8_market_share",  # multiway join + yearly agg family
     "q_order_priority": "q21_lone_returner",  # EXISTS semi-join
     "q_customers_no_orders": "q22_idle_customers",  # NOT EXISTS anti-join
     "q_running_order_total": "q_window_navigation",  # window family

@@ -383,7 +383,7 @@ def cy_case_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cypher(
         store,
         "MATCH (c:Customer) "
-        "WHERE EXISTS { (c)-[:in_nation]->(n:Nation {name: 'FRANCE'}) } "
+        "WHERE EXISTS { (c)-[:in_nation]->(n:Nation {name: 'NATION_7'}) } "
         "WITH CASE WHEN c.acctbal < 0 THEN 'neg' WHEN c.acctbal < 5000 THEN 'mid' "
         "ELSE 'high' END AS bracket "
         "RETURN bracket, count(*) AS n_customers ORDER BY bracket",
@@ -396,7 +396,7 @@ SELECT bracket, COUNT(*) AS n_customers FROM (
               WHEN c_acctbal < 5000 THEN 'mid'
               ELSE 'high' END AS bracket
   FROM customer JOIN nation ON c_nationkey = n_nationkey
-  WHERE n_name = 'FRANCE')
+  WHERE n_name = 'NATION_7')
 GROUP BY bracket ORDER BY bracket
 """
 

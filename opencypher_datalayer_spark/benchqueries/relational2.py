@@ -535,6 +535,65 @@ ORDER BY yr
 """
 
 
+# -- q7: volume shipping between two nations ----------------------------
+
+Q7_NATION_A = "NATION_9"  # synthetic nation names (driver data is not TPC-H-named)
+Q7_NATION_B = "NATION_10"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by direction and
+    year — the supplier nation comes from the lineitem side, the
+    customer nation through orders, and the disjunctive pair filter
+    keeps both directions. Both nation dimensions broadcast; the fact
+    join is the only shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(vol).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM o_orderdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+   OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
 # -- LIKE / string-predicate pushdown ------------------------------------
 
 
@@ -709,6 +768,9 @@ QUERIES = {
         q13_order_distribution, Q13_SQL, "count-histogram via double grouping"
     ),
     "q8_market_share": QueryDef(q8_market_share, Q8_SQL, "yearly conditional-sum ratio"),
+    "q7_volume_shipping": QueryDef(
+        q7_volume_shipping, Q7_SQL, "two-nation trade volume by direction and year"
+    ),
     "q_like_pushdown": QueryDef(q_like_pushdown, Q_LIKE_SQL, "LIKE predicates on strings"),
     "q_window_navigation": QueryDef(
         q_window_navigation, Q_WINDOW_NAV_SQL, "lag/lead/first_value/ntile"

@@ -86,6 +86,7 @@ EXTENDED = {
     "cy_case_exists": "cy_with_having",  # WITH-stage bucketing via front-end
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
+    "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
     "dedup_simhash": "dedup_simhash_pairs",
     # text / curation
     "text_lang_confusion": "text_lang_id",

@@ -212,6 +212,82 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- n-gram containment near-dup (asymmetric) ---------------------------
+
+CONTAIN_T = 0.9  # |A ∩ B| / |A| threshold: A is (mostly) contained in B
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs where >= {CONTAIN_T} of doc A's 8-gram set also
+    appears in doc B — asymmetric containment, the detector for excerpt
+    and quote duplication that symmetric Jaccard misses (a short doc
+    fully inside a long one has low Jaccard but containment ~1).
+
+    Prefix filter, containment form: if overlap >= t*|A|, at most
+    (1-t)*|A| of A's shingles are unshared, so A's first
+    floor((1-t)*|A|)+1 rarest-first shingles must contain a shared one.
+    The join probes A-prefix rows against the full (doc, shingle) table
+    — rarest-first ordering keeps hot shingles out of prefixes, so the
+    candidate volume tracks rare-shingle document frequency, not the
+    quadratic all-pairs. Verification is one array_intersect per
+    candidate against the collected sets."""
+    t = CONTAIN_T
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(F.broadcast(freq), "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.expr("transform(ranked, x -> x.h)").alias("hs"),
+            F.size("ranked").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    prefix = sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
+        ).alias("h"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "containment", F.round(F.col("i").cast("double") / F.col("na"), 6)
+        )
+        .where(F.col("containment") >= t)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / x.n, 6) AS containment
+FROM inter JOIN sizes x ON doc_a = x.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / x.n, 6) >= {CONTAIN_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- MinHash signatures + LSH banding ----------------------------------
 
 
@@ -538,6 +614,11 @@ QUERIES = {
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via hash-groupBy"),
     "dedup_ngram_jaccard": QueryDef(
         dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "8-gram Jaccard >= 0.8 near-dup pairs"
+    ),
+    "dedup_ngram_containment": QueryDef(
+        dedup_ngram_containment,
+        DEDUP_CONTAINMENT_SQL,
+        f"asymmetric containment >= {CONTAIN_T} (excerpt detection)",
     ),
     "dedup_minhash_signatures": QueryDef(
         dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL, f"{H}-perm MinHash signatures + bands"

@@ -506,7 +506,20 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         fp = bit if fp is None else (fp + bit)
-    return sums.select("doc_id", fp.alias("simhash"))
+    # the 21-bit packed counters are exact only while every per-doc token
+    # count stays below 2^21 (~2M tokens); past that the packed sums
+    # carry into the neighboring counter and the fingerprint silently
+    # diverges from the oracle. Fail loudly instead of wrapping.
+    guarded = F.when(F.col("n") < F.lit(1 << 21), fp).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" exceeds 2^21 tokens; packed 21-bit counters would overflow"),
+            )
+        )
+    )
+    return sums.select("doc_id", guarded.alias("simhash"))
 
 
 def _duck_simhash_cte() -> str:

@@ -404,6 +404,25 @@ ORDER BY emb.vec_id
 SQ8_RERANK = 20  # candidates kept per query from the quantized pass
 
 
+def _partial_topk(score_col: str, k: int):
+    """Arrow-batched map-side combiner for distributed top-k: per batch,
+    keep only the top-``k`` rows per ``q_id`` by (score desc, c_id asc).
+    Exact — every global top-k row is within its own batch's top-k under
+    the same order — and it bounds what the downstream window exchange
+    carries to batches x queries x k instead of the full scored scan."""
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                ["q_id", score_col, "c_id"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("q_id", sort=False).head(k)
+
+    return fn
+
+
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-{TOPK} via int8 scalar quantization: per-dimension
     symmetric codes ``round(x / (maxabs_d / 127))``, candidates ranked by
@@ -458,15 +477,39 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # scoring stays a map-side broadcast join, but only the slim
+    # (q_id, c_id, approx_dot) triple flows downstream — the float
+    # vectors rejoin AFTER the shortlist instead of riding the exchange
+    scored = (
+        F.broadcast(queries.select("q_id", "qc"))
+        .join(cand.select("c_id", "cc"), F.col("q_id") != F.col("c_id"))
+        .withColumn("approx_dot", qdot)
+        .select("q_id", "c_id", "approx_dot")
+    )
+    # map-side partial top-k (the 100 TB shape): each Arrow batch emits
+    # at most SQ8_RERANK rows per query, so the global window's exchange
+    # carries candidates x queries, not corpus x queries. Sound because
+    # every global top-SQ8_RERANK row is, in its own batch, within that
+    # batch's top-SQ8_RERANK under the same (dot desc, c_id asc) order.
+    partial = _partial_topk("approx_dot", SQ8_RERANK)
+    slim = scored.mapInPandas(partial, "q_id bigint, c_id bigint, approx_dot bigint")
     wapprox = Window.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), F.col("c_id").asc())
+    shortlist = (
+        slim.withColumn("ark", F.row_number().over(wapprox))
+        .where(F.col("ark") <= SQ8_RERANK)
+        .drop("ark")
+    )
+    # rerank fetch: the shortlist is <= N_QUERY * SQ8_RERANK rows —
+    # broadcast it against the corpus so the vector fetch is a map-side
+    # semi-join (one extra columnar scan, zero corpus shuffle)
+    cvecs = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
-        F.broadcast(queries)
-        .join(cand, F.col("q_id") != F.col("c_id"))
-        .withColumn("approx_dot", qdot)
-        .withColumn("ark", F.row_number().over(wapprox))
-        .where(F.col("ark") <= SQ8_RERANK)
+        cvecs.join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(queries.select("q_id", "qv", "qn")), "q_id")
         .withColumn("cosine", cos)
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= TOPK)
@@ -562,14 +605,27 @@ def sim_sq8_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            c_ids = pdf["vec_id"].to_numpy(np.int64)
             c_mat = np.array(list(pdf["code"]), dtype=np.int64)  # (B, D)
             dots = c_mat @ q_mat.T  # (B, Q) exact int64
-            b = len(pdf)
+            # map-side partial top-k: emit only each query's per-batch
+            # top-(TOPK+1) (slack row absorbs a possible self-match), so
+            # the window exchange carries batches x Q x K rows, not B x Q.
+            # lexsort matches the global order (approx_dot desc, c_id asc).
+            k = min(TOPK + 1, len(pdf))
+            oq, oc, od = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = dots[:, j]
+                top = np.lexsort((c_ids, -col))[:k]
+                keep = top[c_ids[top] != qid][:TOPK]
+                oq.append(np.full(len(keep), qid, dtype=np.int64))
+                oc.append(c_ids[keep])
+                od.append(col[keep])
             yield pd.DataFrame(
                 {
-                    "q_id": np.tile(q_ids, b),
-                    "c_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), len(q_ids)),
-                    "approx_dot": dots.reshape(-1),
+                    "q_id": np.concatenate(oq),
+                    "c_id": np.concatenate(oc),
+                    "approx_dot": np.concatenate(od),
                 }
             )
 

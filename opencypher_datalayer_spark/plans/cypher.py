@@ -230,6 +230,29 @@ Expr = (
 )
 
 
+_STRING_FUNCS = frozenset(
+    {"tostring", "toupper", "tolower", "trim", "ltrim", "rtrim",
+     "reverse", "substring", "replace"}
+)
+
+
+def _is_stringy(e: "Expr") -> bool:
+    """Statically string-typed: a string literal, a string-returning
+    function, or a '+' chain containing one. Property accesses are
+    dynamically typed (string-stored) and deliberately excluded."""
+    if isinstance(e, Lit):
+        return isinstance(e.value, str)
+    if isinstance(e, Func):
+        return e.name in _STRING_FUNCS
+    if isinstance(e, Arith) and e.op == "+":
+        return _is_stringy(e.left) or _is_stringy(e.right)
+    if isinstance(e, Case):
+        return any(_is_stringy(t) for _, t in e.whens) or (
+            e.default is not None and _is_stringy(e.default)
+        )
+    return False
+
+
 def _expr_name(e: Expr) -> str:
     if isinstance(e, Prop):
         return f"{e.var}.{e.key}"
@@ -1242,6 +1265,15 @@ class PlanState:
         if isinstance(e, Func):
             return self._func_column(e)
         if isinstance(e, Arith):
+            # openCypher '+' is concatenation when either operand is a
+            # string; detectable statically for literals and the string
+            # function library (props are string-stored, so a dynamic
+            # prop+prop stays in the numeric path below)
+            if e.op == "+" and (_is_stringy(e.left) or _is_stringy(e.right)):
+                return F.concat(
+                    self.to_column(e.left).cast("string"),
+                    self.to_column(e.right).cast("string"),
+                )
             # numeric context: operands evaluate as doubles (props are
             # string-stored; numeric literals pass through the cast
             # losslessly up to 2^53)
@@ -1469,6 +1501,14 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
             [(s(w), s(t)) for w, t in e.whens],
             None if e.default is None else s(e.default),
         )
+    if isinstance(e, PatternExists):
+        # $params inside an EXISTS pattern's node property maps resolve
+        # like any other pattern property (mutated in place, matching
+        # _subst_query_params.fix_match)
+        for node in e.path.nodes:
+            for k, v in list(node.props.items()):
+                node.props[k] = _subst_params(v, params)
+        return e
     return e
 
 
@@ -1538,11 +1578,27 @@ def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> Dat
     UNION deduplicates the combined result (openCypher set semantics),
     UNION ALL keeps every row."""
     branches = Parser(tokenize(query)).parse_union()
+    u_order: list = []
+    u_skip = u_limit = None
+    if len(branches) > 1:
+        # openCypher: a trailing ORDER BY/SKIP/LIMIT orders the WHOLE
+        # union (the parser attaches it to the final branch — hoist it),
+        # and is rejected inside non-final branches
+        for _, qb in branches[:-1]:
+            if qb.order_by or qb.skip or qb.limit is not None:
+                raise CypherError(
+                    "ORDER BY/SKIP/LIMIT is not allowed inside a UNION "
+                    "branch; place it after the final branch to order "
+                    "the combined result"
+                )
+        qlast = branches[-1][1]
+        u_order, u_skip, u_limit = qlast.order_by, qlast.skip, qlast.limit
+        qlast.order_by, qlast.skip, qlast.limit = [], None, None
     out = _run_single(store, branches[0][1], params)
     if len(branches) > 1:
         for _, q2 in branches[1:]:
             df2 = _run_single(store, q2, params)
-            if df2.columns != out.columns:
+            if sorted(df2.columns) != sorted(out.columns):
                 raise CypherError(
                     f"UNION branches must return the same columns: "
                     f"{out.columns} vs {df2.columns}"
@@ -1550,6 +1606,24 @@ def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> Dat
             out = out.unionByName(df2)
         if not branches[1][0]:  # plain UNION => set semantics
             out = out.dropDuplicates()
+        if u_order:
+            # the union output only has the returned columns, so the
+            # hoisted ORDER BY must resolve to one of them by name
+            by_name = {r.name for r in branches[-1][1].returns}
+            sort_cols = []
+            for e, asc in u_order:
+                nm = _expr_name(_subst_params(e, params))
+                if nm not in by_name:
+                    raise CypherError(
+                        f"ORDER BY after UNION must reference a returned "
+                        f"column (got {nm!r})"
+                    )
+                sort_cols.append(_ncol(nm).asc() if asc else _ncol(nm).desc())
+            out = out.orderBy(*sort_cols)
+        if u_skip:
+            out = out.offset(u_skip)
+        if u_limit is not None:
+            out = out.limit(u_limit)
     return out
 
 

@@ -677,6 +677,89 @@ def test_union_mixed_flags_raises(store):
         )
 
 
+def test_union_trailing_order_by_orders_whole_union(store):
+    """openCypher: a trailing ORDER BY after UNION orders the combined
+    result, not just the final branch (ADVICE r3 #1)."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.age > 40 RETURN n.name AS name "
+            "UNION ALL MATCH (n:Person) WHERE n.age < 30 RETURN n.name AS name "
+            "ORDER BY name",
+        )
+    )
+    names = [r["name"] for r in out]
+    assert names == sorted(names) and set(names) == {"brian", "joe", "zoe"}
+
+
+def test_union_trailing_limit_applies_to_whole_union(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name "
+            "UNION MATCH (n:Company) RETURN n.name AS name "
+            "ORDER BY name LIMIT 2",
+        )
+    )
+    assert [r["name"] for r in out] == ["Mimiro", "ann"]
+
+
+def test_union_order_by_in_nonfinal_branch_raises(store):
+    with pytest.raises(CypherError):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name ORDER BY name "
+            "UNION MATCH (n:Company) RETURN n.name AS name",
+        )
+
+
+def test_union_branch_column_order_insensitive(store):
+    """Branches returning the same column names in a different order are
+    legal (rows combine by name, openCypher requires names not order)."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'zoe'}) RETURN n.name AS a, n.age AS b "
+            "UNION MATCH (n:Person {name: 'joe'}) RETURN n.age AS b, n.name AS a",
+        )
+    )
+    assert sorted((r["a"], r["b"]) for r in out) == [("joe", "45"), ("zoe", "19")]
+
+
+def test_string_concat_plus(store):
+    """'+' with a string operand concatenates (openCypher), instead of
+    failing in an executor with a numeric cast error (ADVICE r3 #2)."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'zoe'}) "
+            "RETURN n.name + '!' AS bang, 'age=' + n.age AS tagged",
+        )
+    )
+    assert out == [{"bang": "zoe!", "tagged": "age=19"}]
+
+
+def test_numeric_plus_still_numeric(store):
+    out = rows(
+        run_cypher(store, "MATCH (n:Person {name: 'zoe'}) RETURN n.age + 1 AS a")
+    )
+    assert out == [{"a": 20.0}]
+
+
+def test_exists_pattern_param_in_prop_map(store):
+    """$param inside an EXISTS pattern's property map resolves
+    (ADVICE r3 #3)."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE EXISTS { (n)-[:worksfor]->(m {name: $co}) } "
+            "RETURN n.name AS name ORDER BY name",
+            params={"co": "Mimiro"},
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian"]
+
+
 def test_order_by_aggregate_expression(store):
     """ORDER BY count(r) where the RETURN aliases the same aggregate."""
     out = rows(

@@ -10,6 +10,11 @@ timings on a busy local[32] swing ±2× (round-2 saw g_triangle_count move
 +104% with zero code change), which makes real regressions undetectable.
 The min over 3 runs is the standard low-noise estimator of the query's
 actual cost; the total is the sum of per-query mins.
+
+Memoized frames (the shared MinHash signature cache) are cleared before
+EVERY timed run, so a repeat's min measures true recomputation — never a
+cache hit. ``cold_total`` (sum of first runs) is reported alongside the
+min total for the fully-cold picture.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from opencypher_datalayer_spark.benchqueries import all_queries
+from opencypher_datalayer_spark.benchqueries.dedup import clear_signature_cache
 from opencypher_datalayer_spark.session import get_spark
 
 HEADLINE = [
@@ -94,6 +100,8 @@ def main() -> None:
         qd = registry[name]
         runs = []
         for _ in range(repeats):
+            # drop memoized frames so every run pays full recompute cost
+            clear_signature_cache()
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -101,12 +109,14 @@ def main() -> None:
         timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(r[0] for r in all_runs.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "cold_total": cold_total,
                 "queries": timings,
                 "sf": float(sf),
                 "n_queries": len(timings),

@@ -21,6 +21,7 @@ constants inlined into both sides.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,45 @@ def _spark_hash60(col) -> F.Column:  # type: ignore[name-defined]
 
 def _duck_hash60(expr: str) -> str:
     return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of every file under documents.parquet —
+    the cache-invalidation key for anything memoized per dataset. The
+    test driver regenerates parquet between rounds without changing the
+    directory name, so identity must come from file metadata, not path."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    ent: list[tuple[str, int, int]] = []
+    if os.path.isdir(root):
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                ent.append((p, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        ent.append((root, st.st_mtime_ns, st.st_size))
+    return tuple(sorted(ent))
+
+
+def _docs_bytes(sf_dir: str) -> int:
+    return sum(size for _, _, size in _docs_fingerprint(sf_dir))
+
+
+# Gate for broadcasting the per-doc shingle-set frame in the verify
+# joins: the sets frame holds one 8-byte hash per character 8-gram, so
+# its in-memory size is ~8-16x the raw text bytes. Broadcast while that
+# estimate fits comfortably beside executor workloads; above the cap the
+# hint is withheld and the verify join degrades to a shuffle join
+# instead of failing on driver/executor memory.
+SETS_BYTES_PER_TEXT_BYTE = 16
+BROADCAST_SETS_MAX_BYTES = 256 << 20
+
+
+def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
+    if _docs_bytes(sf_dir) * SETS_BYTES_PER_TEXT_BYTE <= BROADCAST_SETS_MAX_BYTES:
+        return F.broadcast(df)
+    return df
 
 
 def _shingles(
@@ -136,7 +176,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: prefix join shuffles only prefix rows (~(1-t) of shingle
     volume, minus hot shingles); the sets table is O(n_docs) rows
-    (broadcast here; shuffle-join at 100 TB)."""
+    (broadcast under the _maybe_broadcast_sets size gate; above the cap
+    the verify join shuffles instead of exhausting memory)."""
     t = JACCARD_T
     # shingles hashed to 60-bit ints up front: equality, sorting, and the
     # verify intersect all run on longs, not strings (collision odds
@@ -188,8 +229,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"), F.col("n").alias("nb")
     )
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
+        .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
         .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
         .where(F.col("jaccard") >= t)
@@ -262,8 +303,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"), F.col("n").alias("na"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
+        .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
         .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "containment", F.round(F.col("i").cast("double") / F.col("na"), 6)
@@ -291,7 +332,13 @@ ORDER BY doc_a, doc_b
 # -- MinHash signatures + LSH banding ----------------------------------
 
 
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+
+
+def clear_signature_cache() -> None:
+    """Drop memoized signature frames. The bench calls this between
+    repeats so reported timings measure recomputation, not cache hits."""
+    _SIG_CACHE.clear()
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,11 +346,15 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clusters; the shingle explode + 12 hash MINs is ~20% of the whole
     # bench, so compute it once per (app, sf_dir) and localCheckpoint —
     # every consumer then starts from the materialized ~n_docs-row frame
-    # instead of re-running the expensive pipeline.
+    # instead of re-running the expensive pipeline. The entry is guarded
+    # by the documents-parquet file fingerprint: if the data under
+    # sf_dir is regenerated mid-session (the test driver does this), the
+    # stale frame is discarded and signatures recompute.
     key = (spark.sparkContext.applicationId, sf_dir)
+    fprint = _docs_fingerprint(sf_dir)
     cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == fprint:
+        return cached[1]
     # non-distinct shingles: MIN is duplicate-insensitive, so the dedup
     # shuffle would buy nothing — map-side partial MIN aggregation does
     # the reduction before the one unavoidable shuffle (groupBy doc_id)
@@ -322,7 +373,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sig.select(
         "doc_id", *[F.col(f"m{i}") for i in range(H)], *band_cols
     ).localCheckpoint(eager=False)
-    _SIG_CACHE[key] = out
+    _SIG_CACHE[key] = (fprint, out)
     return out
 
 

@@ -27,6 +27,12 @@ from opencypher_datalayer_spark.storage import ParquetGraphStorage
 from opencypher_datalayer_spark.store import GraphStore
 
 
+class LayerConfigError(ValueError):
+    """Typed bad-parameter config error — the analog of the reference's
+    ``cdl.Err(..., cdl.LayerErrorBadParameter)`` returns from
+    ``UpdateConfiguration`` (``layer.go:80-102``)."""
+
+
 @dataclass(frozen=True)
 class BatchInfo:
     """Full-sync batch metadata (reference ``layer.go:196-209``)."""
@@ -152,9 +158,31 @@ class DataLayer:
 
     def update_configuration(self, config: dict) -> None:
         """Load/refresh the dataset registry from a UDA-shaped config
-        (same JSON shape as the reference's ``testconfig/config.json``)."""
+        (same JSON shape as the reference's ``testconfig/config.json``).
+
+        Validation mirrors ``layer.go:80-102``: when the config carries a
+        ``native_system_config`` section, each of ``system_type`` /
+        ``endpoint`` / ``username`` / ``password`` must be present —
+        missing keys raise :class:`LayerConfigError` with the reference's
+        message, and the previous registry stays in effect. A config
+        without the section is the library-embedded mode (this engine IS
+        the native system) and needs no connection details."""
+        if not isinstance(config, dict):
+            raise LayerConfigError("config must be a JSON object")
+        nsc = config.get("native_system_config")
+        if nsc is not None:
+            if not isinstance(nsc, dict):
+                raise LayerConfigError("native_system_config must be an object")
+            for key in ("system_type", "endpoint", "username", "password"):
+                if nsc.get(key) is None:
+                    raise LayerConfigError(
+                        f"no {key.replace('_', ' ')} specified in native system config"
+                    )
+        defs = config.get("dataset_definitions", [])
         registry: dict[str, DatasetConfig] = {}
-        for d in config.get("dataset_definitions", []):
+        for d in defs:
+            if not isinstance(d, dict) or "name" not in d:
+                raise LayerConfigError("dataset definition missing 'name'")
             sc = d.get("source_config", {})
             registry[d["name"]] = DatasetConfig(
                 name=d["name"],

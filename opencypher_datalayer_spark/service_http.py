@@ -34,7 +34,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from opencypher_datalayer_spark.ingest import BatchInfo, DataLayer
+from opencypher_datalayer_spark.ingest import BatchInfo, DataLayer, LayerConfigError
 
 _FS_START = "universal-data-api-full-sync-start"
 _FS_END = "universal-data-api-full-sync-end"
@@ -100,7 +100,10 @@ class UdaService:
 
             def do_GET(self):  # noqa: N802 (http.server API)
                 try:
+                    service._refresh_config()
                     service._get(self)
+                except LayerConfigError as e:
+                    self._error(400, str(e))
                 except KeyError as e:
                     self._error(404, str(e))
                 except Exception as e:  # pragma: no cover - defensive
@@ -108,7 +111,10 @@ class UdaService:
 
             def do_POST(self):  # noqa: N802
                 try:
+                    service._refresh_config()
                     service._post(self)
+                except LayerConfigError as e:
+                    self._error(400, str(e))
                 except KeyError as e:
                     self._error(404, str(e))
                 except (ValueError, json.JSONDecodeError) as e:
@@ -134,6 +140,15 @@ class UdaService:
             self._thread.join(timeout=5)
 
     # -- request handling ----------------------------------------------
+
+    def _refresh_config(self) -> None:
+        """Hot reload (S2) through the wire surface: every request checks
+        the config file's mtime, matching the reference framework's
+        ``config_refresh_interval`` polling (``testconfig/config.json:7``).
+        A config that fails validation leaves the previous registry in
+        effect, surfaces as a 400 on this request, and is retried on the
+        next one (the mtime is only recorded after a successful load)."""
+        self.layer.maybe_reload_config()
 
     def _get(self, h: BaseHTTPRequestHandler) -> None:
         url = urlparse(h.path)

@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,7 @@ from opencypher_datalayer_spark.store import GraphStore
 
 _CURRENT = "CURRENT"
 _MANIFEST = "MANIFEST.json"
+_LOCK = "COMMIT.lock"
 
 # Key column used for file-skipping stats per table (the reference's only
 # index is on ``gid`` — ``neo4j.go:21``; edges are looked up by src gid in
@@ -156,6 +158,47 @@ class ParquetGraphStorage:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:08d}")
 
+    # -- writer serialization ------------------------------------------
+
+    # The reference inherits per-batch transactions from Neo4j
+    # (neo4j.go:238-284); here concurrent writers are serialized with an
+    # O_EXCL lock-file claim so two simultaneous commits can't both read
+    # version v and publish conflicting v+1 snapshots (one batch would
+    # silently vanish). The loser spins with backoff and then commits on
+    # top of the winner's version — both batches survive, versions stay
+    # linear. A writer that dies mid-commit leaves a lock that is broken
+    # after ``stale_after`` (the claim records pid + wall time).
+
+    def _acquire_commit_lock(self, timeout: float = 300.0, stale_after: float = 600.0) -> None:
+        path = os.path.join(self.root, _LOCK)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                return
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        held = json.load(f)
+                    if time.time() - held.get("ts", 0) > stale_after:
+                        os.unlink(path)  # break a dead writer's claim
+                        continue
+                except (OSError, ValueError):
+                    pass  # holder mid-write or already released; retry
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock at {path} not acquired within {timeout}s"
+                    )
+                time.sleep(0.05)
+
+    def _release_commit_lock(self) -> None:
+        try:
+            os.unlink(os.path.join(self.root, _LOCK))
+        except FileNotFoundError:
+            pass
+
     # -- IO ------------------------------------------------------------
 
     def load(self, spark: SparkSession) -> GraphStore:
@@ -195,6 +238,13 @@ class ParquetGraphStorage:
         service skip it; periodic compaction / analytic snapshots enable it.
         Footer stats are collected either way (cheap, driver-side).
         """
+        self._acquire_commit_lock()
+        try:
+            return self._commit_locked(store, cluster_buckets)
+        finally:
+            self._release_commit_lock()
+
+    def _commit_locked(self, store: GraphStore, cluster_buckets: int | None = None) -> int:
         v = self.current_version() + 1
         vdir = self._version_dir(v)
         nodes, edges = store.nodes, store.edges
@@ -321,15 +371,24 @@ class ParquetGraphStorage:
         Falls back to a full commit when there is no manifest yet or the
         batch is too large to key-collect driver-side.
         """
+        self._acquire_commit_lock()
+        try:
+            return self._merge_commit_locked(spark, batch, label, source)
+        finally:
+            self._release_commit_lock()
+
+    def _merge_commit_locked(
+        self, spark: SparkSession, batch: DataFrame, label: str, source: str
+    ) -> int:
         v = self.current_version()
         manifest = self._manifest(v)
         if v == 0 or manifest is None:
-            return self.commit(self.load(spark).apply_batch(batch, label, source))
+            return self._commit_locked(self.load(spark).apply_batch(batch, label, source))
         keys = batch.select(
             "id", "deleted", F.flatten(F.map_values("refs")).alias("targets")
         ).limit(self.MERGE_MAX_BATCH_ROWS + 1).collect()
         if len(keys) > self.MERGE_MAX_BATCH_ROWS:
-            return self.commit(self.load(spark).apply_batch(batch, label, source))
+            return self._commit_locked(self.load(spark).apply_batch(batch, label, source))
         dead = sorted({r["id"] for r in keys if r["deleted"]})
         live = sorted({r["id"] for r in keys if not r["deleted"]})
         targets = sorted(

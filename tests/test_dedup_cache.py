@@ -1,0 +1,84 @@
+"""Cache-invalidation and size-adaptive-broadcast behavior of the dedup
+family (VERDICT r3 'what's wrong' #2/#4): the memoized MinHash signature
+frame must refresh when the parquet under sf_dir is regenerated in the
+same session, and the Jaccard/containment verify joins must drop their
+broadcast hint when the estimated sets-frame size exceeds the gate."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from opencypher_datalayer_spark.benchqueries import dedup
+from tests.test_plan_audit import explain_str
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _write_docs(sf_dir: str, texts: dict[int, str]) -> None:
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_signature_cache_invalidates_on_data_change(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_docs(sf, {1: "the quick brown fox jumps over the lazy dog" * 3})
+    first = dedup._minhash_sigs(spark, sf).collect()
+    # regenerate the parquet in place (same path — what the test driver
+    # does between rounds) and expect FRESH signatures, not the memo
+    _write_docs(sf, {1: "a completely different document body entirely" * 3})
+    second = dedup._minhash_sigs(spark, sf).collect()
+    assert first != second
+    # unchanged data hits the cache (same object back)
+    assert dedup._minhash_sigs(spark, sf) is dedup._minhash_sigs(spark, sf)
+
+
+def test_clear_signature_cache_forces_recompute(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_docs(sf, {1: "some document text for the cache clear check" * 2})
+    a = dedup._minhash_sigs(spark, sf)
+    dedup.clear_signature_cache()
+    assert dedup._minhash_sigs(spark, sf) is not a
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable Catalyst's stats-based auto-broadcast so the tests observe
+    the presence/absence of the explicit hint, not table-size luck."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_verify_join_broadcasts_under_gate(spark, no_auto_broadcast):
+    """Under the gate the hint forces a broadcast even when stats-based
+    auto-broadcast is off."""
+    plan = explain_str(dedup.dedup_ngram_jaccard(spark, SRC))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_verify_join_shuffles_over_gate(spark, no_auto_broadcast, monkeypatch):
+    """Forcing the gate to zero must withhold the broadcast hint: the
+    verify join degrades to a shuffle join instead of blowing memory —
+    with identical rows."""
+    expected = dedup.dedup_ngram_jaccard(spark, SRC).collect()
+    monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
+    df = dedup.dedup_ngram_jaccard(spark, SRC)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert df.collect() == expected
+
+
+def test_containment_gate_applies(spark, no_auto_broadcast, monkeypatch):
+    monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
+    plan = explain_str(dedup.dedup_ngram_containment(spark, SRC))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

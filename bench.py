@@ -73,6 +73,7 @@ HEADLINE = [
     "ev_sessionize",
     "ev_asof_join",
     "ev_tumbling_window",
+    "st_tumbling_window",
     "ev_interval_join",
     "ev_json_props",
     "ev_funnel",

@@ -109,7 +109,8 @@ EXTENDED = {
     "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
     "sim_label_centroids": "sim_ivf_topk",  # centroid build is IVF's first stage
     # temporal
-    "ev_sliding_window": "ev_tumbling_window",  # F.window, slide = width special case
+    "ev_tumbling_window": "st_tumbling_window",  # batch twin of the streaming primary
+    "ev_sliding_window": "st_tumbling_window",  # F.window, slide = width special case
     "ev_funnel": "ev_interval_join",  # time-banded equi-join chain family
     "ev_gap_fill": "ev_sessionize",  # per-user ordered-window family
     "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank

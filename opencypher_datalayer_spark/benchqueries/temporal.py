@@ -44,6 +44,32 @@ ORDER BY window_start, event_type
 """
 
 
+# -- streaming twin as a first-class driver query -----------------------
+
+_ST_SINK_SEQ = __import__("itertools").count()
+
+
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming pipeline, driver-checkable: the
+    events table replayed as a bounded file stream, event-time watermark,
+    5-minute tumbling window aggregation, ``availableNow`` micro-batches
+    into a memory sink. The returned frame is the final sink state —
+    value-oracled against DuckDB exactly like a batch query, which pins
+    the stream/batch equivalence the streaming module claims. The batch
+    expression of the same aggregation (``ev_tumbling_window``) is this
+    entry's extended-tier twin."""
+    from opencypher_datalayer_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    sink = f"st_tumbling_sink_{next(_ST_SINK_SEQ)}"
+    q = run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)), sink)
+    q.stop()
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
 # -- sliding window (1h window, 15m slide) ------------------------------
 
 
@@ -444,6 +470,11 @@ SELECT (SELECT COUNT(DISTINCT u) FROM v) AS n_view,
 
 QUERIES = {
     "ev_tumbling_window": QueryDef(ev_tumbling_window, EV_TUMBLING_SQL, "5m tumbling window agg"),
+    "st_tumbling_window": QueryDef(
+        st_tumbling_window,
+        EV_TUMBLING_SQL,
+        "streaming watermark window: final memory-sink state (availableNow)",
+    ),
     "ev_sliding_window": QueryDef(ev_sliding_window, EV_SLIDING_SQL, "1h/15m sliding window"),
     "ev_sessionize": QueryDef(ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization"),
     "ev_asof_join": QueryDef(ev_asof_join, EV_ASOF_SQL, "as-of join vs native ASOF"),

@@ -1,46 +1,31 @@
-"""Scale techniques as reusable operators: salting for skewed join keys
-and bucketed co-located joins.
+"""Scale techniques as reusable operators: bucketed co-located joins.
 
-AQE's skew-join splitting (on in ``session.get_spark``) handles most
-skew at runtime; explicit salting remains the tool when one key is so
-hot that even split partitions bottleneck (hub nodes in the graph,
-stop-shingles in dedup), or when the skewed side feeds an aggregation
-AQE can't split. Bucketing is the ahead-of-time answer for a join key
-used repeatedly: both tables hash-clustered into the same bucket count
-at write time, so every later join on that key is exchange-free.
+Skew verdict (measured, not asserted): replication salting is NOT part
+of this engine's toolkit, deliberately. Every skewed JOIN in the
+codebase is either a broadcast of the small side or is handled by AQE's
+runtime skew-join split — ``tests/test_skew.py`` runs the real LSH
+band-join shape on a synthetic hot bucket and asserts
+``SortMergeJoin(skew=true)`` with split shuffle reads on both sides of
+the executed adaptive plan. Salting-by-replication cannot help there
+anyway (a self-join has no small side to replicate). Every hot-key
+AGGREGATION in the codebase is algebraic (count/sum/min/max), which
+Spark partially aggregates map-side before the exchange — a salted
+two-phase groupBy would add a shuffle to do the job the partial
+aggregate already does. A ``salted_join`` helper existed through round
+3, unit-tested but with zero production call sites; it was removed
+rather than kept as scale theater. Re-introduce only with a measured
+straggler a broadcast/AQE/partial-agg cannot absorb (the candidate
+profile: a holistic aggregate — collect_list/percentile — over a
+power-law key).
+
+Bucketing is the ahead-of-time answer for a join key used repeatedly:
+both tables hash-clustered into the same bucket count at write time, so
+every later join on that key is exchange-free.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    n_salt: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join on ``key`` with the LEFT side's hot keys spread across
-    ``n_salt`` shuffle partitions and the RIGHT side replicated
-    ``n_salt``-fold. Result is identical to ``left.join(right, key,
-    how)``; the shuffle key becomes (key, salt), so one hot key fans out
-    to ``n_salt`` tasks instead of one straggler.
-
-    Use when the left side is large and skewed and the right side is
-    small enough to replicate (dimension-sized). Supported ``how``:
-    inner and left outer — semantics where row multiplicity is
-    unaffected by replication."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, not {how!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
-    l = left.withColumn("__salt", salt)
-    r = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
-    return l.join(r, [key, "__salt"], how).drop("__salt")
 
 
 def write_bucketed(

@@ -4,10 +4,9 @@ make them worth using."""
 import io
 from contextlib import redirect_stdout
 
-import pytest
 from pyspark.sql import functions as F
 
-from opencypher_datalayer_spark.operators.scale import salted_join, write_bucketed
+from opencypher_datalayer_spark.operators.scale import write_bucketed
 
 
 def explain_str(df) -> str:
@@ -15,34 +14,6 @@ def explain_str(df) -> str:
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
-
-
-def test_salted_join_matches_plain_join(spark):
-    # skewed left: one hot key with 5k rows, long tail of singletons
-    left = spark.range(5000).select(
-        F.lit("hot").alias("k"), F.col("id").alias("payload")
-    ).union(
-        spark.range(200).select(
-            F.concat(F.lit("cold"), F.col("id")).alias("k"), F.col("id").alias("payload")
-        )
-    )
-    right = spark.createDataFrame(
-        [("hot", 1), ("cold7", 2), ("absent", 3)], "k: string, v: int"
-    )
-
-    plain = left.join(right, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
-    salted = salted_join(left, right, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
-    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
-
-    # left-outer keeps unmatched left rows exactly once
-    plain_l = left.join(right, "k", "left")
-    salted_l = salted_join(left, right, "k", how="left")
-    assert salted_l.count() == plain_l.count()
-    # the shuffle key carries the salt => hot key spread over n_salt partitions
-    assert "__salt" in explain_str(salted_join(left, right, "k"))
-
-    with pytest.raises(ValueError):
-        salted_join(left, right, "k", how="full")
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

@@ -96,7 +96,13 @@ ORDER BY id_a, id_b
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-{TOPK} cosine neighbors for the first {N_QUERY} vectors.
-    The query side is tiny => broadcast; ranking tie-breaks on id."""
+    The query side is tiny => broadcast; ranking tie-breaks on id.
+
+    The scoring pass is all-pairs BY DESIGN (this is the labeled exact
+    baseline; LSH/IVF/SQ8 are the scale paths) — but the ranking
+    exchange is not: a map-side partial top-{TOPK} keeps only each Arrow
+    batch's best {TOPK} rows per query, so the window shuffle carries
+    batches x queries x {TOPK} slim rows, never corpus x queries."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
     )
@@ -109,12 +115,18 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
+    scored = (
         F.broadcast(queries)
         .join(cand, F.col("q_id") != F.col("c_id"))
         .withColumn("cosine", cos)
-        .withColumn("rk", F.row_number().over(w))
+        .select("q_id", "c_id", "cosine")
+    )
+    slim = scored.mapInPandas(
+        _partial_topk("cosine", TOPK), "q_id bigint, c_id bigint, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        slim.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("q_id", "c_id", "cosine", "rk")
         .orderBy("q_id", "rk")

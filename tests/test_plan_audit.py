@@ -156,3 +156,19 @@ def test_exists_marker_is_broadcast_semi_shape(spark, sf_dir):
     )
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bruteforce_partial_topk_before_exchange(spark, sf_dir):
+    """The exact baseline's SCORING is all-pairs by design, but its
+    ranking exchange must still be slim: the map-side partial top-k
+    keeps batches x queries x TOPK rows, and the float vectors never
+    ride through the window shuffle."""
+    import re
+
+    from opencypher_datalayer_spark.benchqueries.similarity import sim_topk_bruteforce
+
+    plan = explain_str(sim_topk_bruteforce(spark, sf_dir))
+    assert "MapInPandas" in plan  # the partial top-k combiner
+    assert re.search(
+        r"Exchange\nInput \[3\]: \[q_id#\d+L?, c_id#\d+L?, cosine#\d+\]", plan
+    )

@@ -11,10 +11,11 @@ timings on a busy local[32] swing ±2× (round-2 saw g_triangle_count move
 The min over 3 runs is the standard low-noise estimator of the query's
 actual cost; the total is the sum of per-query mins.
 
-Memoized frames (the shared MinHash signature cache) are cleared before
-EVERY timed run, so a repeat's min measures true recomputation — never a
-cache hit. ``cold_total`` (sum of first runs) is reported alongside the
-min total for the fully-cold picture.
+Memoized frames (every cache registered with ``benchqueries.memo`` —
+minhash signatures, co-supply edges) are cleared before EVERY timed run,
+so a repeat's min measures true recomputation — never a cache hit.
+``cold_total`` (sum of first runs) is reported alongside the min total
+for the fully-cold picture.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from opencypher_datalayer_spark.benchqueries import all_queries
-from opencypher_datalayer_spark.benchqueries.dedup import clear_signature_cache
+from opencypher_datalayer_spark.benchqueries.memo import clear_memo_caches
 from opencypher_datalayer_spark.session import get_spark
 
 HEADLINE = [
@@ -101,8 +102,9 @@ def main() -> None:
         qd = registry[name]
         runs = []
         for _ in range(repeats):
-            # drop memoized frames so every run pays full recompute cost
-            clear_signature_cache()
+            # drop ALL registered memoized frames (minhash signatures,
+            # co-supply edges, ...) so every run pays full recompute cost
+            clear_memo_caches()
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))

@@ -21,13 +21,16 @@ constants inlined into both sides.
 
 from __future__ import annotations
 
-import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.benchqueries.memo import (
+    register_memo_cache,
+    table_fingerprint,
+)
 from opencypher_datalayer_spark.sources.tables import load_table
 
 SHINGLE_K = 8
@@ -72,22 +75,8 @@ def _duck_hash60(expr: str) -> str:
 
 
 def _docs_fingerprint(sf_dir: str) -> tuple:
-    """(path, mtime_ns, size) of every file under documents.parquet —
-    the cache-invalidation key for anything memoized per dataset. The
-    test driver regenerates parquet between rounds without changing the
-    directory name, so identity must come from file metadata, not path."""
-    root = os.path.join(sf_dir, "documents.parquet")
-    ent: list[tuple[str, int, int]] = []
-    if os.path.isdir(root):
-        for dp, _, fs in os.walk(root):
-            for f in fs:
-                p = os.path.join(dp, f)
-                st = os.stat(p)
-                ent.append((p, st.st_mtime_ns, st.st_size))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        ent.append((root, st.st_mtime_ns, st.st_size))
-    return tuple(sorted(ent))
+    """Cache-invalidation key for anything memoized over documents."""
+    return table_fingerprint(sf_dir, "documents")
 
 
 def _docs_bytes(sf_dir: str) -> int:
@@ -333,11 +322,13 @@ ORDER BY doc_a, doc_b
 
 
 _SIG_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+register_memo_cache(_SIG_CACHE)
 
 
 def clear_signature_cache() -> None:
-    """Drop memoized signature frames. The bench calls this between
-    repeats so reported timings measure recomputation, not cache hits."""
+    """Drop memoized signature frames. The bench clears ALL registered
+    memo caches between repeats (``memo.clear_memo_caches``); this
+    remains as the direct handle for tests."""
     _SIG_CACHE.clear()
 
 

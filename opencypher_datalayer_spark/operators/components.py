@@ -35,7 +35,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return ``(id, component)``: each node labeled with the minimum
     node id reachable from it (undirected). Ids may be any orderable
@@ -47,7 +47,13 @@ def connected_components(
     the driver (``<= driver_threshold`` edges), a local union-find beats
     N rounds of distributed joins by orders of magnitude — near-dup
     graphs are usually tiny relative to the corpus that produced them.
-    Set ``driver_threshold=0`` to force the distributed loop."""
+    The threshold is sized from driver memory, not caution: 2M edges
+    collect to ~30 MB of Rows and union-find in well under a second,
+    while the distributed loop's floor is ~10 s of fixed job overhead
+    (3-4 rounds x 4 jobs) regardless of size — the 10x rehearsal's
+    229k-edge graph sat in that dead zone under the old 100k cap.
+    Set ``driver_threshold=0`` to force the distributed loop (the
+    over-threshold path for graphs that genuinely cannot collect)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

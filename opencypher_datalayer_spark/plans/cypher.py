@@ -59,6 +59,15 @@ class EdgePat:
     # shortestPath(...) wrapper: reduce the expansion to min-hops per
     # endpoint pair before attaching
     shortest: bool = False
+    # alternation: [:A|B|C] — rel_type holds A, alt_types the rest
+    alt_types: list[str] = field(default_factory=list)
+    # 'out' (a)-[]->(b), 'in' (a)<-[]-(b), 'both' (a)-[]-(b)
+    direction: str = "out"
+
+    @property
+    def types(self) -> list[str] | None:
+        """All admissible relationship types, or None for untyped."""
+        return None if self.rel_type is None else [self.rel_type, *self.alt_types]
 
 
 @dataclass
@@ -98,6 +107,7 @@ class WithStage:
     order_by: list[tuple["Expr", bool]] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    distinct: bool = False  # WITH DISTINCT: dedup the projected rows
 
 
 @dataclass
@@ -224,9 +234,18 @@ class Func:
     args: list["Expr"]
 
 
+@dataclass
+class MapLit:
+    """Map literal in an expression position (RETURN {a: 1, b: n.x}).
+    Compiles to a named struct — the closest columnar shape to a
+    Cypher map value (heterogeneous field types allowed)."""
+
+    entries: list[tuple[str, "Expr"]]
+
+
 Expr = (
     Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
-    | PatternExists | Arith
+    | PatternExists | Arith | MapLit
 )
 
 
@@ -279,15 +298,15 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--)
-  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*+/%-])
+  | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--|--)
+  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*+/%|^-])
     """,
     re.VERBOSE,
 )
 
 _KEYWORDS = {
     "match", "optional", "where", "return", "order", "by", "skip", "limit",
-    "as", "and", "or", "not", "is", "null", "true", "false", "distinct",
+    "as", "and", "or", "xor", "not", "is", "null", "true", "false", "distinct",
     "asc", "ascending", "desc", "descending", "collect", "count", "sum",
     "min", "max", "avg", "starts", "ends", "contains", "in",
     "case", "when", "then", "else", "end", "union", "all",
@@ -402,10 +421,16 @@ class Parser:
             unwinds.append((src, self.take().text))
         stages: list[WithStage] = []
         matches = self.parse_matches()
-        if not matches and not unwinds:
-            raise CypherError("query must start with MATCH or UNWIND")
+        if not matches and not unwinds and not self.at_kw("return", "with"):
+            # standalone RETURN/WITH queries (RETURN 1+1) plan over a
+            # single unit row, like openCypher's implicit empty match
+            raise CypherError("query must start with MATCH, UNWIND, WITH or RETURN")
         while self.at_kw("with"):
             self.take()
+            distinct_stage = False
+            if self.at_kw("distinct"):
+                self.take()
+                distinct_stage = True
             items = [self.parse_return_item()]
             while self.at_sym(","):
                 self.take()
@@ -415,7 +440,9 @@ class Parser:
             if self.at_kw("where"):
                 self.take()
                 where = self.parse_expr()
-            stages.append(WithStage(matches, items, where, order_by, skip, limit))
+            stages.append(
+                WithStage(matches, items, where, order_by, skip, limit, distinct_stage)
+            )
             matches = self.parse_matches()
 
         self.expect_kw("return")
@@ -494,13 +521,22 @@ class Parser:
             return inner
         nodes = [self.parse_node()]
         edges: list[EdgePat] = []
-        while self.at_sym("-[") or self.at_sym("-->"):
+        while self.at_sym("-[") or self.at_sym("<-[") or self.at_sym("-->") \
+                or self.at_sym("<--") or self.at_sym("--"):
             if self.at_sym("-->"):
                 self.take()
                 edges.append(EdgePat(None, None))
+            elif self.at_sym("<--"):
+                self.take()
+                edges.append(EdgePat(None, None, direction="in"))
+            elif self.at_sym("--"):
+                self.take()
+                edges.append(EdgePat(None, None, direction="both"))
             else:
+                left_arrow = self.at_sym("<-[")
                 self.take()
                 var = rel = None
+                alts: list[str] = []
                 vl_min = vl_max = None
                 t = self.peek()
                 if t and t.kind == "name":
@@ -508,6 +544,11 @@ class Parser:
                 if self.at_sym(":"):
                     self.take()
                     rel = self.take().text
+                    while self.at_sym("|"):  # [:A|B] / [:A|:B] alternation
+                        self.take()
+                        if self.at_sym(":"):
+                            self.take()
+                        alts.append(self.take().text)
                 if self.at_sym("*"):
                     self.take()
                     vl_min, vl_max = 1, 10  # bare * default cap
@@ -518,8 +559,20 @@ class Parser:
                         self.take()
                         self.expect_sym(".")
                         vl_max = int(self.take().value)
-                self.expect_sym("]->")
-                edges.append(EdgePat(var, rel, vl_min, vl_max))
+                if left_arrow:
+                    if self.at_sym("]->"):
+                        raise CypherError("a relationship cannot point both ways")
+                    self.expect_sym("]-")
+                    direction = "in"
+                elif self.at_sym("]->"):
+                    self.take()
+                    direction = "out"
+                else:
+                    self.expect_sym("]-")
+                    direction = "both"
+                edges.append(
+                    EdgePat(var, rel, vl_min, vl_max, alt_types=alts, direction=direction)
+                )
             nodes.append(self.parse_node())
         return PathPat(nodes, edges)
 
@@ -555,12 +608,19 @@ class Parser:
             alias = self.take().text
         return ReturnItem(e, alias)
 
-    # expressions: or_expr > and_expr > not_expr > cmp > primary
+    # expressions: or > xor > and > not > cmp > add > mul > unary > pow
     def parse_expr(self) -> Expr:
-        e = self.parse_and()
+        e = self.parse_xor()
         while self.at_kw("or"):
             self.take()
-            e = Bool("OR", e, self.parse_and())
+            e = Bool("OR", e, self.parse_xor())
+        return e
+
+    def parse_xor(self) -> Expr:
+        e = self.parse_and()
+        while self.at_kw("xor"):
+            self.take()
+            e = Bool("XOR", e, self.parse_and())
         return e
 
     def parse_and(self) -> Expr:
@@ -625,14 +685,41 @@ class Parser:
                 return e
 
     def parse_mul(self) -> Expr:
-        e = self.parse_primary()
+        e = self.parse_unary()
         while True:
             t = self.peek()
             if t and t.kind == "sym" and t.text in ("*", "/", "%"):
                 op = self.take().text
-                e = Arith(op, e, self.parse_primary())
+                e = Arith(op, e, self.parse_unary())
             else:
                 return e
+
+    def parse_unary(self) -> Expr:
+        # unary +/- (binds tighter than * / %, looser than ^)
+        if self.at_sym("-"):
+            self.take()
+            return Arith("-", Lit(0), self.parse_unary())
+        if self.at_sym("+"):
+            self.take()
+            return self.parse_unary()
+        return self.parse_pow()
+
+    def parse_pow(self) -> Expr:
+        e = self.parse_postfix()
+        while self.at_sym("^"):
+            self.take()
+            e = Arith("^", e, self.parse_postfix())
+        return e
+
+    def parse_postfix(self) -> Expr:
+        e = self.parse_primary()
+        # list subscript: xs[i] (0-based, openCypher)
+        while self.at_sym("[") and isinstance(e, (Func, Var, Lit, Prop)):
+            self.take()
+            idx = self.parse_expr()
+            self.expect_sym("]")
+            e = Func("_index", [e, idx])
+        return e
 
     def parse_primary(self) -> Expr:
         t = self.peek()
@@ -689,6 +776,17 @@ class Parser:
                     self.take()
             self.expect_sym("]")
             return Lit(vals)
+        if self.at_sym("{"):
+            self.take()
+            entries: list[tuple[str, Expr]] = []
+            while not self.at_sym("}"):
+                key = self.take().text
+                self.expect_sym(":")
+                entries.append((key, self.parse_expr()))
+                if self.at_sym(","):
+                    self.take()
+            self.expect_sym("}")
+            return MapLit(entries)
         if t.kind == "name":
             name = self.take().text
             if name.lower() == "exists" and self.at_sym("{"):
@@ -763,6 +861,19 @@ def _node_df(store: GraphStore, pat: NodePat, var: str) -> DataFrame:
     )
 
 
+def _typed_edges(store: GraphStore, ep: EdgePat) -> DataFrame:
+    """The store's edge frame filtered to the pattern's admissible
+    relationship types ([:A] equality, [:A|B] membership — both sit on
+    the scan for parquet pushdown)."""
+    ed = store.edges
+    types = ep.types
+    if types is None:
+        return ed
+    if len(types) == 1:
+        return ed.where(F.col("rel_type") == types[0])
+    return ed.where(F.col("rel_type").isin(types))
+
+
 def _prop_cmp(col: Column, op: str, value: object) -> Column:
     """Property comparison honoring the string-storage model: numeric
     literal => numeric comparison (cast), else string comparison."""
@@ -791,6 +902,8 @@ class PlanState:
         self.df: DataFrame | None = None
         self.vars: dict[str, str] = {}  # var -> kind ('node'|'edge')
         self._anon = 0
+        # set transiently by post_agg_column: repr(Agg) -> column name
+        self._agg_map: dict[str, str] | None = None
 
     def fresh(self, prefix: str) -> str:
         self._anon += 1
@@ -819,9 +932,13 @@ class PlanState:
             if dstp.var is not None and dstp.var in self.vars:
                 raise CypherError("EXISTS target must be unbound (use a plain MATCH)")
             flag = self.fresh("exists")
-            ed = self.store.edges
-            if ep.rel_type is not None:
-                ed = ed.where(F.col("rel_type") == ep.rel_type)
+            ed = _typed_edges(self.store, ep)
+            if ep.direction == "in":
+                ed = ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            elif ep.direction == "both":
+                ed = ed.select("src", "dst").unionByName(
+                    ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
             if dstp.label is not None or dstp.props:
                 tvar = self.fresh("t")
                 tgt = _node_df(self.store, dstp, tvar)
@@ -949,18 +1066,32 @@ class PlanState:
                 dst_is_new = not in_plan and not in_unit
                 dst_col = f"{var}__gid" if dst_is_new else new_ptr(var)
                 if epat.vl_min is not None:
+                    if epat.direction != "out":
+                        raise CypherError(
+                            "var-length relationships support only the "
+                            "left-to-right direction"
+                        )
                     edf = self._vl_expand(epat, evar)
                     self.vars[evar] = "vlpath"
                 else:
-                    edges = self.store.edges
-                    if epat.rel_type is not None:
-                        edges = edges.where(F.col("rel_type") == epat.rel_type)
-                    edf = edges.select(
-                        F.col("src").alias(f"__src_{evar}"),
-                        F.col("rel_type").alias(f"{evar}__rel_type"),
-                        F.col("source").alias(f"{evar}__rel_source"),
-                        F.col("dst").alias(f"__dst_{evar}"),
-                    )
+                    edges = _typed_edges(self.store, epat)
+
+                    def _orient(src_col: str, dst_col: str) -> DataFrame:
+                        return edges.select(
+                            F.col(src_col).alias(f"__src_{evar}"),
+                            F.col("rel_type").alias(f"{evar}__rel_type"),
+                            F.col("source").alias(f"{evar}__rel_source"),
+                            F.col(dst_col).alias(f"__dst_{evar}"),
+                        )
+
+                    if epat.direction == "out":
+                        edf = _orient("src", "dst")
+                    elif epat.direction == "in":
+                        # (a)<-[r]-(b): the stored edge runs b -> a, so
+                        # the pattern's left node binds the edge dst
+                        edf = _orient("dst", "src")
+                    else:  # undirected: each edge admits both bindings
+                        edf = _orient("src", "dst").unionByName(_orient("dst", "src"))
                     self.vars[evar] = "edge"
                 if unit is None:
                     unit = edf
@@ -1034,9 +1165,7 @@ class PlanState:
         the path via the carried edge-key array. Each hop is one
         equi-join shuffle on the frontier head; max hops bounds the
         plan depth."""
-        rel = self.store.edges
-        if epat.rel_type is not None:
-            rel = rel.where(F.col("rel_type") == epat.rel_type)
+        rel = _typed_edges(self.store, epat)
         key = F.concat_ws("|", "src", "rel_type", "dst")
         step = rel.select(
             F.col("src").alias("_jsrc"), F.col("dst").alias("_jdst"), key.alias("_k")
@@ -1139,6 +1268,7 @@ class PlanState:
         order_by: list[tuple[Expr, bool]] | None = None,
         skip: int | None = None,
         limit: int | None = None,
+        distinct: bool = False,
     ) -> None:
         """WITH projection/aggregation: pattern variables pass through
         with their full column namespace (so later MATCH/RETURN can keep
@@ -1147,6 +1277,11 @@ class PlanState:
         non-aggregated items. ORDER BY/SKIP/LIMIT select rows on the
         projected stage (mid-pipeline top-k); WHERE filters after the
         selection."""
+        if self.df is None:
+            # standalone WITH (WITH 1 AS x ...): plan over one unit row
+            self.df = self.store.nodes.sparkSession.range(1).select(
+                F.lit(1).alias("__unit")
+            )
         agg_items = [r for r in items if _contains_agg(r.expr)]
         passthrough: list[str] = []
         scalar_items: list[ReturnItem] = []
@@ -1183,7 +1318,7 @@ class PlanState:
             out = out.select(
                 "*",
                 *[
-                    _post_agg_column(r.expr, agg_map).alias(r.name)
+                    self.post_agg_column(r.expr, agg_map).alias(r.name)
                     for r in agg_items
                 ],
             ).drop(*agg_map.values())
@@ -1196,6 +1331,14 @@ class PlanState:
         for r in agg_items:
             new_vars[r.name] = "scalar"
         self.df, self.vars = out, new_vars
+        if distinct:
+            # WITH DISTINCT dedups the projected rows BEFORE ordering /
+            # pagination (openCypher clause order). Node props maps are
+            # excluded from the key (Spark cannot compare map columns);
+            # a node's gid determines its props, so row identity is
+            # unchanged.
+            key = [c for c in self.df.columns if not c.endswith("__props")]
+            self.df = self.df.dropDuplicates(key)
         if order_by:
             sort_cols = []
             for e, asc in order_by:
@@ -1262,8 +1405,16 @@ class PlanState:
                 F.col(f"{e.name}__gid").isNotNull(),
                 F.struct(*[F.col(f"{e.name}__{f}").alias(f) for f in _NODE_FIELDS]),
             )
+        if isinstance(e, (Cmp, Bool, Not, IsNull, StrPred)):
+            # predicates are first-class boolean values in openCypher
+            # (RETURN n.age > 21 AS adult)
+            return self.to_condition(e)
         if isinstance(e, Func):
             return self._func_column(e)
+        if isinstance(e, MapLit):
+            return F.struct(
+                *[self.to_column(v).alias(k) for k, v in e.entries]
+            )
         if isinstance(e, Arith):
             # openCypher '+' is concatenation when either operand is a
             # string; detectable statically for literals and the string
@@ -1285,6 +1436,7 @@ class PlanState:
                 "*": lc * rc,
                 "/": lc / rc,
                 "%": lc % rc,
+                "^": F.pow(lc, rc),
             }
             return ops[e.op]
         if isinstance(e, Case):
@@ -1303,8 +1455,27 @@ class PlanState:
                 col = col.otherwise(self.to_column(e.default))
             return col
         if isinstance(e, Agg):
+            # inside a post-aggregation residue (see post_agg_column)
+            # the aggregate resolves to its already-computed column
+            if self._agg_map is not None and repr(e) in self._agg_map:
+                return _ncol(self._agg_map[repr(e)])
             raise CypherError("aggregate in non-return position")
         raise CypherError(f"cannot evaluate {e} as value")
+
+    def post_agg_column(self, e: Expr, agg_map: dict[str, str]) -> Column:
+        """Compile the residue of a return expression AFTER its
+        aggregates were computed (count(*) * 10, size(collect(x))):
+        aggregates resolve to their aggregated columns; literals,
+        arithmetic, scalar functions and CASE apply on top. Row-bound
+        leaves (properties, variables) are rejected — they no longer
+        exist after the groupBy."""
+        if not _post_agg_ok(e):
+            raise CypherError(f"unsupported expression over aggregates: {e!r}")
+        self._agg_map = agg_map
+        try:
+            return self.to_column(e)
+        finally:
+            self._agg_map = None
 
     def _func_column(self, e: Func) -> Column:
         """Scalar function library (engine extension; Cypher-style names,
@@ -1390,12 +1561,47 @@ class PlanState:
             return arg(0).cast("bigint")
         if n == "tofloat":
             return arg(0).cast("double")
+        if n == "id":
+            # engine mapping: id(n) is the node's stable gid (this
+            # engine has no Neo4j-style internal integer ids; gid IS
+            # the identity, storage.py clusters on it)
+            if len(e.args) != 1 or not isinstance(e.args[0], Var):
+                raise CypherError("id() takes one variable argument")
+            v = e.args[0].name
+            self._check_var(v)
+            if self.vars.get(v) != "node":
+                raise CypherError("id() requires a node variable")
+            return F.col(f"{v}__gid")
+        if n == "range":
+            # range(start, end[, step]) — inclusive end, like openCypher
+            if len(e.args) not in (2, 3):
+                raise CypherError("range() takes 2 or 3 arguments")
+            step = arg(2) if len(e.args) == 3 else F.lit(1)
+            return F.sequence(
+                arg(0).cast("bigint"), arg(1).cast("bigint"), step.cast("bigint")
+            )
+        if n == "head":
+            if len(e.args) != 1:
+                raise CypherError("head() takes one argument")
+            return F.element_at(arg(0), 1)
+        if n == "last":
+            if len(e.args) != 1:
+                raise CypherError("last() takes one argument")
+            return F.element_at(arg(0), -1)
+        if n == "_index":
+            # xs[i] subscript (0-based, openCypher); element_at is 1-based
+            return F.element_at(arg(0), arg(1).cast("int") + F.lit(1))
         raise CypherError(f"unknown function {n}()")
 
     def to_condition(self, e: Expr) -> Column:
         if isinstance(e, Bool):
             l, r = self.to_condition(e.left), self.to_condition(e.right)
-            return (l & r) if e.op == "AND" else (l | r)
+            if e.op == "AND":
+                return l & r
+            if e.op == "XOR":
+                # boolean inequality; NULL-propagating like openCypher
+                return l != r
+            return l | r
         if isinstance(e, Not):
             return ~self.to_condition(e.inner)
         if isinstance(e, IsNull):
@@ -1495,6 +1701,8 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
         return Agg(e.fn, None if e.inner is None else s(e.inner), e.distinct)
     if isinstance(e, Func):
         return Func(e.name, [s(a) for a in e.args])
+    if isinstance(e, MapLit):
+        return MapLit([(k, s(v)) for k, v in e.entries])
     if isinstance(e, Case):
         return Case(
             None if e.operand is None else s(e.operand),
@@ -1539,37 +1747,53 @@ def _subst_query_params(q: Query, params: dict | None) -> None:
     q.order_by = [(_subst_params(e, params), a) for e, a in q.order_by]
 
 
+def _expr_children(e: Expr) -> list[Expr]:
+    """Sub-expressions of the expression node kinds that may wrap an
+    aggregate (arithmetic, scalar functions, CASE, predicates —
+    openCypher allows e.g. ``CASE WHEN count(*) > 2 ...`` in RETURN)."""
+    if isinstance(e, (Arith, Cmp, Bool)):
+        return [e.left, e.right]
+    if isinstance(e, Func):
+        return list(e.args)
+    if isinstance(e, Not):
+        return [e.inner]
+    if isinstance(e, IsNull):
+        return [e.inner]
+    if isinstance(e, StrPred):
+        return [e.left, e.right]
+    if isinstance(e, MapLit):
+        return [v for _, v in e.entries]
+    if isinstance(e, Case):
+        out = [] if e.operand is None else [e.operand]
+        for w, t in e.whens:
+            out += [w, t]
+        if e.default is not None:
+            out.append(e.default)
+        return out
+    return []
+
+
 def _contains_agg(e: Expr) -> bool:
     if isinstance(e, Agg):
         return True
-    if isinstance(e, Arith):
-        return _contains_agg(e.left) or _contains_agg(e.right)
-    return False
+    return any(_contains_agg(c) for c in _expr_children(e))
 
 
 def _collect_aggs(e: Expr) -> list[Agg]:
     if isinstance(e, Agg):
         return [e]
-    if isinstance(e, Arith):
-        return _collect_aggs(e.left) + _collect_aggs(e.right)
-    return []
+    return [a for c in _expr_children(e) for a in _collect_aggs(c)]
 
 
-def _post_agg_column(e: Expr, agg_map: dict[str, str]) -> Column:
-    """Compile the residue of a return expression AFTER its aggregates
-    were computed (e.g. ``count(*) * 10``): aggregates resolve to their
-    aggregated columns, literals and arithmetic apply on top."""
-    if isinstance(e, Agg):
-        return _ncol(agg_map[repr(e)])
-    if isinstance(e, Lit):
-        return F.lit(e.value)
-    if isinstance(e, Arith):
-        lc = _post_agg_column(e.left, agg_map).cast("double")
-        rc = _post_agg_column(e.right, agg_map).cast("double")
-        return {
-            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc, "%": lc % rc,
-        }[e.op]
-    raise CypherError(f"unsupported expression over aggregates: {e!r}")
+def _post_agg_ok(e: Expr) -> bool:
+    """A post-aggregation residue may contain only aggregates (resolved
+    to their computed columns), literals, and the pure wrappers —
+    row-bound leaves no longer exist after the groupBy."""
+    if isinstance(e, (Agg, Lit, Param)):
+        return True
+    if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit)):
+        return all(_post_agg_ok(c) for c in _expr_children(e))
+    return False
 
 
 def run_cypher(store: GraphStore, query: str, params: dict | None = None) -> DataFrame:
@@ -1639,10 +1863,16 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
         for m in stage.matches:
             state.add_match(m)
         state.apply_with(
-            stage.items, stage.where, stage.order_by, stage.skip, stage.limit
+            stage.items, stage.where, stage.order_by, stage.skip, stage.limit,
+            stage.distinct,
         )
     for m in q.matches:
         state.add_match(m)
+    if state.df is None:
+        # standalone RETURN (no MATCH/UNWIND): plan over one unit row
+        state.df = store.nodes.sparkSession.range(1).select(
+            F.lit(1).alias("__unit")
+        )
 
     agg_items = [r for r in q.returns if _contains_agg(r.expr)]
     if agg_items:
@@ -1665,7 +1895,7 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
             *[
                 _ncol(r.name)
                 if not _contains_agg(r.expr)
-                else _post_agg_column(r.expr, agg_map).alias(r.name)
+                else state.post_agg_column(r.expr, agg_map).alias(r.name)
                 for r in q.returns
             ]
         )

@@ -170,10 +170,11 @@ def test_agg_numeric(store):
 
 def test_parse_errors(store):
     for bad in [
-        "RETURN 1",
+        "WHERE n.x = 1",  # a query cannot start with WHERE
         "MATCH (n:Person) RETURN m.name",
         "MATCH (n:Person",
         "MATCH (n:Person) WHERE RETURN n",
+        "MATCH (a)<-[r]->(b) RETURN 1 AS x",  # double-ended arrow
     ]:
         with pytest.raises(CypherError):
             run_cypher(store, bad).collect()
@@ -867,3 +868,127 @@ def test_with_arithmetic_over_aggregate(store):
         {"employer": f"{NS}/things/acme", "pct_x100": 100.0},
         {"employer": f"{NS}/things/mimiro", "pct_x100": 200.0},
     ]
+
+
+# -- round-4 surface: direction, alternation, operators, standalone ----
+
+
+def test_left_direction_match(store):
+    """(c)<-[r]-(p): the stored edge runs p -> c."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (c)<-[r:worksfor]-(p:Person) "
+            "RETURN c.gid AS g, p.name AS n ORDER BY n",
+        )
+    )
+    assert [r["n"] for r in out] == ["ann", "brian", "joe"]
+    assert out[0]["g"] == f"{NS}/things/mimiro"
+
+
+def test_undirected_match_counts_both_orientations(store):
+    # 3 worksfor edges, each admitting 2 variable bindings
+    out = rows(run_cypher(store, "MATCH (a)-[r:worksfor]-(b) RETURN count(*) AS c"))
+    assert out == [{"c": 6}]
+
+
+def test_relationship_type_alternation(store):
+    out = rows(
+        run_cypher(store, "MATCH (n:Person)-[r:worksfor|knows]->(m) RETURN count(*) AS c")
+    )
+    assert out == [{"c": 3}]
+    # [:A|:B] spelling is equivalent
+    out2 = rows(
+        run_cypher(store, "MATCH (n:Person)-[r:worksfor|:knows]->(m) RETURN count(*) AS c")
+    )
+    assert out2 == out
+
+
+def test_xor_power_unary_minus(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.age > 20 XOR n.name = 'zoe' RETURN count(*) AS c",
+        )
+    )
+    assert out == [{"c": 4}]
+    assert rows(run_cypher(store, "RETURN 2 ^ 3 AS p")) == [{"p": 8.0}]
+    # unary minus binds looser than ^
+    assert rows(run_cypher(store, "RETURN -2 ^ 2 AS x")) == [{"x": 4.0}]
+    out = rows(run_cypher(store, "MATCH (n:Person) RETURN -n.age AS neg ORDER BY neg LIMIT 1"))
+    assert out == [{"neg": -45.0}]
+
+
+def test_standalone_return_and_with(store):
+    assert rows(run_cypher(store, "RETURN 1 + 1 AS two")) == [{"two": 2.0}]
+    assert rows(run_cypher(store, "WITH 2 AS x RETURN x * 3 AS y")) == [{"y": 6.0}]
+    assert rows(run_cypher(store, "RETURN [1,2,3] AS xs")) == [{"xs": [1, 2, 3]}]
+    assert rows(run_cypher(store, "RETURN range(1,3) AS r")) == [{"r": [1, 2, 3]}]
+    assert rows(run_cypher(store, "RETURN head([1,2]) AS h, last([1,2]) AS l")) == [
+        {"h": 1, "l": 2}
+    ]
+    assert rows(run_cypher(store, "RETURN [10,20,30][1] AS x")) == [{"x": 20}]
+    m = rows(run_cypher(store, "RETURN {a: 1, b: 'x'} AS m"))[0]["m"]
+    assert m["a"] == 1 and m["b"] == "x"
+
+
+def test_with_distinct(store):
+    out = rows(
+        run_cypher(store, "MATCH (n:Person) WITH DISTINCT n.source AS s RETURN s")
+    )
+    assert out == [{"s": "people"}]
+    # DISTINCT over a passthrough node variable dedups by identity
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (p:Person)-[:worksfor]->(c) WITH DISTINCT c "
+            "RETURN c.gid AS gid ORDER BY gid",
+        )
+    )
+    assert [r["gid"] for r in out] == [
+        f"{NS}/things/acme", f"{NS}/things/mimiro"
+    ]
+
+
+def test_aggregate_inside_function_and_predicate(store):
+    assert rows(
+        run_cypher(store, "MATCH (n:Person) RETURN size(collect(n.name)) AS c")
+    ) == [{"c": 4}]
+    assert rows(
+        run_cypher(store, "MATCH (n:Person) RETURN count(*) > 2 AS many")
+    ) == [{"many": True}]
+    assert rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN CASE WHEN count(*) > 2 THEN 'many' ELSE 'few' END AS c",
+        )
+    ) == [{"c": "many"}]
+
+
+def test_predicate_as_return_value(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name, n.age > 21 AS adult "
+            "ORDER BY name LIMIT 2",
+        )
+    )
+    assert out == [
+        {"name": "ann", "adult": True},
+        {"name": "brian", "adult": True},
+    ]
+
+
+def test_id_function(store):
+    out = rows(run_cypher(store, "MATCH (n:Person {name:'ann'}) RETURN id(n) AS i"))
+    assert out == [{"i": f"{NS}/things/p1"}]
+
+
+def test_exists_undirected(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (c:Company) WHERE EXISTS { (c)-[:worksfor]-(x) } RETURN count(*) AS c",
+        )
+    )
+    assert out == [{"c": 1}]

@@ -424,6 +424,57 @@ FROM nation ORDER BY upper_name
 """
 
 
+def cy_undirected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected match + relationship-type alternation through the
+    front-end: each nation's degree over BOTH edge orientations and
+    both rel types (incoming customer/supplier in_nation edges + the
+    outgoing in_region edge), with a first-class boolean predicate in
+    RETURN."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (n:Nation)-[r:in_nation|in_region]-(x) "
+        "RETURN n.name AS nation, count(*) AS degree, "
+        "count(*) > 65 AS busy ORDER BY nation",
+    )
+
+
+CY_UNDIRECTED_DEGREE_SQL = """
+WITH touch AS (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier
+  UNION ALL SELECT n_nationkey FROM nation)
+SELECT n_name AS nation, COUNT(*) AS degree, COUNT(*) > 65 AS busy
+FROM touch JOIN nation ON k = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+def cy_agg_in_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates composed under scalar functions via the front-end
+    (size(collect(x))), left-direction pattern spelling, and WITH
+    DISTINCT — the round-4 surface in one oracled query."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    return run_cypher(
+        store,
+        "MATCH (n:Nation)<-[r:in_nation]-(c:Customer) "
+        "WITH DISTINCT n, c "
+        "RETURN n.name AS nation, size(collect(c.gid)) AS n_customers "
+        "ORDER BY nation",
+    )
+
+
+CY_AGG_IN_FUNC_SQL = """
+SELECT n_name AS nation, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
 QUERIES = {
     "g_match_filter": QueryDef(g_match_filter, G_MATCH_FILTER_SQL, "R1 label scan + filter"),
     "cy_match_filter": QueryDef(
@@ -446,6 +497,16 @@ QUERIES = {
     ),
     "cy_case_exists": QueryDef(
         cy_case_exists, CY_CASE_EXISTS_SQL, "CASE buckets + EXISTS semi-join via front-end"
+    ),
+    "cy_undirected_degree": QueryDef(
+        cy_undirected_degree,
+        CY_UNDIRECTED_DEGREE_SQL,
+        "undirected match + type alternation + predicate value via front-end",
+    ),
+    "cy_agg_in_func": QueryDef(
+        cy_agg_in_func,
+        CY_AGG_IN_FUNC_SQL,
+        "size(collect()) + left-direction + WITH DISTINCT via front-end",
     ),
     "g_expand_collect": QueryDef(
         g_expand_collect, G_EXPAND_COLLECT_SQL, "R2+R3 optional expand + collect"

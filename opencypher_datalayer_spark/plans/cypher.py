@@ -243,9 +243,42 @@ class MapLit:
     entries: list[tuple[str, "Expr"]]
 
 
+@dataclass
+class ListPred:
+    """any/all/none/single(x IN list WHERE pred) — compiles onto
+    Spark's array higher-order functions (exists/forall), with the
+    lambda variable resolved through the planner's lambda scope."""
+
+    op: str  # any | all | none | single
+    var: str
+    src: "Expr"
+    pred: "Expr"
+
+
+@dataclass
+class ListCompr:
+    """[x IN list WHERE pred | expr] — F.filter + F.transform."""
+
+    var: str
+    src: "Expr"
+    pred: "Expr | None"
+    map: "Expr | None"
+
+
+@dataclass
+class Reduce:
+    """reduce(acc = init, x IN list | expr) — F.aggregate."""
+
+    acc: str
+    init: "Expr"
+    var: str
+    src: "Expr"
+    expr: "Expr"
+
+
 Expr = (
     Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
-    | PatternExists | Arith | MapLit
+    | PatternExists | Arith | MapLit | ListPred | ListCompr | Reduce
 )
 
 
@@ -591,9 +624,11 @@ class Parser:
             while not self.at_sym("}"):
                 key = self.take().text
                 self.expect_sym(":")
-                # value is an expression: a literal in read patterns, an
-                # item access (``item.gid``) in write-statement patterns
-                props[key] = self.parse_primary()
+                # value is a full expression: a literal in plain read
+                # patterns, an item access (``item.gid``) in write
+                # statements, any scalar expression over bound variables
+                # in correlated read patterns ({name: nm}, {gid: p + x})
+                props[key] = self.parse_expr()
                 if self.at_sym(","):
                     self.take()
             self.expect_sym("}")
@@ -766,6 +801,26 @@ class Parser:
             return Case(operand, whens, default)
         if self.at_sym("["):
             self.take()
+            # list comprehension: [x IN src (WHERE pred)? (| expr)? ]
+            t1 = self.peek()
+            t2 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if (
+                t1 is not None and t1.kind == "name"
+                and t2 is not None and t2.kind == "kw" and t2.value == "in"
+            ):
+                var = self.take().text
+                self.take()  # IN
+                src = self.parse_expr()
+                pred = None
+                if self.at_kw("where"):
+                    self.take()
+                    pred = self.parse_expr()
+                mape = None
+                if self.at_sym("|"):
+                    self.take()
+                    mape = self.parse_expr()
+                self.expect_sym("]")
+                return ListCompr(var, src, pred, mape)
             vals: list[object] = []
             while not self.at_sym("]"):
                 item = self.parse_primary()
@@ -787,8 +842,48 @@ class Parser:
                     self.take()
             self.expect_sym("}")
             return MapLit(entries)
+        if (
+            t.kind == "kw" and t.value == "all"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].text == "("
+        ):
+            # all(x IN src WHERE pred) — ALL is also the UNION ALL keyword
+            self.take()
+            self.take()
+            var = self.take().text
+            self.expect_kw("in")
+            src = self.parse_expr()
+            self.expect_kw("where")
+            pred = self.parse_expr()
+            self.expect_sym(")")
+            return ListPred("all", var, src, pred)
         if t.kind == "name":
             name = self.take().text
+            low = name.lower()
+            if low in ("any", "all", "none", "single") and self.at_sym("("):
+                # list predicate: any(x IN src WHERE pred)
+                self.take()
+                var = self.take().text
+                self.expect_kw("in")
+                src = self.parse_expr()
+                self.expect_kw("where")
+                pred = self.parse_expr()
+                self.expect_sym(")")
+                return ListPred(low, var, src, pred)
+            if low == "reduce" and self.at_sym("("):
+                # reduce(acc = init, x IN src | expr)
+                self.take()
+                acc = self.take().text
+                self.expect_sym("=")
+                init = self.parse_expr()
+                self.expect_sym(",")
+                var = self.take().text
+                self.expect_kw("in")
+                src = self.parse_expr()
+                self.expect_sym("|")
+                body = self.parse_expr()
+                self.expect_sym(")")
+                return Reduce(acc, init, var, src, body)
             if name.lower() == "exists" and self.at_sym("{"):
                 self.take()
                 path = self.parse_path()
@@ -904,6 +999,9 @@ class PlanState:
         self._anon = 0
         # set transiently by post_agg_column: repr(Agg) -> column name
         self._agg_map: dict[str, str] | None = None
+        # lambda variables in scope (list predicates/comprehensions/
+        # reduce): name -> the Column Spark passes to the HOF lambda
+        self._lambda: dict[str, Column] = {}
 
     def fresh(self, prefix: str) -> str:
         self._anon += 1
@@ -966,6 +1064,7 @@ class PlanState:
     # -- pattern planning --
 
     def add_match(self, clause: MatchClause) -> None:
+        self._lift_dynamic_props(clause)
         if (
             clause.optional
             and self.df is not None
@@ -1383,6 +1482,8 @@ class PlanState:
                 raise CypherError(f"unknown path property {e.key} (only 'hops')")
             return F.col(f"{e.var}__props").getItem(e.key)
         if isinstance(e, Var):
+            if e.name in self._lambda:  # innermost lambda scope wins
+                return self._lambda[e.name]
             self._check_var(e.name)
             if self.vars[e.name] == "scalar":
                 return _ncol(e.name)
@@ -1415,6 +1516,47 @@ class PlanState:
             return F.struct(
                 *[self.to_column(v).alias(k) for k, v in e.entries]
             )
+        if isinstance(e, ListPred):
+            # NOTE: pyspark infers the HOF lambda's arity from its
+            # signature — these must be strict one/two-parameter
+            # closures (a captured default would read as the index arg)
+            src = self.to_column(e.src)
+            lam = self._hof1(e.var, e.pred, cond=True)
+            if e.op == "any":
+                return F.exists(src, lam)
+            if e.op == "all":
+                return F.forall(src, lam)
+            if e.op == "none":
+                return ~F.exists(src, lam)
+            return F.size(F.filter(src, lam)) == 1  # single
+        if isinstance(e, ListCompr):
+            col = self.to_column(e.src)
+            if e.pred is not None:
+                col = F.filter(col, self._hof1(e.var, e.pred, cond=True))
+            if e.map is not None:
+                col = F.transform(col, self._hof1(e.var, e.map, cond=False))
+            return col
+        if isinstance(e, Reduce):
+            acc_name, var_name, body = e.acc, e.var, e.expr
+
+            def merge(acc: Column, x: Column) -> Column:
+                return self._in_lambda(
+                    {acc_name: acc, var_name: x}, lambda: self.to_column(body)
+                )
+
+            # the accumulator's type must match the merge output, and
+            # this engine's dynamic arithmetic evaluates in double —
+            # so the seed is pre-cast to double, and a string seed
+            # (which would need the merge body compiled as concat) is
+            # rejected up front with a clear error
+            if _is_stringy(e.init):
+                raise CypherError(
+                    "reduce() supports numeric accumulation only "
+                    "(dynamic '+' evaluates numerically; string "
+                    "accumulators are not supported)"
+                )
+            init = self.to_column(e.init).cast("double")
+            return F.aggregate(self.to_column(e.src), init, merge)
         if isinstance(e, Arith):
             # openCypher '+' is concatenation when either operand is a
             # string; detectable statically for literals and the string
@@ -1461,6 +1603,56 @@ class PlanState:
                 return _ncol(self._agg_map[repr(e)])
             raise CypherError("aggregate in non-return position")
         raise CypherError(f"cannot evaluate {e} as value")
+
+    def _lift_dynamic_props(self, clause: MatchClause) -> None:
+        """Non-literal pattern property values (UNWIND/WITH variables:
+        ``MATCH (n:Person {name: nm})``) cannot filter the node scan —
+        they are row-bound. Lift each into the clause's WHERE as an
+        equality, where it evaluates after the join the same way an
+        explicit ``WHERE n.name = nm`` would (openCypher defines the
+        inline map as sugar for exactly that)."""
+        for p in clause.paths:
+            for node in p.nodes:
+                dyn = {k: v for k, v in node.props.items() if not isinstance(v, Lit)}
+                if not dyn:
+                    continue
+                if node.var is None:
+                    raise CypherError(
+                        "a non-literal pattern property requires a named node"
+                    )
+                for k, v in dyn.items():
+                    del node.props[k]
+                    cond: Expr = Cmp("=", Prop(node.var, k), v)
+                    clause.where = (
+                        cond if clause.where is None else Bool("AND", clause.where, cond)
+                    )
+
+    def _hof1(self, var: str, body: Expr, cond: bool):
+        """One-parameter HOF lambda compiling ``body`` with ``var`` in
+        lambda scope (as a predicate when ``cond``)."""
+
+        def lam(x: Column) -> Column:
+            compile_fn = (
+                (lambda: self.to_condition(body)) if cond else (lambda: self.to_column(body))
+            )
+            return self._in_lambda({var: x}, compile_fn)
+
+        return lam
+
+    def _in_lambda(self, binds: dict[str, Column], compile_fn):
+        """Evaluate ``compile_fn`` with lambda variables in scope (Spark
+        invokes HOF lambdas synchronously at expression-build time, so a
+        save/restore around the call is sound, including nesting)."""
+        saved = {k: self._lambda.get(k) for k in binds}
+        self._lambda.update(binds)
+        try:
+            return compile_fn()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    self._lambda.pop(k, None)
+                else:
+                    self._lambda[k] = v
 
     def post_agg_column(self, e: Expr, agg_map: dict[str, str]) -> Column:
         """Compile the residue of a return expression AFTER its
@@ -1645,6 +1837,13 @@ class PlanState:
             return F.lit(bool(e.value))
         if isinstance(e, Func) and e.name == "exists":
             return self.to_column(e)
+        if isinstance(e, ListPred):
+            return self.to_column(e)
+        if isinstance(e, Var) and (
+            e.name in self._lambda or self.vars.get(e.name) == "scalar"
+        ):
+            # a boolean-valued scalar / lambda variable used as predicate
+            return self.to_column(e).cast("boolean")
         if isinstance(e, Case):
             return self.to_column(e).cast("boolean")
         raise CypherError(f"cannot use {e} as predicate")
@@ -1703,6 +1902,16 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
         return Func(e.name, [s(a) for a in e.args])
     if isinstance(e, MapLit):
         return MapLit([(k, s(v)) for k, v in e.entries])
+    if isinstance(e, ListPred):
+        return ListPred(e.op, e.var, s(e.src), s(e.pred))
+    if isinstance(e, ListCompr):
+        return ListCompr(
+            e.var, s(e.src),
+            None if e.pred is None else s(e.pred),
+            None if e.map is None else s(e.map),
+        )
+    if isinstance(e, Reduce):
+        return Reduce(e.acc, s(e.init), e.var, s(e.src), s(e.expr))
     if isinstance(e, Case):
         return Case(
             None if e.operand is None else s(e.operand),
@@ -1763,6 +1972,12 @@ def _expr_children(e: Expr) -> list[Expr]:
         return [e.left, e.right]
     if isinstance(e, MapLit):
         return [v for _, v in e.entries]
+    if isinstance(e, ListPred):
+        return [e.src, e.pred]
+    if isinstance(e, ListCompr):
+        return [e.src] + [x for x in (e.pred, e.map) if x is not None]
+    if isinstance(e, Reduce):
+        return [e.init, e.src, e.expr]
     if isinstance(e, Case):
         out = [] if e.operand is None else [e.operand]
         for w, t in e.whens:
@@ -1785,14 +2000,32 @@ def _collect_aggs(e: Expr) -> list[Agg]:
     return [a for c in _expr_children(e) for a in _collect_aggs(c)]
 
 
-def _post_agg_ok(e: Expr) -> bool:
+def _post_agg_ok(e: Expr, lam: frozenset = frozenset()) -> bool:
     """A post-aggregation residue may contain only aggregates (resolved
-    to their computed columns), literals, and the pure wrappers —
-    row-bound leaves no longer exist after the groupBy."""
+    to their computed columns), literals, lambda-bound variables, and
+    the pure wrappers — row-bound leaves no longer exist after the
+    groupBy (but [x IN collect(n.x) | f(x)] is fine)."""
     if isinstance(e, (Agg, Lit, Param)):
         return True
+    if isinstance(e, Var):
+        return e.name in lam
+    if isinstance(e, ListPred):
+        inner = lam | {e.var}
+        return _post_agg_ok(e.src, lam) and _post_agg_ok(e.pred, inner)
+    if isinstance(e, ListCompr):
+        inner = lam | {e.var}
+        return _post_agg_ok(e.src, lam) and all(
+            _post_agg_ok(x, inner) for x in (e.pred, e.map) if x is not None
+        )
+    if isinstance(e, Reduce):
+        inner = lam | {e.acc, e.var}
+        return (
+            _post_agg_ok(e.init, lam)
+            and _post_agg_ok(e.src, lam)
+            and _post_agg_ok(e.expr, inner)
+        )
     if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit)):
-        return all(_post_agg_ok(c) for c in _expr_children(e))
+        return all(_post_agg_ok(c, lam) for c in _expr_children(e))
     return False
 
 
@@ -1917,7 +2150,21 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
                 # aggregate: RETURN count(c) AS n ... ORDER BY count(c))
                 col = _ncol(by_expr[repr(e)])
             else:
-                col = state.to_column(e)
+                try:
+                    col = state.to_column(e)
+                except CypherError:
+                    # the expression may reference RETURN aliases
+                    # (ORDER BY age * -1 after RETURN n.age AS age) —
+                    # retry with the output columns in scope (Spark's
+                    # sort resolves them against the projection)
+                    added = [n for n in by_name if n not in state.vars]
+                    for n in added:
+                        state.vars[n] = "scalar"
+                    try:
+                        col = state.to_column(e)
+                    finally:
+                        for n in added:
+                            del state.vars[n]
             sort_cols.append(col.asc() if asc else col.desc())
         out = out.orderBy(*sort_cols)
     if q.skip:

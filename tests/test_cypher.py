@@ -992,3 +992,94 @@ def test_exists_undirected(store):
         )
     )
     assert out == [{"c": 1}]
+
+
+# -- round-4 wave 2: list lambdas, dynamic pattern props ---------------
+
+
+def test_list_predicates(store):
+    assert rows(run_cypher(store, "RETURN any(x IN [1,2,3] WHERE x > 2) AS a")) == [
+        {"a": True}
+    ]
+    assert rows(run_cypher(store, "RETURN all(x IN [1,2,3] WHERE x > 1) AS a")) == [
+        {"a": False}
+    ]
+    assert rows(run_cypher(store, "RETURN none(x IN [1,2] WHERE x > 5) AS a")) == [
+        {"a": True}
+    ]
+    assert rows(run_cypher(store, "RETURN single(x IN [1,2,3] WHERE x = 2) AS a")) == [
+        {"a": True}
+    ]
+    # in WHERE position
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE any(x IN ['ann','bob'] WHERE x = n.name) "
+            "RETURN count(*) AS c",
+        )
+    )
+    assert out == [{"c": 1}]
+
+
+def test_list_comprehension_and_reduce(store):
+    assert rows(run_cypher(store, "RETURN [x IN [1,2,3] WHERE x > 1] AS xs")) == [
+        {"xs": [2, 3]}
+    ]
+    assert rows(run_cypher(store, "RETURN [x IN [1,2,3] | x * 2] AS xs")) == [
+        {"xs": [2.0, 4.0, 6.0]}
+    ]
+    assert rows(
+        run_cypher(store, "RETURN [x IN [1,2,3,4] WHERE x % 2 = 0 | x * 10] AS xs")
+    ) == [{"xs": [20.0, 40.0]}]
+    assert rows(
+        run_cypher(store, "RETURN reduce(s = 0, x IN [1,2,3] | s + x) AS total")
+    ) == [{"total": 6.0}]
+    with pytest.raises(CypherError):
+        run_cypher(store, "RETURN reduce(s = '', x IN ['a'] | s + x) AS cat")
+
+
+def test_comprehension_over_collect(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN [x IN collect(n.name) | toupper(x)] AS names",
+        )
+    )
+    assert sorted(out[0]["names"]) == ["ANN", "BRIAN", "JOE", "ZOE"]
+
+
+def test_dynamic_pattern_property(store):
+    """Inline map values may reference UNWIND/WITH variables — sugar for
+    an equality WHERE (openCypher)."""
+    out = rows(
+        run_cypher(
+            store,
+            "UNWIND ['brian','ann'] AS nm MATCH (n:Person {name: nm}) "
+            "RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in out] == ["ann", "brian"]
+    # OPTIONAL MATCH keeps the null-extension semantics after the lift
+    out = rows(
+        run_cypher(
+            store,
+            "UNWIND ['mimiro','nowhere'] AS t "
+            f"OPTIONAL MATCH (c {{gid: '{NS}/things/' + t}}) "
+            "RETURN t, c.gid AS g ORDER BY t",
+        )
+    )
+    assert out == [
+        {"t": "mimiro", "g": f"{NS}/things/mimiro"},
+        {"t": "nowhere", "g": None},
+    ]
+
+
+def test_order_by_alias_expression(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n.name AS name, n.age AS age "
+            "ORDER BY age * -1 LIMIT 1",
+        )
+    )
+    assert out == [{"name": "joe", "age": "45"}]

@@ -17,10 +17,12 @@ item rows against the node store, a ``SET`` is a keyed update join, a
 ``DELETE`` an anti-join.  Nothing iterates per item on the driver, so a
 10M-item statement plans exactly like a 10-item one.
 
-Divergences from Neo4j, both documented in SURVEY §2-C:
+Label semantics match Neo4j's ``SET n:%s`` ADDS behavior: each write
+unions into the node's accumulated ``labels`` set (the scalar ``label``
+column keeps the latest write as the physical clustering key); label
+MATCH consults the set. One documented divergence remains (SURVEY
+§2-C):
 
-- ``SET n:Label`` *overwrites* the single ``label`` column (Neo4j
-  accumulates labels; nothing in the reference's tests needs >1).
 - ``SET r.type = item.type`` parses and is accepted but stores nothing:
   the edge schema has no ``type`` column because the reference's item
   maps never populate ``item.type`` (``neo4j.go:215-220``) — the
@@ -29,7 +31,7 @@ Divergences from Neo4j, both documented in SURVEY §2-C:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -70,6 +72,38 @@ class WithClause:
 @dataclass
 class MergeClause:
     path: PathPat
+    # ON CREATE SET / ON MATCH SET items, applied only to the rows the
+    # MERGE created / matched respectively
+    on_create: list = field(default_factory=list)
+    on_match: list = field(default_factory=list)
+
+
+@dataclass
+class CreateClause:
+    """CREATE (n:L {gid: g, ...}) / CREATE (a)-[:T]->(b). In a
+    gid-keyed store node identity IS the gid, so CREATE desugars to
+    MERGE-on-gid + SET of the remaining properties/label (creating an
+    existing gid is an upsert, not a duplicate — documented
+    divergence from Neo4j's anonymous-identity CREATE)."""
+
+    path: PathPat
+
+
+@dataclass
+class RemoveProp:
+    var: str
+    key: str
+
+
+@dataclass
+class RemoveLabel:
+    var: str
+    label: str
+
+
+@dataclass
+class RemoveClause:
+    items: list
 
 
 @dataclass
@@ -102,7 +136,10 @@ class DeleteClause:
     detach: bool
 
 
-WriteClause = Unwind | WithClause | MergeClause | SetClause | DeleteClause | MatchClause
+WriteClause = (
+    Unwind | WithClause | MergeClause | CreateClause | SetClause
+    | RemoveClause | DeleteClause | MatchClause
+)
 
 
 class WriteParser(Parser):
@@ -133,7 +170,32 @@ class WriteParser(Parser):
                 clauses.append(MatchClause(paths, optional, where))
             elif self.at_kw("merge"):
                 self.take()
-                clauses.append(MergeClause(self.parse_path()))
+                mc = MergeClause(self.parse_path())
+                while self._at_name("on"):
+                    self.take()
+                    branch = self.take()
+                    self.expect_kw("set")
+                    items = [self._parse_set_item()]
+                    while self.at_sym(","):
+                        self.take()
+                        items.append(self._parse_set_item())
+                    if branch.value == "create":
+                        mc.on_create.extend(items)
+                    elif branch.value == "match":
+                        mc.on_match.extend(items)
+                    else:
+                        raise CypherError("expected ON CREATE SET or ON MATCH SET")
+                clauses.append(mc)
+            elif self._at_name("create"):
+                self.take()
+                clauses.append(CreateClause(self.parse_path()))
+            elif self._at_name("remove"):
+                self.take()
+                items = [self._parse_remove_item()]
+                while self.at_sym(","):
+                    self.take()
+                    items.append(self._parse_remove_item())
+                clauses.append(RemoveClause(items))
             elif self.at_kw("with"):
                 self.take()
                 names = [self.take().text]
@@ -165,6 +227,10 @@ class WriteParser(Parser):
             raise CypherError("empty statement")
         return clauses
 
+    def _at_name(self, word: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "name" and t.value == word
+
     def _parse_set_item(self):
         var = self.take().text
         if self.at_sym(":"):
@@ -177,6 +243,14 @@ class WriteParser(Parser):
             return SetProp(var, key, self.parse_primary())
         self.expect_sym("=")
         return SetAll(var, self.parse_primary())
+
+    def _parse_remove_item(self):
+        var = self.take().text
+        if self.at_sym(":"):
+            self.take()
+            return RemoveLabel(var, self.take().text)
+        self.expect_sym(".")
+        return RemoveProp(var, self.take().text)
 
 
 # ----------------------------------------------------------------------
@@ -235,6 +309,8 @@ class _Exec:
         self.node_vars: set[str] = set()  # bound as {var}__gid in rows
         self.filters: dict[str, Column] = {}  # store-filter MATCH bindings
         self.edge_vars: dict[str, _EdgeBinding] = {}
+        # gids the last MERGE inserted, per variable (ON CREATE/ON MATCH)
+        self.created: dict[str, DataFrame] = {}
 
     # -- expression evaluation over the driving rows --
 
@@ -271,6 +347,15 @@ class _Exec:
             self._match(c)
         elif isinstance(c, MergeClause):
             self._merge(c.path)
+            for item in c.on_create:
+                self._set(item, restrict=self._created_of(item))
+            for item in c.on_match:
+                self._set(item, restrict=self._matched_of(item))
+        elif isinstance(c, CreateClause):
+            self._create(c.path)
+        elif isinstance(c, RemoveClause):
+            for item in c.items:
+                self._remove(item)
         elif isinstance(c, WithClause):
             for n in c.names:
                 if n not in self.item_vars | self.node_vars and n not in self.edge_vars:
@@ -357,6 +442,83 @@ class _Exec:
         binding = _EdgeBinding(self._gids_of(src.var), epat.rel_type)
         self.edge_vars[epat.var or "_r"] = binding
 
+    def _created_of(self, item) -> DataFrame:
+        var = getattr(item, "var", None)
+        if var not in self.created:
+            raise CypherError(
+                "ON CREATE/ON MATCH SET must target the merged node variable"
+            )
+        return self.created[var]
+
+    def _matched_of(self, item) -> DataFrame:
+        return self._gids_of(item.var).join(
+            self._created_of(item), "gid", "left_anti"
+        )
+
+    # -- CREATE --
+
+    def _create(self, path: PathPat) -> None:
+        """CREATE desugars to MERGE + SET (class docstring): gid is the
+        identity, the remaining inline properties and the label apply to
+        the (created-or-existing) rows."""
+        if len(path.nodes) == 1:
+            pat = path.nodes[0]
+            if "gid" not in pat.props:
+                raise CypherError("CREATE requires a {gid: <expr>} property")
+            var = pat.var or "_n"
+            self._merge_node(NodePat(var, pat.label, {"gid": pat.props["gid"]}))
+            if pat.label is not None:
+                self._set(SetLabel(var, pat.label))
+            for k, v in pat.props.items():
+                if k != "gid":
+                    self._set(SetProp(var, k, v))
+        elif len(path.nodes) == 2:
+            self._merge_edge(path)
+        else:
+            raise CypherError("CREATE supports a node or a single relationship")
+
+    # -- REMOVE --
+
+    def _remove(self, item) -> None:
+        if isinstance(item, RemoveProp):
+            hits = F.broadcast(
+                self._gids_of(item.var).withColumn("__hit", F.lit(True))
+            )
+            key = item.key
+            self.nodes = (
+                self.nodes.join(hits, "gid", "left")
+                .withColumn(
+                    "props",
+                    F.when(
+                        F.col("__hit"),
+                        F.map_filter(F.col("props"), lambda k, v: k != key),
+                    ).otherwise(F.col("props")),
+                )
+                .drop("__hit")
+            )
+            return
+        # RemoveLabel: drop from the accumulated set; the scalar label
+        # column falls back to another held label (or NULL when none)
+        hits = F.broadcast(self._gids_of(item.var).withColumn("__hit", F.lit(True)))
+        joined = self.nodes.join(hits, "gid", "left")
+        if "labels" not in joined.columns:
+            joined = joined.withColumn("labels", F.lit(None).cast("array<string>"))
+        remaining = F.array_remove(labels_expr(joined), item.label)
+        self.nodes = (
+            joined.withColumn(
+                "labels",
+                F.when(F.col("__hit"), remaining).otherwise(labels_expr(joined)),
+            )
+            .withColumn(
+                "label",
+                F.when(
+                    F.col("__hit") & (F.col("label") == F.lit(item.label)),
+                    F.get(remaining, 0),
+                ).otherwise(F.col("label")),
+            )
+            .drop("__hit")
+        )
+
     # -- MERGE --
 
     def _merge(self, path: PathPat) -> None:
@@ -374,12 +536,16 @@ class _Exec:
         if pat.props.keys() != {"gid"}:
             raise CypherError("node MERGE key must be {gid: <expr>}")
         if self.rows is None:
-            raise CypherError("node MERGE requires UNWIND items")
+            # literal MERGE without UNWIND: one unit row drives it
+            self.rows = self.spark.range(1).select(F.col("id").alias("_seq"))
         var = pat.var or "_n"
         self.rows = self.rows.withColumn(f"{var}__gid", self.val(pat.props["gid"]))
         self.node_vars.add(var)
         gids = self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
         missing = gids.join(self.nodes.select("gid"), "gid", "left_anti")
+        # remember what this MERGE inserted (computed against the
+        # PRE-union store) for ON CREATE / ON MATCH SET branch selection
+        self.created[var] = missing.localCheckpoint(eager=False)
         stubs = missing.select(
             "gid",
             F.lit(pat.label).cast("string").alias("label"),
@@ -423,11 +589,15 @@ class _Exec:
 
     # -- SET --
 
-    def _set(self, item) -> None:
+    def _set(self, item, restrict: DataFrame | None = None) -> None:
+        """Apply one SET item; ``restrict`` (a one-column gid frame)
+        narrows the touched rows — the ON CREATE/ON MATCH SET branch
+        selector after a MERGE."""
         if isinstance(item, SetLabel):
-            hits = F.broadcast(
-                self._gids_of(item.var).withColumn("__hit", F.lit(True))
-            )
+            gids = self._gids_of(item.var)
+            if restrict is not None:
+                gids = gids.join(restrict, "gid", "left_semi")
+            hits = F.broadcast(gids.withColumn("__hit", F.lit(True)))
             new_labels = F.array_sort(
                 F.array_union(labels_expr(self.nodes), F.array(F.lit(item.label)))
             )
@@ -446,16 +616,20 @@ class _Exec:
                 .drop("__hit")
             )
         elif isinstance(item, SetAll):
-            self._set_all(item)
+            self._set_all(item, restrict)
         elif isinstance(item, SetProp):
             if item.var in self.edge_vars:
+                if restrict is not None:
+                    raise CypherError(
+                        "ON CREATE/ON MATCH SET supports node properties only"
+                    )
                 self._set_edge_prop(item)
             else:
-                self._set_node_prop(item)
+                self._set_node_prop(item, restrict)
         else:  # pragma: no cover
             raise CypherError(f"unsupported SET item {item!r}")
 
-    def _set_all(self, item: SetAll) -> None:
+    def _set_all(self, item: SetAll, restrict: DataFrame | None = None) -> None:
         """SET n = item: wholesale property replace (``neo4j.go:108``) —
         props become the item map minus the envelope keys, ``source``
         comes from the map; a gid repeated in the batch resolves to its
@@ -472,6 +646,8 @@ class _Exec:
                 mapcol.alias("__newmap"),
             )
         )
+        if restrict is not None:
+            updates = updates.join(restrict, "gid", "left_semi")
         self.nodes = (
             self.nodes.join(F.broadcast(updates), "gid", "left")
             .withColumn(
@@ -491,7 +667,7 @@ class _Exec:
             .drop("__newmap")
         )
 
-    def _set_node_prop(self, item: SetProp) -> None:
+    def _set_node_prop(self, item: SetProp, restrict: DataFrame | None = None) -> None:
         """SET n.key = value: single-property patch (beyond the
         reference's templates, but part of the SET clause surface)."""
         if item.var not in self.node_vars:
@@ -506,6 +682,8 @@ class _Exec:
                 F.lit(True).alias("__hit"),
             )
         )
+        if restrict is not None:
+            updates = updates.join(restrict, "gid", "left_semi")
         key = item.key
         self.nodes = (
             self.nodes.join(F.broadcast(updates), "gid", "left")
@@ -576,9 +754,23 @@ class _Exec:
                     matching.join(doomed_src, "src", "left_anti")
                 )
             return
-        if not detach:
-            raise CypherError("DELETE of a node requires DETACH (node may have edges)")
         gids = self._gids_of(name)
+        if not detach:
+            # openCypher: plain DELETE errors if the node still has
+            # relationships. One bounded existence probe per side.
+            touches = (
+                self.edges.join(
+                    F.broadcast(gids.withColumnRenamed("gid", "src")), "src", "left_semi"
+                ).limit(1).count()
+                or self.edges.join(
+                    F.broadcast(gids.withColumnRenamed("gid", "dst")), "dst", "left_semi"
+                ).limit(1).count()
+            )
+            if touches:
+                raise CypherError(
+                    "cannot DELETE a node that still has relationships; "
+                    "use DETACH DELETE"
+                )
         if name in self.filters:
             # NULL predicate (e.g. stub nodes with NULL label) means
             # no-match: keep the row — coalesce before negating.

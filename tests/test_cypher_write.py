@@ -231,8 +231,84 @@ def test_template_sequence_equals_apply_batch(spark):
 def test_write_errors(spark):
     store = GraphStore.empty(spark)
     with pytest.raises(CypherError):
-        run_cypher_write(store, "MATCH (n) DELETE n")  # node DELETE needs DETACH
-    with pytest.raises(CypherError):
         run_cypher_write(store, "UNWIND $items AS item RETURN item", {"items": []})
     with pytest.raises(CypherError):
         run_cypher_write(store, "MERGE (n {gid: item.gid})")  # no UNWIND binding
+
+
+# -- round-4 clause surface: CREATE / REMOVE / ON CREATE / ON MATCH ----
+
+
+def _seed(spark):
+    store = GraphStore.empty(spark)
+    return upsert_people(
+        store, [{"gid": "x:p0", "name": "brian"}, {"gid": "x:p1", "name": "ann"}]
+    )
+
+
+def test_create_node_literal(spark):
+    s = run_cypher_write(
+        _seed(spark), "CREATE (n:Thing {gid: 'x:c1', kind: 'widget'})"
+    )
+    n = nmap(s)["x:c1"]
+    assert n["label"] == "Thing"
+    assert n["props"]["kind"] == "widget"
+
+
+def test_create_existing_gid_is_upsert(spark):
+    """gid is identity here: CREATE on an existing gid updates in place
+    (documented divergence from Neo4j's anonymous-identity CREATE)."""
+    s = run_cypher_write(_seed(spark), "CREATE (n:Person {gid: 'x:p0', extra: 'e'})")
+    assert len([g for g in nmap(s) if g == "x:p0"]) == 1
+    assert nmap(s)["x:p0"]["props"]["extra"] == "e"
+
+
+def test_create_from_unwind_items(spark):
+    s = run_cypher_write(
+        _seed(spark),
+        "UNWIND $items AS item CREATE (n:Thing {gid: item.gid, kind: item.kind})",
+        {"items": [{"gid": "x:t1", "kind": "a"}, {"gid": "x:t2", "kind": "b"}]},
+    )
+    assert nmap(s)["x:t1"]["props"]["kind"] == "a"
+    assert nmap(s)["x:t2"]["props"]["kind"] == "b"
+
+
+def test_merge_on_create_on_match_branches(spark):
+    s = run_cypher_write(
+        _seed(spark),
+        "MERGE (n {gid: 'x:p0'}) ON CREATE SET n.flag = 'new' "
+        "ON MATCH SET n.flag = 'seen'",
+    )
+    assert nmap(s)["x:p0"]["props"]["flag"] == "seen"
+    s = run_cypher_write(
+        s,
+        "MERGE (n {gid: 'x:new'}) ON CREATE SET n.flag = 'new' "
+        "ON MATCH SET n.flag = 'seen'",
+    )
+    assert nmap(s)["x:new"]["props"]["flag"] == "new"
+    # existing row untouched by the second statement's ON CREATE
+    assert nmap(s)["x:p0"]["props"]["flag"] == "seen"
+
+
+def test_remove_property_and_label(spark):
+    s = run_cypher_write(_seed(spark), "MATCH (n {gid: 'x:p0'}) REMOVE n.name")
+    assert "name" not in nmap(s)["x:p0"]["props"]
+    assert nmap(s)["x:p1"]["props"]["name"] == "ann"  # others untouched
+    s = run_cypher_write(s, "MATCH (n {gid: 'x:p0'}) REMOVE n:Person")
+    assert nmap(s)["x:p0"]["label"] is None
+    assert "Person" not in (nmap(s)["x:p0"].get("labels") or [])
+
+
+def test_plain_delete_requires_edge_free(spark):
+    s = _seed(spark)  # both endpoints exist, so the edge survives MATCH
+    s = run_cypher_write(
+        s,
+        EDGE_TMPL % "knows",
+        {"items": [{"from": "x:p0", "to": "x:p1", "source": "t", "type": None}]},
+    )
+    with pytest.raises(CypherError):
+        run_cypher_write(s, "MATCH (n {gid: 'x:p0'}) DELETE n")
+    # an edge-free node deletes without DETACH
+    s2 = run_cypher_write(s, "MATCH (n {gid: 'x:p0'}) DETACH DELETE n")
+    s3 = run_cypher_write(s2, "MATCH (n {gid: 'x:p1'}) DELETE n")
+    assert "x:p1" not in nmap(s3)

@@ -179,9 +179,16 @@ class StrPred:
 
 @dataclass
 class Agg:
-    fn: str  # collect / count / sum / min / max / avg
+    fn: str  # collect/count/sum/min/max/avg/stdev/stdevp/percentilecont/percentiledisc
     inner: "Expr | None"  # None => count(*)
     distinct: bool = False
+    # the percentile for percentileCont/percentileDisc
+    param: float | None = None
+
+
+# aggregation functions spelled as plain calls (not keywords):
+# stDev(x), stDevP(x), percentileCont(x, p), percentileDisc(x, p)
+_EXTRA_AGGS = frozenset({"stdev", "stdevp", "percentilecont", "percentiledisc"})
 
 
 @dataclass
@@ -908,7 +915,17 @@ class Parser:
                     if self.at_sym(","):
                         self.take()
                 self.expect_sym(")")
-                return Func(name.lower(), args)
+                if low in _EXTRA_AGGS:
+                    if low.startswith("percentile"):
+                        if len(args) != 2 or not isinstance(args[1], Lit):
+                            raise CypherError(
+                                f"{name}() takes (expression, percentile-literal)"
+                            )
+                        return Agg(low, args[0], param=float(args[1].value))
+                    if len(args) != 1:
+                        raise CypherError(f"{name}() takes one argument")
+                    return Agg(low, args[0])
+                return Func(low, args)
             if self.at_sym("."):
                 self.take()
                 key = self.take().text
@@ -1692,6 +1709,19 @@ class PlanState:
             if len(e.args) != 1:
                 raise CypherError(f"{n}() takes one argument")
             return simple[n](arg(0))
+        math1 = {
+            "ceil": F.ceil, "floor": F.floor, "sqrt": F.sqrt,
+            "sign": F.signum, "exp": F.exp, "log": F.log, "log10": F.log10,
+            "sin": F.sin, "cos": F.cos, "tan": F.tan, "atan": F.atan,
+        }
+        if n in math1:
+            if len(e.args) != 1:
+                raise CypherError(f"{n}() takes one argument")
+            return math1[n](arg(0).cast("double"))
+        if n == "pi":
+            return F.lit(3.141592653589793)
+        if n == "rand":
+            raise CypherError("rand() is not supported (non-deterministic)")
         if n == "coalesce":
             return F.coalesce(*[arg(i) for i in range(len(e.args))])
         if n == "substring":
@@ -1870,6 +1900,22 @@ def _agg_column(state: PlanState, a: Agg, name: str) -> Column:
         # canonical sorted order (Cypher COLLECT is unordered)
         inner = F.collect_set(c) if a.distinct else F.collect_list(c)
         return F.array_sort(inner).alias(name)
+    if a.fn == "stdev":
+        return F.stddev_samp(c.cast("double")).alias(name)
+    if a.fn == "stdevp":
+        return F.stddev_pop(c.cast("double")).alias(name)
+    if a.fn == "percentilecont":
+        # exact interpolated percentile (Spark's percentile == DuckDB's
+        # quantile_cont)
+        return F.percentile(c.cast("double"), F.lit(a.param)).alias(name)
+    if a.fn == "percentiledisc":
+        # exact discrete percentile: the value at rank ceil(p*n) of the
+        # sorted non-null values (openCypher/SQL percentile_disc)
+        vals = F.array_sort(F.collect_list(c.cast("double")))
+        idx = F.greatest(
+            F.ceil(F.lit(a.param) * F.size(vals)).cast("int") - F.lit(1), F.lit(0)
+        )
+        return F.get(vals, idx).alias(name)
     if a.fn in ("sum", "avg"):
         c = c.cast("double")
     return getattr(F, a.fn)(c).alias(name)
@@ -1897,7 +1943,7 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
     if isinstance(e, StrPred):
         return StrPred(e.op, s(e.left), s(e.right))
     if isinstance(e, Agg):
-        return Agg(e.fn, None if e.inner is None else s(e.inner), e.distinct)
+        return Agg(e.fn, None if e.inner is None else s(e.inner), e.distinct, e.param)
     if isinstance(e, Func):
         return Func(e.name, [s(a) for a in e.args])
     if isinstance(e, MapLit):

@@ -346,7 +346,7 @@ class _Exec:
         elif isinstance(c, MatchClause):
             self._match(c)
         elif isinstance(c, MergeClause):
-            self._merge(c.path)
+            self._merge(c.path, track_created=bool(c.on_create or c.on_match))
             for item in c.on_create:
                 self._set(item, restrict=self._created_of(item))
             for item in c.on_match:
@@ -521,15 +521,15 @@ class _Exec:
 
     # -- MERGE --
 
-    def _merge(self, path: PathPat) -> None:
+    def _merge(self, path: PathPat, track_created: bool = False) -> None:
         if len(path.nodes) == 1:
-            self._merge_node(path.nodes[0])
+            self._merge_node(path.nodes[0], track_created)
         elif len(path.nodes) == 2:
             self._merge_edge(path)
         else:
             raise CypherError("MERGE supports a node or a single relationship")
 
-    def _merge_node(self, pat: NodePat) -> None:
+    def _merge_node(self, pat: NodePat, track_created: bool = False) -> None:
         """MERGE (n {gid: <expr>}): ensure a node exists per distinct gid;
         existing nodes are untouched (C3 stub semantics — later SETs do
         the updating for C2)."""
@@ -543,9 +543,14 @@ class _Exec:
         self.node_vars.add(var)
         gids = self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
         missing = gids.join(self.nodes.select("gid"), "gid", "left_anti")
-        # remember what this MERGE inserted (computed against the
-        # PRE-union store) for ON CREATE / ON MATCH SET branch selection
-        self.created[var] = missing.localCheckpoint(eager=False)
+        if track_created:
+            # remember what this MERGE inserted for ON CREATE/ON MATCH
+            # branch selection. Materialized via localCheckpoint: the
+            # created-set must be pinned against the PRE-union store
+            # (both branches re-read it), and the reference-template
+            # path never pays this — tracking is requested only when an
+            # ON branch exists.
+            self.created[var] = missing.localCheckpoint()
         stubs = missing.select(
             "gid",
             F.lit(pat.label).cast("string").alias("label"),

@@ -1083,3 +1083,30 @@ def test_order_by_alias_expression(store):
         )
     )
     assert out == [{"name": "joe", "age": "45"}]
+
+
+def test_statistical_aggregates(store):
+    # ages: 19, 23, 31, 45
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN stDev(n.age) AS sd, stDevP(n.age) AS sdp, "
+            "percentileCont(n.age, 0.5) AS med, percentileDisc(n.age, 0.5) AS dmed, "
+            "percentileDisc(n.age, 1.0) AS mx",
+        )
+    )[0]
+    assert out["sd"] == pytest.approx(11.4746, abs=1e-3)
+    assert out["sdp"] == pytest.approx(9.9373, abs=1e-3)
+    assert out["med"] == pytest.approx(27.0)
+    assert out["dmed"] == 23.0
+    assert out["mx"] == 45.0
+
+
+def test_math_functions(store):
+    out = rows(
+        run_cypher(
+            store,
+            "RETURN ceil(1.2) AS c, floor(1.8) AS f, sqrt(9) AS s, sign(-3) AS g",
+        )
+    )[0]
+    assert (out["c"], out["f"], out["s"], out["g"]) == (2, 1, 3.0, -1.0)

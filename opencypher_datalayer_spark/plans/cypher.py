@@ -333,13 +333,14 @@ def _expr_name(e: Expr) -> str:
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s+)
+    (?P<ws>\s+|//[^\n]*|/\*[\s\S]*?\*/)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<bquote>`[^`]+`)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow>-\[|\]->|\]-|<-\[|-->|<--|--)
-  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*+/%|^-])
+  | (?P<sym><>|<=|>=|=~|[(){}\[\],.:=<>*+/%|^;-])
     """,
     re.VERBOSE,
 )
@@ -378,8 +379,13 @@ def tokenize(src: str) -> list[Tok]:
             toks.append(Tok("string", text, value=text[1:-1].replace("\\'", "'").replace('\\"', '"')))
         elif kind == "param":
             toks.append(Tok("param", text, value=text[1:]))
+        elif kind == "bquote":
+            # backtick-quoted identifier: always a name, never a keyword
+            inner = text[1:-1]
+            toks.append(Tok("name", inner, value=inner.lower()))
         elif kind == "number":
-            toks.append(Tok("number", text, value=float(text) if "." in text else int(text)))
+            is_float = "." in text or "e" in text or "E" in text
+            toks.append(Tok("number", text, value=float(text) if is_float else int(text)))
         elif kind == "name":
             low = text.lower()
             toks.append(Tok("kw" if low in _KEYWORDS else "name", text, value=low))
@@ -514,6 +520,8 @@ class Parser:
             branches.append((keep_dups, self.parse()))
         if len(flags) > 1:
             raise CypherError("cannot mix UNION and UNION ALL")
+        if self.at_sym(";"):  # statement terminator
+            self.take()
         if self.peek() is not None:
             raise CypherError(f"unexpected trailing input: {self._ctx()}")
         return branches

@@ -146,6 +146,11 @@ class WriteParser(Parser):
     def parse_statement(self) -> list[WriteClause]:
         clauses: list[WriteClause] = []
         while self.peek() is not None:
+            if self.at_sym(";"):  # statement terminator
+                self.take()
+                if self.peek() is not None:
+                    raise CypherError("multiple statements are not supported")
+                break
             if self.at_kw("unwind"):
                 self.take()
                 t = self.take()

@@ -1110,3 +1110,21 @@ def test_math_functions(store):
         )
     )[0]
     assert (out["c"], out["f"], out["s"], out["g"]) == (2, 1, 3.0, -1.0)
+
+
+def test_lexical_conveniences(store):
+    """Comments, trailing semicolon, backtick identifiers, scientific
+    notation — the lexical surface every Cypher client emits."""
+    assert rows(
+        run_cypher(store, "MATCH (n:Person) // inline\nRETURN count(*) AS c")
+    ) == [{"c": 4}]
+    assert rows(
+        run_cypher(store, "MATCH (n:Person) /* block\ncomment */ RETURN count(*) AS c")
+    ) == [{"c": 4}]
+    assert rows(run_cypher(store, "RETURN 1 AS one;")) == [{"one": 1}]
+    assert rows(
+        run_cypher(store, "MATCH (n:Person {name:'ann'}) RETURN n.name AS `the name`")
+    ) == [{"the name": "ann"}]
+    assert rows(run_cypher(store, "RETURN 1.5e3 AS x")) == [{"x": 1500.0}]
+    with pytest.raises(CypherError):
+        run_cypher(store, "RETURN 1 AS a; RETURN 2 AS b")

@@ -108,6 +108,7 @@ class WithStage:
     skip: int | None = None
     limit: int | None = None
     distinct: bool = False  # WITH DISTINCT: dedup the projected rows
+    star: bool = False  # WITH *: pass every bound variable through
 
 
 @dataclass
@@ -121,6 +122,7 @@ class Query:
     distinct: bool = False
     stages: list[WithStage] = field(default_factory=list)  # WITH pipeline before matches
     unwinds: list[tuple["Expr", str]] = field(default_factory=list)  # (source, var)
+    star: bool = False  # RETURN *: project every bound variable
 
 
 # Expressions
@@ -477,17 +479,28 @@ class Parser:
             if self.at_kw("distinct"):
                 self.take()
                 distinct_stage = True
-            items = [self.parse_return_item()]
-            while self.at_sym(","):
+            star = False
+            items: list[ReturnItem] = []
+            if self.at_sym("*"):
                 self.take()
-                items.append(self.parse_return_item())
+                star = True
+                while self.at_sym(","):  # WITH *, expr AS alias
+                    self.take()
+                    items.append(self.parse_return_item())
+            else:
+                items = [self.parse_return_item()]
+                while self.at_sym(","):
+                    self.take()
+                    items.append(self.parse_return_item())
             order_by, skip, limit = self._parse_order_skip_limit()
             where = None
             if self.at_kw("where"):
                 self.take()
                 where = self.parse_expr()
             stages.append(
-                WithStage(matches, items, where, order_by, skip, limit, distinct_stage)
+                WithStage(
+                    matches, items, where, order_by, skip, limit, distinct_stage, star
+                )
             )
             matches = self.parse_matches()
 
@@ -496,13 +509,22 @@ class Parser:
         if self.at_kw("distinct"):
             self.take()
             distinct = True
-        returns = [self.parse_return_item()]
-        while self.at_sym(","):
+        star = False
+        returns: list[ReturnItem] = []
+        if self.at_sym("*"):
             self.take()
-            returns.append(self.parse_return_item())
+            star = True
+        else:
+            returns = [self.parse_return_item()]
+            while self.at_sym(","):
+                self.take()
+                returns.append(self.parse_return_item())
 
         order_by, skip, limit = self._parse_order_skip_limit()
-        return Query(matches, None, returns, order_by, skip, limit, distinct, stages, unwinds)
+        return Query(
+            matches, None, returns, order_by, skip, limit, distinct, stages,
+            unwinds, star,
+        )
 
     def parse_union(self) -> list[tuple[bool, "Query"]]:
         """Top level: query (UNION [ALL] query)*. Returns [(all?, q), ...]
@@ -554,6 +576,17 @@ class Parser:
 
     def parse_path(self) -> PathPat:
         t = self.peek()
+        if (
+            t is not None and t.kind == "name"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].text == "="
+            and self.i + 2 < len(self.toks)
+            and self.toks[self.i + 2].text in ("(", "shortestPath", "shortestpath")
+        ):
+            raise CypherError(
+                "path variables (p = (a)-[...]->(b)) are not supported; "
+                "bind the endpoint/relationship variables instead"
+            )
         if t and t.kind == "name" and t.text.lower() == "shortestpath":
             # shortestPath((a)-[:T*1..k]->(b)) — openCypher wrapper; the
             # inner pattern must be a single var-length relationship
@@ -1393,6 +1426,7 @@ class PlanState:
         skip: int | None = None,
         limit: int | None = None,
         distinct: bool = False,
+        star: bool = False,
     ) -> None:
         """WITH projection/aggregation: pattern variables pass through
         with their full column namespace (so later MATCH/RETURN can keep
@@ -1406,6 +1440,14 @@ class PlanState:
             self.df = self.store.nodes.sparkSession.range(1).select(
                 F.lit(1).alias("__unit")
             )
+        if star:
+            # WITH *: every user-named variable passes through, then any
+            # extra ``, expr AS alias`` items project alongside
+            items = [
+                ReturnItem(Var(v), None)
+                for v in sorted(self.vars)
+                if not v.startswith("_")
+            ] + list(items)
         agg_items = [r for r in items if _contains_agg(r.expr)]
         passthrough: list[str] = []
         scalar_items: list[ReturnItem] = []
@@ -1728,8 +1770,11 @@ class PlanState:
             return math1[n](arg(0).cast("double"))
         if n == "pi":
             return F.lit(3.141592653589793)
-        if n == "rand":
-            raise CypherError("rand() is not supported (non-deterministic)")
+        if n in ("rand", "timestamp", "date", "datetime", "localdatetime", "time"):
+            raise CypherError(
+                f"{n}() is not supported (non-deterministic: results must "
+                "be reproducible across re-executions and engines)"
+            )
         if n == "coalesce":
             return F.coalesce(*[arg(i) for i in range(len(e.args))])
         if n == "substring":
@@ -2151,7 +2196,7 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
             state.add_match(m)
         state.apply_with(
             stage.items, stage.where, stage.order_by, stage.skip, stage.limit,
-            stage.distinct,
+            stage.distinct, stage.star,
         )
     for m in q.matches:
         state.add_match(m)
@@ -2160,6 +2205,15 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
         state.df = store.nodes.sparkSession.range(1).select(
             F.lit(1).alias("__unit")
         )
+    if q.star:
+        # RETURN *: one column per user-named bound variable
+        q.returns = [
+            ReturnItem(Var(v), None)
+            for v in sorted(state.vars)
+            if not v.startswith("_")
+        ]
+        if not q.returns:
+            raise CypherError("RETURN * requires at least one bound variable")
 
     agg_items = [r for r in q.returns if _contains_agg(r.expr)]
     if agg_items:

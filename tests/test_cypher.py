@@ -1128,3 +1128,31 @@ def test_lexical_conveniences(store):
     assert rows(run_cypher(store, "RETURN 1.5e3 AS x")) == [{"x": 1500.0}]
     with pytest.raises(CypherError):
         run_cypher(store, "RETURN 1 AS a; RETURN 2 AS b")
+
+
+def test_star_projections(store):
+    out = rows(run_cypher(store, "MATCH (n:Person {name:'ann'}) RETURN *"))
+    assert len(out) == 1 and out[0]["n"]["gid"] == f"{NS}/things/p1"
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH * WHERE n.age > 40 RETURN n.name AS nm",
+        )
+    )
+    assert out == [{"nm": "joe"}]
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name:'ann'}) WITH *, n.age AS age RETURN age",
+        )
+    )
+    assert out == [{"age": "31"}]
+    with pytest.raises(CypherError):
+        run_cypher(store, "RETURN *")  # nothing bound
+
+
+def test_unsupported_get_precise_errors(store):
+    with pytest.raises(CypherError, match="path variables"):
+        run_cypher(store, "MATCH p = (a)-[:worksfor]->(b) RETURN 1 AS x")
+    with pytest.raises(CypherError, match="non-deterministic"):
+        run_cypher(store, "RETURN timestamp() AS t")

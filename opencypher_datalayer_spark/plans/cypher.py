@@ -768,31 +768,33 @@ class Parser:
                 return e
 
     def parse_mul(self) -> Expr:
-        e = self.parse_unary()
+        e = self.parse_pow()
         while True:
             t = self.peek()
             if t and t.kind == "sym" and t.text in ("*", "/", "%"):
                 op = self.take().text
-                e = Arith(op, e, self.parse_unary())
+                e = Arith(op, e, self.parse_pow())
             else:
                 return e
 
+    def parse_pow(self) -> Expr:
+        # openCypher's PowerOfExpression contains UnaryAddOrSubtract,
+        # i.e. unary minus binds tighter than ^: -x ^ 2 == (-x)^2
+        e = self.parse_unary()
+        while self.at_sym("^"):
+            self.take()
+            e = Arith("^", e, self.parse_unary())
+        return e
+
     def parse_unary(self) -> Expr:
-        # unary +/- (binds tighter than * / %, looser than ^)
+        # unary +/- (binds tighter than ^ per the openCypher grammar)
         if self.at_sym("-"):
             self.take()
             return Arith("-", Lit(0), self.parse_unary())
         if self.at_sym("+"):
             self.take()
             return self.parse_unary()
-        return self.parse_pow()
-
-    def parse_pow(self) -> Expr:
-        e = self.parse_postfix()
-        while self.at_sym("^"):
-            self.take()
-            e = Arith("^", e, self.parse_postfix())
-        return e
+        return self.parse_postfix()
 
     def parse_postfix(self) -> Expr:
         e = self.parse_primary()
@@ -1092,8 +1094,12 @@ class PlanState:
             if ep.direction == "in":
                 ed = ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             elif ep.direction == "both":
+                # self-loops enter once (the later dropDuplicates also
+                # hides double entries, but keep the shape consistent
+                # with the undirected MATCH leg)
                 ed = ed.select("src", "dst").unionByName(
                     ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                    .where(F.col("src") != F.col("dst"))
                 )
             if dstp.label is not None or dstp.props:
                 tvar = self.fresh("t")
@@ -1247,8 +1253,15 @@ class PlanState:
                         # (a)<-[r]-(b): the stored edge runs b -> a, so
                         # the pattern's left node binds the edge dst
                         edf = _orient("dst", "src")
-                    else:  # undirected: each edge admits both bindings
-                        edf = _orient("src", "dst").unionByName(_orient("dst", "src"))
+                    else:  # undirected: each edge admits both bindings,
+                        # except a self-loop, which openCypher matches
+                        # once per undirected pattern — drop the
+                        # reversed leg for src == dst rows
+                        edf = _orient("src", "dst").unionByName(
+                            _orient("dst", "src").where(
+                                F.col(f"__src_{evar}") != F.col(f"__dst_{evar}")
+                            )
+                        )
                     self.vars[evar] = "edge"
                 if unit is None:
                     unit = edf
@@ -1865,7 +1878,12 @@ class PlanState:
             return F.element_at(arg(0), -1)
         if n == "_index":
             # xs[i] subscript (0-based, openCypher); element_at is 1-based
-            return F.element_at(arg(0), arg(1).cast("int") + F.lit(1))
+            # for i >= 0 and already counts negatives from the end, so
+            # xs[-1] → element_at(xs, -1) (last), xs[-2] → second-to-last.
+            idx = arg(1).cast("int")
+            return F.when(
+                idx >= 0, F.element_at(arg(0), idx + F.lit(1))
+            ).otherwise(F.element_at(arg(0), idx))
         raise CypherError(f"unknown function {n}()")
 
     def to_condition(self, e: Expr) -> Column:

@@ -301,6 +301,9 @@ class _EdgeBinding:
     rel_type: str | None
     src_var: str | None = None
     dst_var: str | None = None
+    # which stored endpoint the bound node anchors: 'src' for
+    # (n)-[r]->(), 'dst' for (n)<-[r]-(), 'both' for (n)-[r]-()
+    anchor: str = "src"
 
 
 class _Exec:
@@ -439,12 +442,16 @@ class _Exec:
         return F.col(e.key) if e.key in ("gid", "label", "source") else F.col("props").getItem(e.key)
 
     def _match_edge(self, path: PathPat, c: MatchClause) -> None:
-        # OPTIONAL MATCH (n)-[r]->() — bind r to the outgoing edges of n
+        # OPTIONAL MATCH (n)-[r]->() / (n)<-[r]-() / (n)-[r]-() — bind r
+        # to the outgoing / incoming / incident edges of n
         src, dst = path.nodes
         epat = path.edges[0]
         if src.var is None or src.label or src.props or dst.label or dst.props:
             raise CypherError("edge MATCH supports (boundVar)-[r]->() only")
-        binding = _EdgeBinding(self._gids_of(src.var), epat.rel_type)
+        anchor = {"out": "src", "in": "dst", "both": "both"}[epat.direction]
+        binding = _EdgeBinding(
+            self._gids_of(src.var), epat.rel_type, anchor=anchor
+        )
         self.edge_vars[epat.var or "_r"] = binding
 
     def _created_of(self, item) -> DataFrame:
@@ -571,9 +578,18 @@ class _Exec:
 
     def _merge_edge(self, path: PathPat) -> None:
         """MERGE (a)-[r:TYPE]->(b): at most one edge per (src, type, dst)
-        (C4); endpoints were bound by prior MATCH/MERGE clauses."""
+        (C4); endpoints were bound by prior MATCH/MERGE clauses.
+        ``(a)<-[r:TYPE]-(b)`` stores the edge b->a; an undirected
+        relationship pattern is ambiguous in a write and rejected."""
         src, dst = path.nodes
         epat = path.edges[0]
+        if epat.direction == "both":
+            raise CypherError(
+                "MERGE/CREATE requires a directed relationship pattern"
+            )
+        if epat.direction == "in":
+            # (a)<-[r]-(b): the stored edge runs b -> a
+            src, dst = dst, src
         if epat.rel_type is None:
             raise CypherError("relationship MERGE requires a type")
         if src.var not in self.node_vars or dst.var not in self.node_vars:
@@ -754,15 +770,21 @@ class _Exec:
             if detach:
                 raise CypherError("DETACH DELETE applies to nodes")
             b = self.edge_vars[name]
-            doomed_src = F.broadcast(b.src_gids.withColumnRenamed("gid", "src"))
+
+            def _drop_matching(edges: DataFrame) -> DataFrame:
+                out = edges
+                cols = ("src", "dst") if b.anchor == "both" else (b.anchor,)
+                for col in cols:
+                    doomed = F.broadcast(b.src_gids.withColumnRenamed("gid", col))
+                    out = out.join(doomed, col, "left_anti")
+                return out
+
             if b.rel_type is None:
-                self.edges = self.edges.join(doomed_src, "src", "left_anti")
+                self.edges = _drop_matching(self.edges)
             else:
                 keep_other = self.edges.where(F.col("rel_type") != b.rel_type)
                 matching = self.edges.where(F.col("rel_type") == b.rel_type)
-                self.edges = keep_other.unionByName(
-                    matching.join(doomed_src, "src", "left_anti")
-                )
+                self.edges = keep_other.unionByName(_drop_matching(matching))
             return
         gids = self._gids_of(name)
         if not detach:

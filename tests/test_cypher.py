@@ -892,6 +892,28 @@ def test_undirected_match_counts_both_orientations(store):
     assert out == [{"c": 6}]
 
 
+def test_undirected_self_loop_matches_once(spark):
+    """openCypher matches a self-loop relationship once per undirected
+    pattern, not twice (ADVICE r4)."""
+    layer = DataLayer(spark, CONFIG)
+    w = layer.dataset("people").incremental()
+    w.write(
+        {
+            "id": f"{NS}/things/solo",
+            "props": {f"{NS}/name": "solo"},
+            "refs": {f"{NS}/knows": f"{NS}/things/solo"},
+        }
+    )
+    w.close()
+    s = layer.store
+    out = rows(run_cypher(s, "MATCH (a)-[r:knows]-(b) RETURN count(*) AS c"))
+    assert out == [{"c": 1}]
+    # directed still matches once in each explicit direction
+    assert rows(run_cypher(s, "MATCH (a)-[r:knows]->(b) RETURN count(*) AS c")) == [
+        {"c": 1}
+    ]
+
+
 def test_relationship_type_alternation(store):
     out = rows(
         run_cypher(store, "MATCH (n:Person)-[r:worksfor|knows]->(m) RETURN count(*) AS c")
@@ -913,10 +935,28 @@ def test_xor_power_unary_minus(store):
     )
     assert out == [{"c": 4}]
     assert rows(run_cypher(store, "RETURN 2 ^ 3 AS p")) == [{"p": 8.0}]
-    # unary minus binds looser than ^
+    # unary minus binds TIGHTER than ^ (openCypher PowerOfExpression
+    # contains UnaryAddOrSubtract): -2 ^ 2 == (-2)^2 == 4
     assert rows(run_cypher(store, "RETURN -2 ^ 2 AS x")) == [{"x": 4.0}]
     out = rows(run_cypher(store, "MATCH (n:Person) RETURN -n.age AS neg ORDER BY neg LIMIT 1"))
     assert out == [{"neg": -45.0}]
+    # same with a non-literal operand (ADVICE r4): -n.age ^ 2 = (-age)^2
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person {name: 'brian'}) RETURN -n.age ^ 2 AS sq",
+        )
+    )
+    assert out == [{"sq": 529.0}]
+
+
+def test_negative_list_subscripts(store):
+    # openCypher counts negatives from the end: xs[-1] last, xs[-2]
+    # second-to-last (ADVICE r4: previously off by one / crashed)
+    assert rows(run_cypher(store, "RETURN [10,20,30][-1] AS a")) == [{"a": 30}]
+    assert rows(run_cypher(store, "RETURN [10,20,30][-2] AS a")) == [{"a": 20}]
+    assert rows(run_cypher(store, "RETURN [10,20,30][0] AS a")) == [{"a": 10}]
+    assert rows(run_cypher(store, "RETURN [10,20,30][2] AS a")) == [{"a": 30}]
 
 
 def test_standalone_return_and_with(store):

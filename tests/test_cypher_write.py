@@ -312,3 +312,52 @@ def test_plain_delete_requires_edge_free(spark):
     s2 = run_cypher_write(s, "MATCH (n {gid: 'x:p0'}) DETACH DELETE n")
     s3 = run_cypher_write(s2, "MATCH (n {gid: 'x:p1'}) DELETE n")
     assert "x:p1" not in nmap(s3)
+
+
+def test_merge_edge_reversed_direction(spark):
+    # MERGE (a)<-[:T]-(b) stores the edge b -> a (ADVICE r4: the write
+    # path must honour EdgePat.direction, not silently reverse)
+    items = [{"from": "x:p0", "to": "x:p1"}]
+    bind = "UNWIND $items AS item MATCH (a {gid: item.from}) MATCH (b {gid: item.to}) "
+    s = run_cypher_write(
+        _seed(spark), bind + "MERGE (a)<-[:knows]-(b)", {"items": items}
+    )
+    assert eset(s) == {("x:p1", "knows", "x:p0", None)}
+    # CREATE takes the same path
+    s2 = run_cypher_write(
+        _seed(spark), bind + "CREATE (a)<-[:likes]-(b)", {"items": items}
+    )
+    assert eset(s2) == {("x:p1", "likes", "x:p0", None)}
+    # undirected relationship writes are ambiguous -> error
+    with pytest.raises(CypherError):
+        run_cypher_write(
+            _seed(spark), bind + "MERGE (a)-[:knows]-(b)", {"items": items}
+        )
+
+
+def test_optional_match_edge_direction_delete(spark):
+    # seed edges p0 -> p1 and p1 -> p0 with distinct types
+    s = _seed(spark)
+    s = run_cypher_write(
+        s,
+        EDGE_TMPL % "out_t",
+        {"items": [{"from": "x:p0", "to": "x:p1", "source": "t", "type": None}]},
+    )
+    s = run_cypher_write(
+        s,
+        EDGE_TMPL % "in_t",
+        {"items": [{"from": "x:p1", "to": "x:p0", "source": "t", "type": None}]},
+    )
+    # (n)<-[r]-() binds INCOMING edges of n: deleting r for n=p0 removes
+    # only p1 -> p0
+    bind = "UNWIND $items AS item MATCH (n {gid: item.gid}) WITH n, item "
+    items = [{"gid": "x:p0"}]
+    s2 = run_cypher_write(
+        s, bind + "OPTIONAL MATCH (n)<-[r]-() DELETE r", {"items": items}
+    )
+    assert eset(s2) == {("x:p0", "out_t", "x:p1", "t")}
+    # (n)-[r]-() binds ALL incident edges
+    s3 = run_cypher_write(
+        s, bind + "OPTIONAL MATCH (n)-[r]-() DELETE r", {"items": items}
+    )
+    assert eset(s3) == set()

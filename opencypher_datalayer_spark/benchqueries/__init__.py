@@ -77,6 +77,9 @@ EXTENDED = {
     "q15_top_supplier": "q_supplier_share",  # per-supplier agg vs global scalar
     "q18_large_orders": "cy_with_having",  # HAVING on aggregated keys
     "q2_cheapest_supplier": "q_top_customers_per_nation",  # window rank argmin
+    # round-5 primary room for cy_path_functions / cy_temporal_filter:
+    "cy_varlength_chains": "cy_path_functions",  # named-path superset of *1..k
+    "q6_forecast_revenue": "q1_pricing_summary",  # filtered scan+agg family
     # graph: same oracle through the other surface
     "g_match_filter": "cy_match_filter",
     "g_expand_collect": "cy_expand_collect",

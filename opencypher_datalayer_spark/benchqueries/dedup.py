@@ -12,11 +12,23 @@ Four families, each a different cost/recall point:
   join + exact Hamming filter (lossless for the chosen radius by
   pigeonhole).
 
-Every hash is *portable*: md5-prefix -> bigint, computable identically
-in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
-(``('0x'||substr(md5(x),1,15))::BIGINT``), so even the LSH pipelines
-have full value-level oracles. MinHash coefficients are seeded Python
-constants inlined into both sides.
+Hashing is **pluggable** (two families, same plan shape):
+
+- ``md5`` — the *oracle mode*: md5-prefix -> bigint, computable
+  identically in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``), so even the LSH pipelines
+  have full value-level oracles. This is what the driver's correctness
+  gate checks, and what the registry entries bind.
+- ``xxhash64`` — the *engine default* for library callers: Spark's
+  JVM-native ``xxhash64``, measured ~2x faster on the signature stage
+  (the md5+conv tax was ~half the MinHash stage cost at sf1, SCALE.md).
+  Not recomputable by DuckDB, so no value oracle — instead
+  ``tests/test_dedup_cache.py::test_hash_family_equivalence`` pins that
+  the *verified* near-dup output (post exact-overlap check) is
+  family-independent at sf0.01.
+
+MinHash coefficients are seeded Python constants inlined into both
+sides.
 """
 
 from __future__ import annotations
@@ -55,8 +67,25 @@ SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3
 
 
-def _spark_hash64(col) -> F.Column:  # type: ignore[name-defined]
-    """Portable md5-prefix hash -> bigint, reduced mod P (same in DuckDB)."""
+# hash families: "md5" (oracle mode — DuckDB-recomputable, what the
+# driver value-checks) and "xxhash64" (engine default — JVM-native,
+# ~2x faster signature stage, same plan shape)
+ORACLE_HASH_FAMILY = "md5"
+DEFAULT_HASH_FAMILY = "xxhash64"
+HASH_FAMILIES = (ORACLE_HASH_FAMILY, DEFAULT_HASH_FAMILY)
+
+
+def _check_family(family: str) -> None:
+    if family not in HASH_FAMILIES:
+        raise ValueError(f"unknown hash family {family!r}; choose from {HASH_FAMILIES}")
+
+
+def _spark_hash64(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
+    """String -> bigint hash, reduced mod P. md5 mode is the portable
+    md5-prefix (same expression in DuckDB); xxhash64 is Spark-native."""
+    _check_family(family)
+    if family == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(P))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
 
 
@@ -64,14 +93,27 @@ def _duck_hash64(expr: str) -> str:
     return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
 
 
-def _spark_hash60(col) -> F.Column:  # type: ignore[name-defined]
-    """Unreduced 60-bit md5-prefix hash — full bit entropy for per-bit
-    consumers (SimHash needs independent bits, not a modular residue)."""
+def _spark_hash60(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
+    """Unreduced 60-bit hash — full bit entropy for per-bit consumers
+    (SimHash needs independent bits, not a modular residue). xxhash64
+    mode masks the native 64-bit value down to the low 60 bits."""
+    _check_family(family)
+    if family == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def _duck_hash60(expr: str) -> str:
     return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+def _band_hash(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
+    """Bucket key over a concatenated signature slice; any deterministic
+    function works, so each family uses its own hasher (string-typed in
+    both modes for a stable output schema)."""
+    if family == "xxhash64":
+        return F.xxhash64(col).cast("string")
+    return F.md5(col)
 
 
 def _docs_fingerprint(sf_dir: str) -> tuple:
@@ -151,7 +193,9 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 JACCARD_T = 0.8
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
     """Pairs with 8-gram Jaccard >= {JACCARD_T}, exactly — via prefix
     filtering (AllPairs/PPJoin): each doc's shingles are globally ordered
     rarest-document-frequency-first, and a pair can reach the threshold
@@ -170,9 +214,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = JACCARD_T
     # shingles hashed to 60-bit ints up front: equality, sorting, and the
     # verify intersect all run on longs, not strings (collision odds
-    # ~1e-10 over a 13k-shingle vocabulary)
+    # ~1e-10 over a 13k-shingle vocabulary). Family only affects which
+    # hasher computes the set elements — the verified Jaccard output is
+    # family-independent modulo those collisions.
     sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h")
+        "doc_id", _spark_hash60(F.col("sh"), hash_family).alias("h")
     )
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     sets = (
@@ -247,7 +293,9 @@ ORDER BY doc_a, doc_b
 CONTAIN_T = 0.9  # |A ∩ B| / |A| threshold: A is (mostly) contained in B
 
 
-def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_containment(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
     """Ordered pairs where >= {CONTAIN_T} of doc A's 8-gram set also
     appears in doc B — asymmetric containment, the detector for excerpt
     and quote duplication that symmetric Jaccard misses (a short doc
@@ -263,7 +311,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate against the collected sets."""
     t = CONTAIN_T
     sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h")
+        "doc_id", _spark_hash60(F.col("sh"), hash_family).alias("h")
     )
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     sets = (
@@ -332,14 +380,17 @@ def clear_signature_cache() -> None:
     _SIG_CACHE.clear()
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, hash_family: str = ORACLE_HASH_FAMILY
+) -> DataFrame:
     # The signature frame is the shared upstream of signatures/pairs/
     # clusters: compute it once per (app, sf_dir) and localCheckpoint —
     # every consumer then starts from the materialized ~n_docs-row frame.
     # The entry is guarded by the documents-parquet file fingerprint: if
     # the data under sf_dir is regenerated mid-session (the test driver
     # does this), the stale frame is discarded and signatures recompute.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    _check_family(hash_family)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_family)
     fprint = _docs_fingerprint(sf_dir)
     cached = _SIG_CACHE.get(key)
     if cached is not None and cached[0] == fprint:
@@ -352,10 +403,10 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but higher-order lambdas evaluate interpreted, 40s vs 34s) and a
     # distinct-vocabulary md5 + broadcast join-back (the vocab distinct
     # shuffles the same 15M strings it tried to avoid hashing, 39s).
-    # Roughly half the remaining cost is the md5+conv itself — the tax
-    # for a hash DuckDB can recompute, i.e. for full value-level
-    # oracles; an engine-native deployment would swap in ``xxhash64``
-    # (measured 2x on this stage) without touching the plan shape.
+    # In md5 (oracle) mode roughly half the remaining cost is the
+    # md5+conv itself — the tax for a hash DuckDB can recompute, i.e.
+    # for full value-level oracles; xxhash64 mode (the engine default
+    # for library callers) halves the stage without touching the plan.
     sh = load_table(spark, "documents", sf_dir).select(
         "doc_id",
         F.explode(
@@ -364,15 +415,16 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> substring(text, i, {SHINGLE_K}))"
             )
         ).alias("sh"),
-    ).withColumn("h", _spark_hash64(F.col("sh")))
+    ).withColumn("h", _spark_hash64(F.col("sh"), hash_family))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P)).alias(f"m{i}")
         for i in range(H)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     band_cols = [
-        F.md5(
-            F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        _band_hash(
+            F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]),
+            hash_family,
         ).alias(f"band{b}")
         for b in range(BANDS)
     ]
@@ -402,8 +454,10 @@ banded AS (SELECT doc_id, {', '.join(f'm{i}' for i in range(H))}, {bands} FROM s
 """
 
 
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
+def dedup_minhash_signatures(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    return _minhash_sigs(spark, sf_dir, hash_family).orderBy("doc_id")
 
 
 DEDUP_MINHASH_SIG_SQL = f"""
@@ -436,7 +490,9 @@ def band_self_join(bands: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one full LSH band.
 
     Scale shape: explode signatures to (band_idx, band_hash) rows and
@@ -445,7 +501,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark and SQL plans differ; the *result* is the same
     deterministic function of the signatures.
     """
-    sig = _minhash_sigs(spark, sf_dir)
+    sig = _minhash_sigs(spark, sf_dir, hash_family)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -472,7 +528,9 @@ ORDER BY doc_a, doc_b
 # -- cluster assignment: LSH pairs -> connected components --------------
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
     """Every document mapped to its near-dup cluster: connected
     components over the MinHash-LSH candidate pairs, keeper = min doc_id
     in the cluster, singletons keep themselves. This is the step that
@@ -480,7 +538,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components with a recursive CTE."""
     from opencypher_datalayer_spark.operators.components import connected_components
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir, hash_family)
     comps = connected_components(pairs, "doc_a", "doc_b")
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return (
@@ -525,7 +583,9 @@ ORDER BY d.doc_id
 # -- SimHash ------------------------------------------------------------
 
 
-def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash(
+    spark: SparkSession, sf_dir: str, hash_family: str = ORACLE_HASH_FAMILY
+) -> DataFrame:
     """Per-doc {SIMHASH_BITS}-bit SimHash over word tokens: bit j is the
     sign of the sum over tokens of +-1 depending on bit j of the token
     hash (the UNREDUCED 60-bit hash — a modular residue would zero the
@@ -534,7 +594,7 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    tokens = tokens.withColumn("h", _spark_hash60(F.col("tok")))
+    tokens = tokens.withColumn("h", _spark_hash60(F.col("tok"), hash_family))
     # pack 3 per-bit ONES-counters into each int64 aggregate (21 bits
     # per counter => exact up to 2^21 tokens/doc): 20 packed sums + one
     # count instead of 60 conditional sums. bit j of the fingerprint is
@@ -604,8 +664,10 @@ simhashed AS (SELECT doc_id, {fp} AS simhash FROM sums)
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash(spark, sf_dir).orderBy("doc_id")
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    return _simhash(spark, sf_dir, hash_family).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -614,7 +676,9 @@ SELECT doc_id, simhash FROM simhashed ORDER BY doc_id
 """
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
     """Pairs within Hamming distance {HAMMING_MAX} of each other.
 
     Spark: pigeonhole banding — split the fingerprint into
@@ -626,7 +690,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banding self-join references the fingerprint frame twice;
     # a lazy lineage cut materializes the (tiny, one row per doc)
     # aggregate once instead of re-running the token pipeline per side
-    fp = _simhash(spark, sf_dir).localCheckpoint(eager=False)
+    fp = _simhash(spark, sf_dir, hash_family).localCheckpoint(eager=False)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = fp.select(
@@ -680,27 +744,50 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _oracle_mode(fn):
+    """Registry binding: the driver value-checks against DuckDB, which
+    can only recompute the md5 family — pin it explicitly. Library
+    callers hitting the functions directly get DEFAULT_HASH_FAMILY."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir, hash_family=ORACLE_HASH_FAMILY)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 QUERIES = {
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via hash-groupBy"),
     "dedup_ngram_jaccard": QueryDef(
-        dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "8-gram Jaccard >= 0.8 near-dup pairs"
+        _oracle_mode(dedup_ngram_jaccard), DEDUP_NGRAM_SQL, "8-gram Jaccard >= 0.8 near-dup pairs"
     ),
     "dedup_ngram_containment": QueryDef(
-        dedup_ngram_containment,
+        _oracle_mode(dedup_ngram_containment),
         DEDUP_CONTAINMENT_SQL,
         f"asymmetric containment >= {CONTAIN_T} (excerpt detection)",
     ),
     "dedup_minhash_signatures": QueryDef(
-        dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL, f"{H}-perm MinHash signatures + bands"
+        _oracle_mode(dedup_minhash_signatures),
+        DEDUP_MINHASH_SIG_SQL,
+        f"{H}-perm MinHash signatures + bands",
     ),
     "dedup_minhash_lsh_pairs": QueryDef(
-        dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_SQL, "LSH band-bucket candidate pairs"
+        _oracle_mode(dedup_minhash_lsh_pairs),
+        DEDUP_MINHASH_PAIRS_SQL,
+        "LSH band-bucket candidate pairs",
     ),
     "dedup_clusters": QueryDef(
-        dedup_clusters, DEDUP_CLUSTERS_SQL, "LSH pairs -> connected components -> keepers"
+        _oracle_mode(dedup_clusters),
+        DEDUP_CLUSTERS_SQL,
+        "LSH pairs -> connected components -> keepers",
     ),
-    "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_SQL, "32-bit SimHash fingerprints"),
+    "dedup_simhash": QueryDef(
+        _oracle_mode(dedup_simhash), DEDUP_SIMHASH_SQL, "32-bit SimHash fingerprints"
+    ),
     "dedup_simhash_pairs": QueryDef(
-        dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL, "Hamming<=3 pairs via chunk banding"
+        _oracle_mode(dedup_simhash_pairs),
+        DEDUP_SIMHASH_PAIRS_SQL,
+        "Hamming<=3 pairs via chunk banding",
     ),
 }

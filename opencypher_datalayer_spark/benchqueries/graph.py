@@ -222,6 +222,76 @@ def cy_varlength_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_chain_store(spark: SparkSession, sf_dir: str):
+    """Per-customer order-sequence graph: each order points at the
+    customer's next order (shared by the var-length/path queries)."""
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.store import GraphStore
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("src"),
+            F.lead(F.col("o_orderkey")).over(w).cast("string").alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .select("src", F.lit("next_order").alias("rel_type"), "dst", F.lit("orders").alias("source"))
+    )
+    nodes = orders.select(
+        F.col("o_orderkey").cast("string").alias("gid"),
+        F.lit("Order").alias("label"),
+        F.lit("orders").alias("source"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return GraphStore(nodes, nxt)
+
+
+def cy_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH p = (a:Order)-[:next_order*1..2]->(b:Order): named path
+    binding with the canonical path idioms — length(p), nodes(p),
+    relationships(p) — over the order-sequence graph. nodes(p) is the
+    traversal-ordered gid array (JSON-serialized for the driver's
+    pandas canonicalizer); the oracle spells the 1/2-hop paths out as
+    explicit joins building the same lists."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = _order_chain_store(spark, sf_dir)
+    out = run_cypher(
+        store,
+        "MATCH p = (a:Order)-[:next_order*1..2]->(b:Order) "
+        "RETURN a.gid AS src, b.gid AS dst, length(p) AS len, "
+        "nodes(p) AS ns, relationships(p) AS rs",
+    )
+    return (
+        out.select(
+            "src",
+            "dst",
+            "len",
+            F.to_json("ns").alias("path_nodes"),
+            F.size("rs").alias("n_rels"),
+        )
+        .orderBy("src", "len")
+    )
+
+
+CY_PATH_FUNCTIONS_SQL = """
+WITH e AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS src,
+         CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS dst
+  FROM orders
+  QUALIFY dst IS NOT NULL)
+SELECT src, dst, len, CAST(to_json(ns) AS VARCHAR) AS path_nodes, n_rels FROM (
+  SELECT src, dst, 1 AS len, [src, dst] AS ns, 1 AS n_rels FROM e
+  UNION ALL
+  SELECT e1.src, e2.dst, 2, [e1.src, e1.dst, e2.dst], 2
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+ORDER BY src, len
+"""
+
+
 CY_VARLENGTH_SQL = """
 WITH e AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS src,
@@ -488,6 +558,11 @@ QUERIES = {
     ),
     "cy_varlength_chains": QueryDef(
         cy_varlength_chains, CY_VARLENGTH_SQL, "variable-length *1..3 path expansion"
+    ),
+    "cy_path_functions": QueryDef(
+        cy_path_functions,
+        CY_PATH_FUNCTIONS_SQL,
+        "named path binding: length/nodes/relationships",
     ),
     "cy_with_having": QueryDef(
         cy_with_having, CY_WITH_HAVING_SQL, "WITH aggregate + WHERE (HAVING) via front-end"

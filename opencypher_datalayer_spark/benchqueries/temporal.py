@@ -468,8 +468,52 @@ SELECT (SELECT COUNT(DISTINCT u) FROM v) AS n_view,
 """
 
 
+def cy_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal VALUE functions through the Cypher front-end: the events
+    table as an Event graph (ts stored as a string property, the write
+    model's value domain), filtered with ``datetime(e.ts)`` against a
+    ``datetime literal + duration({days: ...})`` bound — the idiom the
+    round-4 verdict named as the first thing an event-graph user writes.
+    Counts per event type inside the window; oracle is plain SQL over
+    the raw timestamps."""
+    from opencypher_datalayer_spark.plans import run_cypher
+    from opencypher_datalayer_spark.store import GraphStore
+
+    ev = load_table(spark, "events", sf_dir)
+    nodes = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string")).alias("gid"),
+        F.lit("Event").alias("label"),
+        F.lit("events").alias("source"),
+        F.create_map(
+            F.lit("ts"), F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit("type"), F.col("event_type"),
+        ).alias("props"),
+    )
+    store = GraphStore(nodes, GraphStore.empty(spark).edges)
+    return run_cypher(
+        store,
+        "MATCH (e:Event) "
+        "WHERE datetime(e.ts) >= datetime('2024-01-08T00:00:00') "
+        "AND datetime(e.ts) < datetime('2024-01-08T00:00:00') + duration({days: 7}) "
+        "RETURN e.type AS event_type, count(*) AS n ORDER BY event_type",
+    )
+
+
+CY_TEMPORAL_FILTER_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-08 00:00:00' + INTERVAL 7 DAY
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_tumbling_window": QueryDef(ev_tumbling_window, EV_TUMBLING_SQL, "5m tumbling window agg"),
+    "cy_temporal_filter": QueryDef(
+        cy_temporal_filter,
+        CY_TEMPORAL_FILTER_SQL,
+        "Cypher datetime()/duration arithmetic over the event graph",
+    ),
     "st_tumbling_window": QueryDef(
         st_tumbling_window,
         EV_TUMBLING_SQL,

@@ -74,6 +74,8 @@ class EdgePat:
 class PathPat:
     nodes: list[NodePat]
     edges: list[EdgePat]  # len(edges) == len(nodes) - 1
+    # named path: p = (a)-[...]->(b); binds p to (length, nodes, rels)
+    var: str | None = None
 
 
 @dataclass
@@ -312,6 +314,61 @@ def _is_stringy(e: "Expr") -> bool:
             e.default is not None and _is_stringy(e.default)
         )
     return False
+
+
+def _is_temporal(e: "Expr") -> bool:
+    """Statically temporal-typed: a date()/datetime()/duration() call or
+    a +/- chain containing one (duration arithmetic must skip the
+    numeric double-cast path)."""
+    if isinstance(e, Func):
+        return e.name in ("date", "datetime", "localdatetime", "duration")
+    if isinstance(e, Arith) and e.op in ("+", "-"):
+        return _is_temporal(e.left) or _is_temporal(e.right)
+    return False
+
+
+def _is_dateonly(e: "Expr") -> bool:
+    """The expression produces a DATE (not a timestamp): a date() call,
+    or date arithmetic (Spark widens date +- day-time interval to
+    timestamp; openCypher keeps it a date, so the result is cast back)."""
+    if isinstance(e, Func):
+        return e.name == "date"
+    if isinstance(e, Arith) and e.op in ("+", "-"):
+        return _is_dateonly(e.left)
+    return False
+
+
+_ISO_DURATION = re.compile(
+    r"^P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _duration_parts(e: "Expr") -> dict[str, float]:
+    """Extract duration components from duration('P1DT2H') (ISO-8601
+    literal) or duration({days: 1, hours: 2}) (map form)."""
+    fields = ("years", "months", "weeks", "days", "hours", "minutes", "seconds")
+    if isinstance(e, Lit) and isinstance(e.value, str):
+        m = _ISO_DURATION.match(e.value)
+        if not m or e.value == "P":
+            raise CypherError(f"invalid ISO-8601 duration {e.value!r}")
+        g = m.groupdict()
+        return {
+            k: float(g[s] or 0)
+            for k, s in zip(fields, ("y", "mo", "w", "d", "h", "mi", "s"))
+        }
+    if isinstance(e, MapLit):
+        parts = dict.fromkeys(fields, 0.0)
+        for k, v in e.entries:
+            if k not in parts:
+                raise CypherError(f"unknown duration component {k!r}")
+            if not isinstance(v, Lit) or isinstance(v.value, (str, bool)):
+                raise CypherError("duration components must be numeric literals")
+            parts[k] = float(v.value)
+        return parts
+    raise CypherError(
+        "duration() takes an ISO-8601 string literal or a component map"
+    )
 
 
 def _expr_name(e: Expr) -> str:
@@ -583,10 +640,13 @@ class Parser:
             and self.i + 2 < len(self.toks)
             and self.toks[self.i + 2].text in ("(", "shortestPath", "shortestpath")
         ):
-            raise CypherError(
-                "path variables (p = (a)-[...]->(b)) are not supported; "
-                "bind the endpoint/relationship variables instead"
-            )
+            # named path: p = (a)-[...]->(b) — consumed here, bound by
+            # the planner to (length, nodes, relationships)
+            pvar = self.take().text
+            self.take()  # '='
+            inner = self.parse_path()
+            inner.var = pvar
+            return inner
         if t and t.kind == "name" and t.text.lower() == "shortestpath":
             # shortestPath((a)-[:T*1..k]->(b)) — openCypher wrapper; the
             # inner pattern must be a single var-length relationship
@@ -1204,6 +1264,9 @@ class PlanState:
             return col
 
         prev_var: str | None = None
+        # (evar, src col, dst col, is var-length) per edge — the named-
+        # path binding below reads the single edge's endpoint columns
+        edge_binds: list[tuple[str, str, str, bool]] = []
         for idx, npat in enumerate(path.nodes):
             var = npat.var or self.fresh("n")
             in_plan = var in self.vars and self.df is not None and f"{var}__gid" in self.df.columns
@@ -1228,13 +1291,11 @@ class PlanState:
                 )
                 dst_is_new = not in_plan and not in_unit
                 dst_col = f"{var}__gid" if dst_is_new else new_ptr(var)
+                edge_binds.append((evar, src_col, dst_col, epat.vl_min is not None))
                 if epat.vl_min is not None:
-                    if epat.direction != "out":
-                        raise CypherError(
-                            "var-length relationships support only the "
-                            "left-to-right direction"
-                        )
-                    edf = self._vl_expand(epat, evar)
+                    edf = self._vl_expand(
+                        epat, evar, carry_path=path.var is not None
+                    )
                     self.vars[evar] = "vlpath"
                 else:
                     edges = _typed_edges(self.store, epat)
@@ -1294,6 +1355,37 @@ class PlanState:
 
         if unit is None:
             raise CypherError("pattern binds no new variables")
+
+        if path.var is not None:
+            # bind p to (length, nodes, relationships) columns. Scope:
+            # one relationship pattern per named path (single-hop or
+            # var-length) — the idioms length(p)/nodes(p)/
+            # relationships(p) all run over this binding.
+            if len(path.edges) != 1:
+                raise CypherError(
+                    "a named path supports exactly one relationship "
+                    "pattern (single-hop or var-length)"
+                )
+            pvar = path.var
+            if pvar in self.vars or pvar in unit_vars:
+                raise CypherError(f"path variable {pvar!r} is already bound")
+            evar, src_col, dst_col, is_vl = edge_binds[0]
+            if is_vl:
+                unit = (
+                    unit.withColumn(f"{pvar}__len", F.col(f"{evar}__hops"))
+                    .withColumnRenamed(f"{evar}__pnodes", f"{pvar}__nodes")
+                    .withColumnRenamed(f"{evar}__prels", f"{pvar}__rels")
+                )
+            else:
+                unit = (
+                    unit.withColumn(f"{pvar}__len", F.lit(1))
+                    .withColumn(
+                        f"{pvar}__nodes", F.array(F.col(src_col), F.col(dst_col))
+                    )
+                    .withColumn(f"{pvar}__rels", F.array(F.col(f"{evar}__rel_type")))
+                )
+            self.vars[pvar] = "path"
+
         return unit, unit_vars, pending
 
     def _attach_unit(
@@ -1324,36 +1416,89 @@ class PlanState:
             joined = joined.drop(col)
         self.df = joined
 
-    def _vl_expand(self, epat: EdgePat, evar: str) -> DataFrame:
-        """Variable-length pattern ``-[:T*min..max]->``: one output row
+    def _vl_expand(
+        self, epat: EdgePat, evar: str, carry_path: bool = False
+    ) -> DataFrame:
+        """Variable-length pattern ``-[:T*min..max]-``: one output row
         per distinct PATH (Cypher path semantics) with relationship
         uniqueness inside a path (no edge reused — cycles terminate).
+        All three directions: 'out' walks stored edges forward, 'in'
+        backward, 'both' either way per hop (the stored edge key is
+        orientation-independent, so an undirected walk still cannot
+        reuse a relationship in the opposite direction).
 
         Execution is bounded iterative self-join expansion — the
         Catalyst-has-no-recursion answer (SURVEY §4): hop h joins the
         hop h-1 frontier to the edge table, filtering edges already on
         the path via the carried edge-key array. Each hop is one
         equi-join shuffle on the frontier head; max hops bounds the
-        plan depth."""
+        plan depth.
+
+        ``carry_path`` (named paths: p = (a)-[:T*]->(b)) additionally
+        threads the traversal-ordered node-gid and rel-type arrays
+        through the expansion for nodes(p)/relationships(p)."""
         rel = _typed_edges(self.store, epat)
-        key = F.concat_ws("|", "src", "rel_type", "dst")
-        step = rel.select(
-            F.col("src").alias("_jsrc"), F.col("dst").alias("_jdst"), key.alias("_k")
+        # edge identity key from the STORED orientation — shared by both
+        # traversal directions of an undirected walk
+        base = rel.select(
+            "src", "dst",
+            F.col("rel_type").alias("_rt"),
+            F.concat_ws("|", "src", "rel_type", "dst").alias("_k"),
         )
-        frontier = rel.select(
-            F.col("src").alias("_s"), F.col("dst").alias("_d"), F.array(key).alias("_es")
+        fwd = base.select(
+            F.col("src").alias("_f"), F.col("dst").alias("_t"), "_rt", "_k"
         )
+        rev = base.select(
+            F.col("dst").alias("_f"), F.col("src").alias("_t"), "_rt", "_k"
+        )
+        if epat.direction == "out":
+            oriented = fwd
+        elif epat.direction == "in":
+            oriented = rev
+        else:  # undirected: either way per hop; self-loops enter once
+            oriented = fwd.unionByName(rev.where(F.col("_f") != F.col("_t")))
+
+        def _carry_cols(df: DataFrame, first: bool) -> list:
+            if not carry_path:
+                return []
+            if first:
+                return [
+                    F.array("_f", "_t").alias("_ns"),
+                    F.array("_rt").alias("_rts"),
+                ]
+            return []
+
+        step = oriented.select(
+            F.col("_f").alias("_jsrc"),
+            F.col("_t").alias("_jdst"),
+            F.col("_rt").alias("_jrt"),
+            "_k",
+        )
+        frontier = oriented.select(
+            F.col("_f").alias("_s"),
+            F.col("_t").alias("_d"),
+            F.array("_k").alias("_es"),
+            *_carry_cols(oriented, True),
+        )
+        carry = ["_ns", "_rts"] if carry_path else []
         hops: list[DataFrame] = []
         if epat.vl_min == 0:
             # zero-hop path: every node reaches itself (Cypher *0..k);
             # label/prop filters on the endpoints still apply at attach
-            hops.append(
-                self.store.nodes.select(
-                    F.col("gid").alias("_s"), F.col("gid").alias("_d"), F.lit(0).alias("_h")
-                )
+            zero = self.store.nodes.select(
+                F.col("gid").alias("_s"), F.col("gid").alias("_d"), F.lit(0).alias("_h"),
+                *(
+                    [
+                        F.array("gid").alias("_ns"),
+                        F.array().cast("array<string>").alias("_rts"),
+                    ]
+                    if carry_path
+                    else []
+                ),
             )
+            hops.append(zero)
         if epat.vl_min <= 1 <= epat.vl_max:
-            hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h")))
+            hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h"), *carry))
         for h in range(2, epat.vl_max + 1):
             frontier = (
                 frontier.join(step, frontier._d == step._jsrc)
@@ -1362,10 +1507,18 @@ class PlanState:
                     "_s",
                     F.col("_jdst").alias("_d"),
                     F.array_append("_es", F.col("_k")).alias("_es"),
+                    *(
+                        [
+                            F.array_append("_ns", F.col("_jdst")).alias("_ns"),
+                            F.array_append("_rts", F.col("_jrt")).alias("_rts"),
+                        ]
+                        if carry_path
+                        else []
+                    ),
                 )
             )
             if h >= epat.vl_min:
-                hops.append(frontier.select("_s", "_d", F.lit(h).alias("_h")))
+                hops.append(frontier.select("_s", "_d", F.lit(h).alias("_h"), *carry))
         if not hops:
             raise CypherError(f"empty variable-length range *{epat.vl_min}..{epat.vl_max}")
         out = hops[0]
@@ -1375,12 +1528,32 @@ class PlanState:
             # shortestPath: one row per endpoint pair at the minimum hop
             # count — a groupBy-min instead of per-path rows, so the
             # all-paths blowup between well-connected endpoints never
-            # reaches the attach join
-            out = out.groupBy("_s", "_d").agg(F.min("_h").alias("_h"))
+            # reaches the attach join. With carried paths the pick is
+            # the lexicographic min of (hops, nodes, rels) — openCypher
+            # allows any shortest path; taking the smallest keeps the
+            # result deterministic (and oracle-checkable).
+            if carry_path:
+                out = (
+                    out.groupBy("_s", "_d")
+                    .agg(F.min(F.struct("_h", "_ns", "_rts")).alias("_m"))
+                    .select(
+                        "_s", "_d",
+                        F.col("_m._h").alias("_h"),
+                        F.col("_m._ns").alias("_ns"),
+                        F.col("_m._rts").alias("_rts"),
+                    )
+                )
+            else:
+                out = out.groupBy("_s", "_d").agg(F.min("_h").alias("_h"))
         return out.select(
             F.col("_s").alias(f"__src_{evar}"),
             F.col("_h").alias(f"{evar}__hops"),
             F.col("_d").alias(f"__dst_{evar}"),
+            *(
+                [F.col("_ns").alias(f"{evar}__pnodes"), F.col("_rts").alias(f"{evar}__prels")]
+                if carry_path
+                else []
+            ),
         )
 
     # -- UNWIND --
@@ -1429,6 +1602,8 @@ class PlanState:
             return [f"{v}__rel_type", f"{v}__rel_source"]
         if kind == "vlpath":
             return [f"{v}__hops"]
+        if kind == "path":
+            return [f"{v}__len", f"{v}__nodes", f"{v}__rels"]
         return [v]  # scalar: one plain column
 
     def apply_with(
@@ -1582,6 +1757,15 @@ class PlanState:
                     F.col(f"{e.name}__hops").isNotNull(),
                     F.struct(F.col(f"{e.name}__hops").alias("hops")),
                 )
+            if self.vars[e.name] == "path":
+                return F.when(
+                    F.col(f"{e.name}__len").isNotNull(),
+                    F.struct(
+                        F.col(f"{e.name}__len").alias("length"),
+                        F.col(f"{e.name}__nodes").alias("nodes"),
+                        F.col(f"{e.name}__rels").alias("relationships"),
+                    ),
+                )
             return F.when(
                 F.col(f"{e.name}__gid").isNotNull(),
                 F.struct(*[F.col(f"{e.name}__{f}").alias(f) for f in _NODE_FIELDS]),
@@ -1647,6 +1831,13 @@ class PlanState:
                     self.to_column(e.left).cast("string"),
                     self.to_column(e.right).cast("string"),
                 )
+            # temporal arithmetic: datetime/date +- duration stays on
+            # Spark's native timestamp/interval types (the double casts
+            # below would corrupt it)
+            if e.op in ("+", "-") and (_is_temporal(e.left) or _is_temporal(e.right)):
+                lc, rc = self.to_column(e.left), self.to_column(e.right)
+                out = lc + rc if e.op == "+" else lc - rc
+                return out.cast("date") if _is_dateonly(e.left) else out
             # numeric context: operands evaluate as doubles (props are
             # string-stored; numeric literals pass through the cast
             # losslessly up to 2^53)
@@ -1749,6 +1940,35 @@ class PlanState:
         finally:
             self._agg_map = None
 
+    def _duration_column(self, e: Func) -> Column:
+        """duration('P1DT2H') / duration({days:1, hours:2}) -> a Spark
+        interval literal. Spark has two interval families (year-month
+        and day-time) that cannot mix in one value, so a duration is
+        either calendar-only (years/months) or time-only
+        (weeks/days/hours/minutes/seconds); mixed specs get a precise
+        error rather than a silently wrong value."""
+        if len(e.args) != 1:
+            raise CypherError("duration() takes one argument")
+        p = _duration_parts(e.args[0])
+        cal = p["years"] or p["months"]
+        tim = p["weeks"] or p["days"] or p["hours"] or p["minutes"] or p["seconds"]
+        if cal and tim:
+            raise CypherError(
+                "duration() spec mixes calendar (years/months) and time "
+                "(days..seconds) components; Spark intervals cannot mix "
+                "the two — split the arithmetic into two steps"
+            )
+        if cal:
+            return F.make_ym_interval(
+                F.lit(int(p["years"])), F.lit(int(p["months"]))
+            )
+        return F.make_dt_interval(
+            F.lit(int(p["weeks"] * 7 + p["days"])),
+            F.lit(int(p["hours"])),
+            F.lit(int(p["minutes"])),
+            F.lit(p["seconds"]),
+        )
+
     def _func_column(self, e: Func) -> Column:
         """Scalar function library (engine extension; Cypher-style names,
         0-based substring). Args evaluate recursively; position/length
@@ -1763,6 +1983,22 @@ class PlanState:
             return a.value
 
         n = e.name
+        # path accessors first: length(p) must hit the path binding, not
+        # the string length() below
+        if (
+            n in ("length", "nodes", "relationships")
+            and len(e.args) == 1
+            and isinstance(e.args[0], Var)
+            and self.vars.get(e.args[0].name) == "path"
+        ):
+            v = e.args[0].name
+            if n == "length":
+                return F.col(f"{v}__len")
+            if n == "nodes":
+                return F.col(f"{v}__nodes")
+            return F.col(f"{v}__rels")
+        if n in ("nodes", "relationships"):
+            raise CypherError(f"{n}() takes a bound path variable (p = ...)")
         simple = {
             "toupper": F.upper, "tolower": F.lower, "trim": F.trim,
             "length": F.length, "size": F.size, "abs": F.abs,
@@ -1783,7 +2019,26 @@ class PlanState:
             return math1[n](arg(0).cast("double"))
         if n == "pi":
             return F.lit(3.141592653589793)
-        if n in ("rand", "timestamp", "date", "datetime", "localdatetime", "time"):
+        if n in ("date", "datetime", "localdatetime"):
+            # temporal VALUE constructors: deterministic with an explicit
+            # argument (maps to Spark date/timestamp); the zero-argument
+            # now()-forms stay rejected below
+            if len(e.args) == 1:
+                if n == "date":
+                    return F.to_date(arg(0))
+                return F.to_timestamp(
+                    # accept both 'yyyy-mm-ddThh:mm:ss' (Cypher) and the
+                    # space-separated form Spark parses natively
+                    F.replace(arg(0).cast("string"), F.lit("T"), F.lit(" "))
+                )
+            raise CypherError(
+                f"{n}() without arguments is not supported "
+                "(non-deterministic: results must be reproducible "
+                "across re-executions and engines)"
+            )
+        if n == "duration":
+            return self._duration_column(e)
+        if n in ("rand", "timestamp", "time"):
             raise CypherError(
                 f"{n}() is not supported (non-deterministic: results must "
                 "be reproducible across re-executions and engines)"

@@ -1192,7 +1192,60 @@ def test_star_projections(store):
 
 
 def test_unsupported_get_precise_errors(store):
-    with pytest.raises(CypherError, match="path variables"):
-        run_cypher(store, "MATCH p = (a)-[:worksfor]->(b) RETURN 1 AS x")
+    with pytest.raises(CypherError, match="named path"):
+        # multi-relationship named paths are the remaining path gap
+        run_cypher(
+            store, "MATCH p = (a)-[:worksfor]->(b)-[:worksfor]->(c) RETURN 1 AS x"
+        )
     with pytest.raises(CypherError, match="non-deterministic"):
         run_cypher(store, "RETURN timestamp() AS t")
+
+
+def test_temporal_value_functions(store):
+    # datetime()/date() with explicit args are deterministic and map to
+    # Spark timestamp/date; zero-arg (now) forms stay rejected
+    out = rows(
+        run_cypher(
+            store, "RETURN datetime('2024-01-01T10:30:00') AS t, date('2024-03-05') AS d"
+        )
+    )
+    assert str(out[0]["t"]) == "2024-01-01 10:30:00"
+    assert str(out[0]["d"]) == "2024-03-05"
+    # duration arithmetic, both spec forms, calendar-aware month math
+    out = rows(
+        run_cypher(
+            store,
+            "RETURN datetime('2024-01-01T10:00:00') + duration('P1DT2H30M') AS a, "
+            "date('2024-03-05') - duration({days: 7}) AS b, "
+            "datetime('2024-01-31T00:00:00') + duration('P1M') AS c",
+        )
+    )
+    assert str(out[0]["a"]) == "2024-01-02 12:30:00"
+    assert str(out[0]["b"]) == "2024-02-27"
+    assert str(out[0]["c"]) == "2024-02-29 00:00:00"
+    # comparisons against string-stored properties coerce naturally
+    with pytest.raises(CypherError, match="mixes calendar"):
+        run_cypher(store, "RETURN duration('P1M1D') AS x")
+    with pytest.raises(CypherError, match="non-deterministic|without arguments"):
+        run_cypher(store, "RETURN datetime() AS t")
+    with pytest.raises(CypherError, match="ISO-8601"):
+        run_cypher(store, "RETURN duration('bogus') AS x")
+
+
+def test_temporal_filter_on_event_props(spark):
+    layer = DataLayer(spark, CONFIG)
+    w = layer.dataset("people").incremental()
+    for i, ts in enumerate(
+        ["2024-01-01 10:00:00", "2024-02-15 09:30:00", "2024-03-01 00:00:00"]
+    ):
+        w.write({"id": f"{NS}/ev/{i}", "props": {f"{NS}/ts": ts}, "refs": {}})
+    w.close()
+    out = rows(
+        run_cypher(
+            layer.store,
+            "MATCH (e:Person) WHERE datetime(e.ts) > datetime('2024-01-15T00:00:00') "
+            "AND datetime(e.ts) < datetime('2024-01-15T00:00:00') + duration({days: 45}) "
+            "RETURN e.gid AS g ORDER BY g",
+        )
+    )
+    assert [r["g"] for r in out] == [f"{NS}/ev/1"]

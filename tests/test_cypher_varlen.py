@@ -136,3 +136,82 @@ def test_shortest_path_requires_varlength(spark):
     st = _store(spark, [("a", "x", "b")])
     with pytest.raises(CypherError):
         run_cypher(st, "MATCH shortestPath((p)-[r:x]->(q)) RETURN p.gid AS s")
+
+
+def test_varlen_reversed_direction(spark):
+    # (a)<-[:x*]-(b): walk stored edges backwards from a
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c")])
+    out = run_cypher(
+        st,
+        "MATCH (p)<-[r:x*1..2]-(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+    )
+    assert sorted(rows(out)) == [("b", "a", 1), ("c", "a", 2), ("c", "b", 1)]
+
+
+def test_varlen_undirected(spark):
+    # chain a-b-c walked either way per hop; the stored-edge key keeps
+    # a<->b from being traversed forward then immediately backward
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c")])
+    out = run_cypher(
+        st,
+        "MATCH (p)-[r:x*1..2]-(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+    )
+    assert sorted(rows(out)) == [
+        ("a", "b", 1), ("a", "c", 2),
+        ("b", "a", 1), ("b", "c", 1),
+        ("c", "a", 2), ("c", "b", 1),
+    ]
+
+
+def test_named_path_varlen_functions(spark):
+    st = _store(spark, [("a", "x", "b"), ("b", "x", "c")])
+    out = run_cypher(
+        st,
+        "MATCH p = (s)-[:x*1..2]->(t) "
+        "RETURN s.gid AS src, length(p) AS len, nodes(p) AS ns, "
+        "relationships(p) AS rs ORDER BY src, len",
+    )
+    got = [(r.src, r.len, r.ns, r.rs) for r in out.collect()]
+    assert got == [
+        ("a", 1, ["a", "b"], ["x"]),
+        ("a", 2, ["a", "b", "c"], ["x", "x"]),
+        ("b", 1, ["b", "c"], ["x"]),
+    ]
+
+
+def test_named_path_single_hop_and_shortest(spark):
+    st = _store(
+        spark,
+        [("a", "x", "b"), ("b", "x", "c"), ("a", "x", "c")],
+    )
+    one = run_cypher(
+        st,
+        "MATCH p = (s)-[:x]->(t) WHERE s.gid = 'a' "
+        "RETURN length(p) AS len, nodes(p) AS ns ORDER BY ns",
+    )
+    assert [(r.len, r.ns) for r in one.collect()] == [(1, ["a", "b"]), (1, ["a", "c"])]
+    sp = run_cypher(
+        st,
+        "MATCH p = shortestPath((s)-[:x*1..3]->(t)) "
+        "WHERE s.gid = 'a' AND t.gid = 'c' RETURN length(p) AS len, nodes(p) AS ns",
+    )
+    assert [(r.len, r.ns) for r in sp.collect()] == [(1, ["a", "c"])]
+
+
+def test_named_path_zero_hop(spark):
+    st = _store(spark, [("a", "x", "b")])
+    out = run_cypher(
+        st,
+        "MATCH p = (s)-[:x*0..1]->(t) WHERE s.gid = 'a' "
+        "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs ORDER BY len",
+    )
+    assert [(r.len, r.ns, r.rs) for r in out.collect()] == [
+        (0, ["a"], []),
+        (1, ["a", "b"], ["x"]),
+    ]
+
+
+def test_path_functions_require_path_binding(spark):
+    st = _store(spark, [("a", "x", "b")])
+    with pytest.raises(CypherError, match="bound path variable"):
+        run_cypher(st, "MATCH (s)-[:x]->(t) RETURN nodes(s) AS ns")

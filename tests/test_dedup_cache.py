@@ -82,3 +82,41 @@ def test_containment_gate_applies(spark, no_auto_broadcast, monkeypatch):
     monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
     plan = explain_str(dedup.dedup_ngram_containment(spark, SRC))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_hash_family_equivalence(spark):
+    """The xxhash64 engine default and the md5 oracle mode agree on the
+    VERIFIED near-dup output at sf0.01: the exact-overlap verify step
+    makes the Jaccard pairs a function of the shingle *sets*, not the
+    hash values (VERDICT r4 'next round' #1)."""
+    md5_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, SF001, hash_family="md5").collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, SF001, hash_family="xxhash64").collect()
+    }
+    assert md5_pairs == xx_pairs and md5_pairs
+    # SimHash pairs: the fingerprint is hash-dependent, but both modes
+    # produce a valid fingerprint frame with one row per doc
+    n_md5 = dedup.dedup_simhash(spark, SF001, hash_family="md5").count()
+    n_xx = dedup.dedup_simhash(spark, SF001, hash_family="xxhash64").count()
+    assert n_md5 == n_xx
+
+
+def test_hash_family_validation_and_cache_isolation(spark, tmp_path):
+    sf = str(tmp_path)
+    _write_docs(sf, {1: "cache isolation across hash families check" * 3, 2: "b" * 40})
+    with pytest.raises(ValueError):
+        dedup._minhash_sigs(spark, sf, hash_family="sha1")
+    a = dedup._minhash_sigs(spark, sf, hash_family="md5")
+    b = dedup._minhash_sigs(spark, sf, hash_family="xxhash64")
+    # distinct cache entries, distinct signatures
+    assert a is not b
+    assert a.collect() != b.collect()
+    # each family memoizes independently
+    assert dedup._minhash_sigs(spark, sf, hash_family="xxhash64") is b

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.model import ENTITY_SCHEMA, normalize_entity
-from opencypher_datalayer_spark.storage import ParquetGraphStorage
+from opencypher_datalayer_spark.storage import open_storage
 from opencypher_datalayer_spark.store import GraphStore
 
 
@@ -119,10 +119,13 @@ class DataLayer:
         spark: SparkSession,
         config: dict | None = None,
         storage_root: str | None = None,
+        storage_backend: str = "parquet",
     ):
         self.spark = spark
         self.datasets: dict[str, DatasetConfig] = {}
-        self._storage = ParquetGraphStorage(storage_root) if storage_root else None
+        self._storage = (
+            open_storage(storage_root, storage_backend) if storage_root else None
+        )
         self._store = (
             self._storage.load(spark) if self._storage else GraphStore.empty(spark)
         )

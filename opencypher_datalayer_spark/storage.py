@@ -33,6 +33,7 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -168,6 +169,11 @@ class ParquetGraphStorage:
     # top of the winner's version — both batches survive, versions stay
     # linear. A writer that dies mid-commit leaves a lock that is broken
     # after ``stale_after`` (the claim records pid + wall time).
+    #
+    # SCOPE: this lock is SINGLE-HOST. O_EXCL is not reliable on NFS and
+    # has no analog on object storage — for multi-host writers use the
+    # ``txnlog`` backend (TxnLogGraphStorage), whose put-if-absent log
+    # publish replaces both this lock and the mutable CURRENT pointer.
 
     def _acquire_commit_lock(self, timeout: float = 300.0, stale_after: float = 600.0) -> None:
         path = os.path.join(self.root, _LOCK)
@@ -474,3 +480,234 @@ class ParquetGraphStorage:
                 v = int(name[1:])
                 if v <= current - keep:
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+
+class TxnLogGraphStorage(ParquetGraphStorage):
+    """Transactional-manifest backend: multi-host commit safety without
+    the O_EXCL lock file or the mutable CURRENT pointer.
+
+    The base class is correct on one host but its two coordination
+    primitives degrade on shared filesystems: O_EXCL is not reliable on
+    NFS, and a mutable pointer file has no atomic read-modify-write on
+    object storage. This backend replaces both with a Delta-style
+    append-only transaction log — the same protocol a lakehouse table
+    format uses, expressed on a filesystem:
+
+    - every snapshot's data lives in a uniquely-named immutable
+      directory (``d-<uuid>``), written BEFORE any coordination;
+    - version N is published by creating ``_log/{N:08d}.json``
+      (recording the data directory) with a put-if-absent primitive;
+      the reader's current version is simply the highest log entry —
+      readers never block and never see a partial commit;
+    - put-if-absent is the NFS-safe hard-link protocol (open(2) NOTES:
+      create a unique temp file, ``link()`` it to the target, verify
+      ``st_nlink == 2`` — correct even when the link RPC's reply is
+      lost and retried); on object storage the same slot maps to a
+      conditional put (If-None-Match), which is exactly Delta's
+      commit primitive;
+    - a writer that loses the race re-reads the new current version
+      and retries: ``merge_commit`` rebuilds its delta against the
+      winner's snapshot (both batches survive — the reference's
+      serialized per-batch transactions, ``neo4j.go:238-284``), while
+      full ``commit`` re-publishes its self-contained snapshot at the
+      next slot (full sync is authoritative last-writer-wins, as in
+      the base class and W10's wipe semantics).
+
+    Everything above the commit protocol — manifest stats, pruned
+    merge, clustering, compaction, time travel — is inherited
+    unchanged from ``ParquetGraphStorage``.
+    """
+
+    _LOG = "_log"
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        os.makedirs(os.path.join(root, self._LOG), exist_ok=True)
+        self._dir_cache: dict[int, str] = {}
+
+    # -- log ------------------------------------------------------------
+
+    def _log_path(self, v: int) -> str:
+        return os.path.join(self.root, self._LOG, f"{v:08d}.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(name[:-5])
+            for name in os.listdir(os.path.join(self.root, self._LOG))
+            if name.endswith(".json") and name[:-5].isdigit()
+        ]
+        return max(versions, default=0)
+
+    def _version_dir(self, version: int) -> str:
+        if version in self._dir_cache:
+            return self._dir_cache[version]
+        path = self._log_path(version)
+        try:
+            with open(path) as f:
+                entry = json.load(f)
+        except (FileNotFoundError, ValueError):
+            # unknown version: a path that cannot exist, so callers'
+            # isdir/exists probes fail the same way as in the base class
+            return os.path.join(self.root, f"_missing-v{version}")
+        vdir = os.path.join(self.root, entry["dir"])
+        self._dir_cache[version] = vdir
+        return vdir
+
+    def _publish(self, v: int, dirname: str) -> bool:
+        """Put-if-absent of the version-v log entry. True iff this
+        writer won slot v."""
+        log_dir = os.path.join(self.root, self._LOG)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "dir": dirname}, f)
+        target = self._log_path(v)
+        try:
+            try:
+                os.link(tmp, target)
+                won = True
+            except FileExistsError:
+                won = False
+            except OSError:
+                # NFS: the link may have succeeded even though the
+                # retried RPC reported an error — nlink is the truth
+                won = os.stat(tmp).st_nlink == 2
+        finally:
+            os.unlink(tmp)
+        return won
+
+    # -- commits ---------------------------------------------------------
+
+    def _write_snapshot(
+        self, store: GraphStore, cluster_buckets: int | None = None
+    ) -> str:
+        dirname = f"d-{uuid.uuid4().hex}"
+        vdir = os.path.join(self.root, dirname)
+        nodes, edges = store.nodes, store.edges
+        if cluster_buckets:
+            nodes = nodes.repartitionByRange(cluster_buckets, "gid")
+            edges = edges.repartitionByRange(cluster_buckets, "src")
+        nodes.write.mode("overwrite").partitionBy("label").parquet(
+            os.path.join(vdir, "nodes")
+        )
+        edges.write.mode("overwrite").partitionBy("rel_type").parquet(
+            os.path.join(vdir, "edges")
+        )
+        self._write_manifest(vdir)
+        return dirname
+
+    def commit(self, store: GraphStore, cluster_buckets: int | None = None) -> int:
+        # data first (expensive, uncoordinated), then CAS-publish the
+        # log entry; on a lost race the snapshot is still self-contained
+        # and valid, so only the (cheap) publish retries
+        dirname = self._write_snapshot(store, cluster_buckets)
+        while True:
+            v = self.current_version() + 1
+            if self._publish(v, dirname):
+                return v
+
+    def merge_commit(
+        self, spark: SparkSession, batch: DataFrame, label: str, source: str
+    ) -> int:
+        # optimistic concurrency: build the delta against the current
+        # snapshot, publish; a lost race discards the built directory
+        # and rebuilds against the winner's version, so concurrent
+        # batches compose instead of overwriting each other
+        while True:
+            base_v = self.current_version()
+            manifest = self._manifest(base_v)
+            if base_v == 0 or manifest is None:
+                merged = self.load(spark).apply_batch(batch, label, source)
+                dirname = self._write_snapshot(merged)
+            else:
+                dirname = self._build_merge_dir(spark, batch, label, source, base_v, manifest)
+            if self._publish(base_v + 1, dirname):
+                return base_v + 1
+            shutil.rmtree(os.path.join(self.root, dirname), ignore_errors=True)
+
+    def _build_merge_dir(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        label: str,
+        source: str,
+        v: int,
+        manifest: dict,
+    ) -> str:
+        """The pruned-MERGE body of the base class, writing into a
+        uniquely-named directory instead of ``v{N+1}`` (same file
+        selection, same carry-forward links, same apply_batch)."""
+        keys = batch.select(
+            "id", "deleted", F.flatten(F.map_values("refs")).alias("targets")
+        ).limit(self.MERGE_MAX_BATCH_ROWS + 1).collect()
+        if len(keys) > self.MERGE_MAX_BATCH_ROWS:
+            return self._write_snapshot(self.load(spark).apply_batch(batch, label, source))
+        dead = sorted({r["id"] for r in keys if r["deleted"]})
+        live = sorted({r["id"] for r in keys if not r["deleted"]})
+        targets = sorted(
+            {t for r in keys if not r["deleted"] for t in (r["targets"] or [])}
+        )
+        node_keys = sorted(set(live) | set(dead) | set(targets))
+        vdir = self._version_dir(v)
+        node_hit = {e["path"] for e in _prune(manifest["nodes"], node_keys)}
+        edge_hit = {
+            e["path"]
+            for e in _prune_edge_files(manifest["edges"], live + dead, dead)
+        }
+        sub = GraphStore(
+            self._read_files(spark, vdir, "nodes", sorted(node_hit)),
+            self._read_files(spark, vdir, "edges", sorted(edge_hit)),
+        )
+        merged = sub.apply_batch(batch, label, source)
+        dirname = f"d-{uuid.uuid4().hex}"
+        new_vdir = os.path.join(self.root, dirname)
+        for table, hit in (("nodes", node_hit), ("edges", edge_hit)):
+            for e in manifest[table]:
+                if e["path"] in hit:
+                    continue
+                src_path = os.path.join(vdir, e["path"])
+                dst_path = os.path.join(new_vdir, e["path"])
+                os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+                try:
+                    os.link(src_path, dst_path)  # zero-copy carry-forward
+                except OSError:
+                    shutil.copy2(src_path, dst_path)
+        merged.nodes.write.mode("append").partitionBy("label").parquet(
+            os.path.join(new_vdir, "nodes")
+        )
+        merged.edges.write.mode("append").partitionBy("rel_type").parquet(
+            os.path.join(new_vdir, "edges")
+        )
+        self._write_manifest(new_vdir)
+        return dirname
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop data directories (and their log entries) older than the
+        newest ``keep`` versions. Version numbering stays monotonic:
+        current is the MAX log entry, which vacuum never removes."""
+        current = self.current_version()
+        for v in range(1, current - keep + 1):
+            path = self._log_path(v)
+            try:
+                with open(path) as f:
+                    entry = json.load(f)
+            except (FileNotFoundError, ValueError):
+                continue
+            shutil.rmtree(os.path.join(self.root, entry["dir"]), ignore_errors=True)
+            os.unlink(path)
+            self._dir_cache.pop(v, None)
+
+
+BACKENDS = {"parquet": ParquetGraphStorage, "txnlog": TxnLogGraphStorage}
+
+
+def open_storage(root: str, backend: str = "parquet") -> ParquetGraphStorage:
+    """Backend-selectable storage factory: ``parquet`` (versioned dirs +
+    CURRENT pointer + O_EXCL commit lock; single-host) or ``txnlog``
+    (append-only transaction log + put-if-absent publish; multi-host)."""
+    try:
+        cls = BACKENDS[backend]
+    except KeyError:
+        raise ValueError(
+            f"unknown storage backend {backend!r}; choose from {sorted(BACKENDS)}"
+        ) from None
+    return cls(root)

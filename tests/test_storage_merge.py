@@ -12,10 +12,19 @@ import glob
 import os
 
 from opencypher_datalayer_spark.model import ENTITY_SCHEMA, normalize_entity
-from opencypher_datalayer_spark.storage import ParquetGraphStorage
+import pytest
+
+from opencypher_datalayer_spark.storage import ParquetGraphStorage, open_storage
 from opencypher_datalayer_spark.store import GraphStore
 
 NS = "urn:m"
+
+
+@pytest.fixture(params=["parquet", "txnlog"])
+def backend(request):
+    """Both storage backends run the same pruned-MERGE suite: the
+    single-host lock backend and the multi-host transaction-log one."""
+    return request.param
 
 
 def _batch(spark, entities):
@@ -27,7 +36,7 @@ def _batch(spark, entities):
     return spark.createDataFrame(rows, ENTITY_SCHEMA)
 
 
-def _seed(spark, root, n=40, buckets=4):
+def _seed(spark, root, n=40, buckets=4, backend="parquet"):
     """A clustered baseline snapshot: n nodes + a chain of edges, range-
     partitioned into ``buckets`` files per table so ranges are narrow."""
     ents = [
@@ -38,7 +47,7 @@ def _seed(spark, root, n=40, buckets=4):
         }
         for i in range(n)
     ]
-    storage = ParquetGraphStorage(root)
+    storage = open_storage(root, backend)
     store = GraphStore.empty(spark).apply_batch(_batch(spark, ents), "P", "s")
     storage.commit(store, cluster_buckets=buckets)
     return storage
@@ -61,8 +70,8 @@ def _snapshot(spark, storage, v):
     )
 
 
-def test_small_batch_rewrites_strict_subset(spark, tmp_path):
-    storage = _seed(spark, str(tmp_path / "s"))
+def test_small_batch_rewrites_strict_subset(spark, tmp_path, backend):
+    storage = _seed(spark, str(tmp_path / "s"), backend=backend)
     v1_files = _files(storage, 1)
 
     batch = _batch(
@@ -89,11 +98,11 @@ def test_small_batch_rewrites_strict_subset(spark, tmp_path):
     assert _snapshot(spark, storage, 2) == expected
 
 
-def test_tombstone_detach_prunes_by_dst(spark, tmp_path):
+def test_tombstone_detach_prunes_by_dst(spark, tmp_path, backend):
     """A tombstone must remove edges pointing AT the gid even when their
     src lives in a file whose src range does not admit the batch id —
     that is what the manifest's dst stats are for."""
-    storage = _seed(spark, str(tmp_path / "s"))
+    storage = _seed(spark, str(tmp_path / "s"), backend=backend)
     batch = _batch(spark, [{"id": f"{NS}/n0039", "deleted": True}])
     expected = _snapshot_of(spark, storage, batch)
 
@@ -105,10 +114,10 @@ def test_tombstone_detach_prunes_by_dst(spark, tmp_path):
     assert all(s != gone and d != gone for s, _, d, _ in edges)
 
 
-def test_merge_chain_matches_full_path(spark, tmp_path):
+def test_merge_chain_matches_full_path(spark, tmp_path, backend):
     """Several merges in a row (upsert, stub upgrade, tombstone, re-add)
     stay equivalent to the full apply_batch path."""
-    storage = _seed(spark, str(tmp_path / "s"), n=12, buckets=3)
+    storage = _seed(spark, str(tmp_path / "s"), n=12, buckets=3, backend=backend)
     batches = [
         [{"id": f"{NS}/extra", "props": {f"{NS}/name": "x"},
           "refs": {f"{NS}/next": [f"{NS}/n0005"]}}],
@@ -139,11 +148,11 @@ def _snapshot_of(spark, storage, batch):
     )
 
 
-def test_compact_shrinks_files_preserves_data(spark, tmp_path):
+def test_compact_shrinks_files_preserves_data(spark, tmp_path, backend):
     """Repeated merge commits accumulate small appended files; compact
     rewrites the snapshot range-clustered with fewer files and exactly
     the same rows."""
-    storage = _seed(spark, str(tmp_path / "st"), n=40, buckets=4)
+    storage = _seed(spark, str(tmp_path / "st"), n=40, buckets=4, backend=backend)
     for k in range(5):
         batch = _batch(
             spark,
@@ -175,14 +184,14 @@ def test_compact_shrinks_files_preserves_data(spark, tmp_path):
     assert hit is not None and len(hit) < total
 
 
-def test_concurrent_merge_commits_both_survive(spark, tmp_path):
+def test_concurrent_merge_commits_both_survive(spark, tmp_path, backend):
     """Two writers committing simultaneously must serialize on the
     O_EXCL commit lock: both batches land, versions advance linearly,
     and neither snapshot is clobbered (the reference gets this from
     Neo4j transactions, neo4j.go:238-284)."""
     import threading
 
-    storage = _seed(spark, str(tmp_path / "c"))
+    storage = _seed(spark, str(tmp_path / "c"), backend=backend)
     base = storage.current_version()
     errs = []
 
@@ -225,3 +234,42 @@ def test_stale_commit_lock_is_broken(spark, tmp_path):
     v = storage.merge_commit(spark, b, "P", "s")  # breaks the stale claim
     assert v == storage.current_version()
     assert not _os.path.exists(lock)
+
+
+def test_txnlog_publish_race_cas(spark, tmp_path):
+    """The txnlog put-if-absent: exactly one writer wins a version slot;
+    the loser's publish returns False and its retry lands on the next
+    slot. (Direct protocol-level check complementing the threaded
+    concurrent test above.)"""
+    from opencypher_datalayer_spark.storage import TxnLogGraphStorage
+
+    st = TxnLogGraphStorage(str(tmp_path / "t"))
+    assert st._publish(1, "d-a") is True
+    assert st._publish(1, "d-b") is False  # slot taken
+    assert st.current_version() == 1
+    assert st._publish(2, "d-b") is True
+    assert st.current_version() == 2
+
+
+def test_txnlog_restart_and_vacuum(spark, tmp_path):
+    """A second storage handle on the same root sees the committed
+    snapshot (restart path); vacuum drops old data dirs but keeps the
+    log monotonic."""
+    import os as _os
+
+    from opencypher_datalayer_spark.storage import TxnLogGraphStorage
+
+    root = str(tmp_path / "t")
+    storage = _seed(spark, root, n=12, buckets=3, backend="txnlog")
+    b = _batch(spark, [{"id": f"{NS}/xx", "props": {f"{NS}/name": "x"}, "refs": {}}])
+    storage.merge_commit(spark, b, "P", "s")
+    fresh = TxnLogGraphStorage(root)
+    assert fresh.current_version() == 2
+    nodes, _ = _snapshot(spark, fresh, 2)
+    assert any(g == f"{NS}/xx" for g, *_ in nodes)
+    fresh.vacuum(keep=1)
+    assert fresh.current_version() == 2
+    with pytest.raises(ValueError):
+        fresh.load_version(spark, 1)
+    # CURRENT pointer never exists in this backend
+    assert not _os.path.exists(_os.path.join(root, "CURRENT"))

@@ -32,55 +32,28 @@ from opencypher_datalayer_spark.benchqueries import all_queries
 from opencypher_datalayer_spark.benchqueries.memo import clear_memo_caches
 from opencypher_datalayer_spark.session import get_spark
 
-HEADLINE = [
-    # relational
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+# Headline set == the 50 driver-facing primary registry entries (the
+# exact set CORRECTNESS_r{N}.json oracle-checks), resolved at runtime so
+# the bench can never drift from the correctness gate again (round-4
+# verdict #7: nine primaries had green correctness rows but no headline
+# timing while their extended twins were timed instead).
+HEADLINE: list[str] = list(all_queries().keys())
+
+# The formerly-headlined extended twins stay timed as a secondary list
+# (reported under "secondary_queries", excluded from the headline total)
+# so round-over-round comparisons with BENCH_r{1..4} remain possible.
+SECONDARY = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q21_lone_returner",
-    "q_top_customers_per_nation",
-    "q_rollup_lineitem",
-    "q_window_navigation",
-    # graph read + write + analytics
     "g_match_filter",
     "g_expand_collect",
-    "g_order_region_revenue",
-    "cy_write_roundtrip",
-    "g_pagerank",
-    "g_triangle_count",
-    "g_bfs_distances",
-    "g_label_prop",
     "g_neighborhood_agg",
-    # dedup
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    # similarity
-    "sim_lsh_candidate_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_sq8_topk",
-    # text
     "text_fingerprint",
-    "text_quality",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    "text_tfidf_topk",
     "text_scrub",
-    # temporal / streaming twins
-    "ev_sessionize",
-    "ev_asof_join",
     "ev_tumbling_window",
-    "st_tumbling_window",
-    "ev_interval_join",
-    "ev_json_props",
     "ev_funnel",
     "ev_gap_fill",
-    # multimodal
-    "mm_decode_features",
 ]
 
 
@@ -96,20 +69,28 @@ def main() -> None:
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        qd = registry[name]
-        runs = []
-        for _ in range(repeats):
-            # drop ALL registered memoized frames (minhash signatures,
-            # co-supply edges, ...) so every run pays full recompute cost
-            clear_memo_caches()
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - t0, 3))
-        all_runs[name] = runs
-        timings[name] = min(runs)
+
+    def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
+        mins: dict[str, float] = {}
+        runs_by: dict[str, list[float]] = {}
+        for name in names:
+            qd = registry[name]
+            runs = []
+            for _ in range(repeats):
+                # drop ALL registered memoized frames (minhash signatures,
+                # co-supply edges, ...) so every run pays full recompute cost
+                clear_memo_caches()
+                t0 = time.perf_counter()
+                qd.fn(spark, sf_dir).count()
+                runs.append(round(time.perf_counter() - t0, 3))
+            runs_by[name] = runs
+            mins[name] = min(runs)
+        return mins, runs_by
+
+    timings, all_runs = time_set(HEADLINE)
+    secondary: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
+        secondary, _ = time_set(SECONDARY)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(r[0] for r in all_runs.values()), 3)
@@ -121,6 +102,7 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": cold_total,
                 "queries": timings,
+                "secondary_queries": secondary,
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "repeats": repeats,

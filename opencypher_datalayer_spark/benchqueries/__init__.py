@@ -111,6 +111,7 @@ EXTENDED = {
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
     "sim_ivf_cells": "sim_ivf_topk",
+    "sim_ivf_pruned_topk": "sim_ivf_topk",  # same probe, storage-pruned scan (r4 verdict #5)
     "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
     "sim_label_centroids": "sim_ivf_topk",  # centroid build is IVF's first stage
     # temporal

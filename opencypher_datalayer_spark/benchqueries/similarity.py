@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.benchqueries.memo import register_memo_cache
 from opencypher_datalayer_spark.sources.tables import load_table
 
 DIM = 64
@@ -686,6 +687,62 @@ ORDER BY q_id, rk
 # -- centroid aggregation (vector agg over groups) ----------------------
 
 
+# -- cell-partitioned IVF index (storage-pruned probe scan) -------------
+
+
+class _IndexDirCache(dict):
+    """fingerprint -> built index dir. ``clear()`` (what the bench's
+    ``clear_memo_caches`` calls) removes the on-disk index too, so every
+    timed run pays the full build cost and nothing leaks in /tmp."""
+
+    def clear(self) -> None:  # noqa: A003 - dict interface
+        import shutil
+
+        for d in self.values():
+            shutil.rmtree(d, ignore_errors=True)
+        super().clear()
+
+
+_IVF_INDEX_DIRS = _IndexDirCache()
+register_memo_cache(_IVF_INDEX_DIRS)
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the cell-partitioned index."""
+    from opencypher_datalayer_spark.benchqueries.memo import table_fingerprint
+    from opencypher_datalayer_spark.operators.vector_index import build_ivf_index
+
+    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    if key not in _IVF_INDEX_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ivf_index_")
+        build_ivf_index(spark, load_table(spark, "embeddings", sf_dir), d, k_cells=K_CELLS)
+        _IVF_INDEX_DIRS[key] = d
+    return _IVF_INDEX_DIRS[key]
+
+
+def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-{TOPK} through the CELL-PARTITIONED index: vectors are
+    stored ``partitionBy(cell)`` and the probe scan reads only admitted
+    cells via static partition pruning (round-4 verdict #5 / SCALE.md
+    "100x list" #1 — pruning pushed into the parquet scan, not applied
+    after it). Row-identical to :func:`sim_ivf_topk`, so the same
+    DuckDB oracle value-checks it; the plan-audit test pins the pruned
+    file set."""
+    from opencypher_datalayer_spark.operators.vector_index import ivf_pruned_topk
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return ivf_pruned_topk(
+        spark, _ivf_index_dir(spark, sf_dir), queries, nprobe=NPROBE, topk=TOPK
+    )
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector norm + count — element-wise vector aggregate
     reduced to a scalar so it hashes portably; the full centroid array is
@@ -740,6 +797,11 @@ QUERIES = {
     ),
     "sim_ivf_topk": QueryDef(
         sim_ivf_topk, SIM_IVF_TOPK_SQL, f"IVF nprobe={NPROBE} ANN top-{TOPK}"
+    ),
+    "sim_ivf_pruned_topk": QueryDef(
+        sim_ivf_pruned_topk,
+        SIM_IVF_TOPK_SQL,
+        f"cell-partitioned IVF index, partition-pruned probe scan, top-{TOPK}",
     ),
     "sim_sq8_topk": QueryDef(
         sim_sq8_topk,

@@ -69,6 +69,14 @@ def main() -> None:
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline, secondary_names = HEADLINE, SECONDARY
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+        headline, secondary_names = wanted, []
 
     def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
         mins: dict[str, float] = {}
@@ -87,10 +95,10 @@ def main() -> None:
             mins[name] = min(runs)
         return mins, runs_by
 
-    timings, all_runs = time_set(HEADLINE)
+    timings, all_runs = time_set(headline)
     secondary: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
-        secondary, _ = time_set(SECONDARY)
+    if secondary_names and os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "1") != "0":
+        secondary, _ = time_set(secondary_names)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(r[0] for r in all_runs.values()), 3)

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from opencypher_datalayer_spark.store import GraphStore, labels_expr, where_label
 
@@ -211,6 +212,28 @@ class PatternExists:
     can reorder, composing correctly under NOT/AND/OR."""
 
     path: "PathPat"
+
+
+@dataclass
+class PatternCompr:
+    """[(n)-[:T]->(m) WHERE pred | expr] pattern comprehension: the
+    list of ``expr`` over every match of the pattern, per source row.
+
+    Planned as one aggregation + left join: the single-hop pattern
+    becomes an edge/target-node frame, ``expr`` compiles over it, a
+    groupBy(src) collects the values, and the list attaches to the
+    outer frame keyed on the bound variable's gid (no per-row subquery
+    execution — the whole comprehension is ONE shuffle regardless of
+    outer cardinality, the plan shape that survives 100x data).
+
+    Engine semantics (documented deviations from Neo4j, both for
+    deterministic oracle hashing): the list is sorted ascending
+    (openCypher leaves comprehension order unspecified), and NULL
+    projections are dropped (collect_list semantics)."""
+
+    path: "PathPat"
+    where: "Expr | None"
+    expr: "Expr"
 
 
 @dataclass
@@ -911,6 +934,21 @@ class Parser:
             return Case(operand, whens, default)
         if self.at_sym("["):
             self.take()
+            if self.at_sym("("):
+                # pattern comprehension: [(n)-[:T]->(m) (WHERE pred)? | expr]
+                path = self.parse_path()
+                if not path.edges:
+                    raise CypherError(
+                        "pattern comprehension requires a relationship pattern"
+                    )
+                where = None
+                if self.at_kw("where"):
+                    self.take()
+                    where = self.parse_expr()
+                self.expect_sym("|")
+                mape = self.parse_expr()
+                self.expect_sym("]")
+                return PatternCompr(path, where, mape)
             # list comprehension: [x IN src (WHERE pred)? (| expr)? ]
             t1 = self.peek()
             t2 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
@@ -1029,6 +1067,31 @@ class Parser:
                         raise CypherError(f"{name}() takes one argument")
                     return Agg(low, args[0])
                 return Func(low, args)
+            if self.at_sym("{"):
+                # map projection: n {.name, alias: expr, other_var} —
+                # sugar over MapLit (struct column), same compile path
+                self.take()
+                entries: list[tuple[str, Expr]] = []
+                while not self.at_sym("}"):
+                    if self.at_sym("."):
+                        self.take()
+                        if self.at_sym("*"):
+                            raise CypherError(
+                                "map projection .* is unsupported (name the properties)"
+                            )
+                        key = self.take().text
+                        entries.append((key, Prop(name, key)))
+                    else:
+                        key = self.take().text
+                        if self.at_sym(":"):
+                            self.take()
+                            entries.append((key, self.parse_expr()))
+                        else:
+                            entries.append((key, Var(key)))
+                    if self.at_sym(","):
+                        self.take()
+                self.expect_sym("}")
+                return MapLit(entries)
             if self.at_sym("."):
                 self.take()
                 key = self.take().text
@@ -1122,6 +1185,9 @@ class PlanState:
         # lambda variables in scope (list predicates/comprehensions/
         # reduce): name -> the Column Spark passes to the HOF lambda
         self._lambda: dict[str, Column] = {}
+        # pattern-comprehension binds, keyed on repr: the same
+        # comprehension in RETURN and ORDER BY joins once, not twice
+        self._compr_cache: dict[str, Var] = {}
 
     def fresh(self, prefix: str) -> str:
         self._anon += 1
@@ -1185,6 +1251,160 @@ class PlanState:
             return Not(self.bind_pattern_exists(e.inner))
         return e
 
+    def bind_subqueries(self, e: Expr) -> Expr:
+        """Rewrite every pattern subexpression — EXISTS predicates (in
+        predicate positions) and pattern comprehensions (anywhere) —
+        into columns joined onto the plan frame, so the rest of the
+        compiler sees plain variables."""
+        return self._rewrite_compr(self.bind_pattern_exists(e))
+
+    def _rewrite_compr(self, e: Expr) -> Expr:
+        s = self._rewrite_compr
+        if isinstance(e, PatternCompr):
+            return self._bind_one_compr(e)
+        if isinstance(e, (Cmp, Bool, StrPred, Arith)):
+            return type(e)(e.op, s(e.left), s(e.right))
+        if isinstance(e, Not):
+            return Not(s(e.inner))
+        if isinstance(e, IsNull):
+            return IsNull(s(e.inner), e.negated)
+        if isinstance(e, Agg):
+            return Agg(e.fn, None if e.inner is None else s(e.inner), e.distinct, e.param)
+        if isinstance(e, Func):
+            return Func(e.name, [s(a) for a in e.args])
+        if isinstance(e, MapLit):
+            return MapLit([(k, s(v)) for k, v in e.entries])
+        if isinstance(e, ListPred):
+            return ListPred(e.op, e.var, s(e.src), s(e.pred))
+        if isinstance(e, ListCompr):
+            return ListCompr(
+                e.var, s(e.src),
+                None if e.pred is None else s(e.pred),
+                None if e.map is None else s(e.map),
+            )
+        if isinstance(e, Reduce):
+            return Reduce(e.acc, s(e.init), e.var, s(e.src), s(e.expr))
+        if isinstance(e, Case):
+            return Case(
+                None if e.operand is None else s(e.operand),
+                [(s(w), s(t)) for w, t in e.whens],
+                None if e.default is None else s(e.default),
+            )
+        return e
+
+    def _bind_one_compr(self, e: PatternCompr) -> Expr:
+        """One pattern comprehension -> one aggregation + one left join
+        (see :class:`PatternCompr`). The subframe compiles with the
+        comprehension's own variables transiently in scope; outer
+        variables other than the source node are out of scope by
+        design (precise error), since the aggregated subquery cannot
+        see per-row outer bindings without a correlated re-execution —
+        the exact thing this plan shape avoids."""
+        cached = self._compr_cache.get(repr(e))
+        if cached is not None:
+            return cached
+        p = e.path
+        if len(p.nodes) != 2 or len(p.edges) != 1:
+            raise CypherError("pattern comprehension supports a single-hop pattern")
+        if p.var is not None:
+            raise CypherError("pattern comprehension cannot bind a path variable")
+        srcp, dstp = p.nodes
+        ep = p.edges[0]
+        if ep.vl_min is not None:
+            raise CypherError("pattern comprehension does not take a var-length edge")
+        if srcp.var is None or self.vars.get(srcp.var) != "node":
+            raise CypherError(
+                "pattern comprehension must start at a bound node variable"
+            )
+        if srcp.label or srcp.props:
+            raise CypherError("pattern comprehension source must be a bare bound variable")
+        if dstp.var is not None and dstp.var in self.vars:
+            raise CypherError("pattern comprehension target must be unbound")
+        if ep.var is not None and ep.var in self.vars:
+            raise CypherError("pattern comprehension relationship must be unbound")
+        evar = ep.var or self.fresh("pce")
+        tvar = dstp.var or self.fresh("pct")
+
+        ed = _typed_edges(self.store, ep)
+
+        def _orient(src_col: str, dst_col: str) -> DataFrame:
+            return ed.select(
+                F.col(src_col).alias("__pc_src"),
+                F.col("rel_type").alias(f"{evar}__rel_type"),
+                F.col("source").alias(f"{evar}__rel_source"),
+                F.col(dst_col).alias("__pc_dst"),
+            )
+
+        if ep.direction == "in":
+            sub = _orient("dst", "src")
+        elif ep.direction == "both":
+            # undirected: both orientations, self-loops enter once
+            sub = _orient("src", "dst").unionByName(
+                _orient("dst", "src").where(F.col("__pc_src") != F.col("__pc_dst"))
+            )
+        else:
+            sub = _orient("src", "dst")
+        tgt = _node_df(self.store, dstp, tvar)
+        sub = sub.join(tgt, F.col("__pc_dst") == F.col(f"{tvar}__gid"))
+
+        added = {evar: "edge", tvar: "node"}
+        clash = [v for v in added if v in self.vars]
+        if clash:  # fresh() names cannot clash; user names were checked
+            raise CypherError(f"pattern comprehension re-binds {clash[0]!r}")
+        self.vars.update(added)
+        try:
+            if e.where is not None:
+                where = self._rewrite_nested_compr_guard(e.where)
+                sub = sub.where(self.to_condition(where))
+            expr = self._rewrite_nested_compr_guard(e.expr)
+            sub = sub.select(F.col("__pc_src"), self.to_column(expr).alias("__pc_val"))
+        finally:
+            for v in added:
+                del self.vars[v]
+
+        flag = self.fresh("pcl")
+        vtype = sub.schema["__pc_val"].dataType
+        agg = sub.groupBy(F.col("__pc_src").alias(f"{flag}__gid")).agg(
+            F.sort_array(F.collect_list("__pc_val")).alias(flag)
+        )
+        self.df = self.df.join(
+            agg,
+            F.col(f"{srcp.var}__gid") == F.col(f"{flag}__gid"),
+            "left",
+        ).drop(f"{flag}__gid")
+        self.df = self.df.withColumn(
+            flag, F.coalesce(F.col(flag), F.array().cast(T.ArrayType(vtype)))
+        )
+        self.vars[flag] = "scalar"
+        out = Var(flag)
+        self._compr_cache[repr(e)] = out
+        return out
+
+    def _rewrite_nested_compr_guard(self, e: Expr) -> Expr:
+        """Inside a comprehension body, a nested pattern comprehension
+        would need to plan against the subframe — reject precisely."""
+
+        def scan(x: Expr) -> None:
+            if isinstance(x, PatternCompr):
+                raise CypherError("nested pattern comprehensions are unsupported")
+            for name in (
+                "left", "right", "inner", "src", "pred", "init",
+                "expr", "operand", "default", "map",
+            ):
+                v = getattr(x, name, None)
+                if v is not None and hasattr(v, "__dataclass_fields__"):
+                    scan(v)
+            for a in getattr(x, "args", []) or []:
+                scan(a)
+            for _k, v in getattr(x, "entries", []) or []:
+                scan(v)
+            for w, t in getattr(x, "whens", []) or []:
+                scan(w)
+                scan(t)
+
+        scan(e)
+        return e
+
     # -- pattern planning --
 
     def add_match(self, clause: MatchClause) -> None:
@@ -1218,7 +1438,7 @@ class PlanState:
         if clause.where is not None:
             # inner MATCH — post-filter; also the documented approximation
             # for a leading OPTIONAL MATCH (no rows to null-extend yet)
-            cond = self.bind_pattern_exists(clause.where)
+            cond = self.bind_subqueries(clause.where)
             self.df = self.df.where(self.to_condition(cond))
 
     def _add_path(self, path: PathPat, optional: bool) -> None:
@@ -1636,6 +1856,10 @@ class PlanState:
                 for v in sorted(self.vars)
                 if not v.startswith("_")
             ] + list(items)
+        # pattern comprehensions join their list columns onto the
+        # pre-projection frame; names are fixed first so the rewrite
+        # cannot change an unaliased item's output column
+        items = [ReturnItem(self.bind_subqueries(r.expr), r.name) for r in items]
         agg_items = [r for r in items if _contains_agg(r.expr)]
         passthrough: list[str] = []
         scalar_items: list[ReturnItem] = []
@@ -1685,6 +1909,8 @@ class PlanState:
         for r in agg_items:
             new_vars[r.name] = "scalar"
         self.df, self.vars = out, new_vars
+        # bound comprehension columns do not survive the projection
+        self._compr_cache.clear()
         if distinct:
             # WITH DISTINCT dedups the projected rows BEFORE ordering /
             # pagination (openCypher clause order). Node props maps are
@@ -1704,7 +1930,7 @@ class PlanState:
         if limit is not None:
             self.df = self.df.limit(limit)
         if where is not None:
-            self.df = self.df.where(self.to_condition(self.bind_pattern_exists(where)))
+            self.df = self.df.where(self.to_condition(self.bind_subqueries(where)))
 
     # -- expressions --
 
@@ -2487,6 +2713,11 @@ def _run_single(store: GraphStore, q: Query, params: dict | None) -> DataFrame:
         ]
         if not q.returns:
             raise CypherError("RETURN * requires at least one bound variable")
+
+    # bind pattern comprehensions (joins on the pre-projection frame);
+    # output names are fixed first so the rewrite cannot change them
+    q.returns = [ReturnItem(state.bind_subqueries(r.expr), r.name) for r in q.returns]
+    q.order_by = [(state.bind_subqueries(e0), asc) for e0, asc in q.order_by]
 
     agg_items = [r for r in q.returns if _contains_agg(r.expr)]
     if agg_items:

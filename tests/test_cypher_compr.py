@@ -1,0 +1,195 @@
+"""Pattern comprehensions: [(n)-[:T]->(m) WHERE pred | expr] planned as
+one aggregation + one left join (never a per-row subquery). Engine
+semantics: list sorted ascending, NULL projections dropped — see
+PatternCompr docstring."""
+
+import pytest
+
+from opencypher_datalayer_spark.ingest import DataLayer
+from opencypher_datalayer_spark.plans import CypherError, run_cypher
+
+NS = "http://data.sample.org"
+
+CONFIG = {
+    "dataset_definitions": [
+        {"name": "people", "source_config": {"label": "Person", "batch_size": 100}},
+        {"name": "companies", "source_config": {"label": "Company", "batch_size": 100}},
+    ]
+}
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    layer = DataLayer(spark, CONFIG)
+    w = layer.dataset("people").incremental()
+    for i, (name, age, employers) in enumerate(
+        [
+            ("brian", 23, ["mimiro"]),
+            ("ann", 31, ["mimiro", "acme"]),
+            ("joe", 45, ["acme"]),
+            ("zoe", 19, []),
+        ]
+    ):
+        refs = {f"{NS}/worksfor": [f"{NS}/things/{e}" for e in employers]} if employers else {}
+        w.write(
+            {
+                "id": f"{NS}/things/p{i}",
+                "props": {f"{NS}/name": name, f"{NS}/age": age},
+                "refs": refs,
+            }
+        )
+    w.close()
+    wc = layer.dataset("companies").incremental()
+    for cname in ("mimiro", "acme"):
+        wc.write(
+            {
+                "id": f"{NS}/things/{cname}",
+                "props": {f"{NS}/name": cname.title()},
+                "refs": {},
+            }
+        )
+    wc.close()
+    return layer.store
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_return_comprehension_with_empty(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN n.name AS nm, [(n)-[:worksfor]->(c) | c.name] AS emp "
+            "ORDER BY nm",
+        )
+    )
+    assert out == [
+        ("ann", ["Acme", "Mimiro"]),
+        ("brian", ["Mimiro"]),
+        ("joe", ["Acme"]),
+        ("zoe", []),  # no match -> empty list, not NULL
+    ]
+
+
+def test_comprehension_inner_where_and_size(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN n.name AS nm, "
+            "size([(n)-[:worksfor]->(c) WHERE c.name STARTS WITH 'M' | c.gid]) AS n_m "
+            "ORDER BY nm",
+        )
+    )
+    assert out == [("ann", 1), ("brian", 1), ("joe", 0), ("zoe", 0)]
+
+
+def test_comprehension_incoming_direction(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (c:Company) "
+            "RETURN c.name AS cn, [(c)<-[:worksfor]-(p) | p.name] AS staff "
+            "ORDER BY cn",
+        )
+    )
+    assert out == [("Acme", ["ann", "joe"]), ("Mimiro", ["ann", "brian"])]
+
+
+def test_comprehension_in_where(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "WHERE size([(n)-[:worksfor]->(c) | c.gid]) > 1 "
+            "RETURN n.name AS nm",
+        )
+    )
+    assert out == [("ann",)]
+
+
+def test_comprehension_in_with_stage(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "WITH n.name AS nm, [(n)-[:worksfor]->(c) | c.name] AS emp "
+            "WHERE size(emp) > 0 "
+            "RETURN nm, emp ORDER BY nm",
+        )
+    )
+    assert out == [
+        ("ann", ["Acme", "Mimiro"]),
+        ("brian", ["Mimiro"]),
+        ("joe", ["Acme"]),
+    ]
+
+
+def test_comprehension_relationship_var(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.name = 'ann' "
+            "RETURN [(n)-[r:worksfor]->(c) | type(r)] AS kinds",
+        )
+    )
+    assert out == [(["worksfor", "worksfor"],)]
+
+
+def test_same_comprehension_binds_once(store):
+    # RETURN + ORDER BY reuse one bound column (no second join)
+    df = run_cypher(
+        store,
+        "MATCH (n:Person) "
+        "RETURN n.name AS nm, size([(n)-[:worksfor]->(c) | c.gid]) AS k "
+        "ORDER BY k DESC, nm",
+    )
+    assert rows(df) == [("ann", 2), ("brian", 1), ("joe", 1), ("zoe", 0)]
+
+
+def test_comprehension_errors(store):
+    with pytest.raises(CypherError, match="var-length"):
+        run_cypher(store, "MATCH (n:Person) RETURN [(n)-[:worksfor*1..2]->(c) | c.gid] AS x")
+    with pytest.raises(CypherError, match="bound node variable"):
+        run_cypher(store, "MATCH (n:Person) RETURN [(m)-[:worksfor]->(c) | c.gid] AS x")
+    with pytest.raises(CypherError, match="nested pattern comprehension"):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN [(n)-[:worksfor]->(c) | [(c)<-[:worksfor]-(p) | p.gid]] AS x",
+        )
+    with pytest.raises(CypherError, match="single-hop"):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN [(n)-[:worksfor]->(c)-[:worksfor]->(d) | d.gid] AS x",
+        )
+
+
+def test_map_projection(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.name = 'ann' "
+            "RETURN n {.name, .age, double_age: n.age * 2} AS m",
+        )
+    )
+    assert len(out) == 1
+    m = out[0][0].asDict()
+    assert m == {"name": "ann", "age": "31", "double_age": 62.0}
+
+
+def test_map_projection_with_bound_var(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH n, size([(n)-[:worksfor]->(c) | c.gid]) AS k "
+            "WHERE n.name = 'ann' RETURN n {.name, k} AS m",
+        )
+    )
+    assert out[0][0].asDict() == {"name": "ann", "k": 2}
+
+
+def test_map_projection_star_unsupported(store):
+    with pytest.raises(CypherError, match="map projection"):
+        run_cypher(store, "MATCH (n:Person) RETURN n {.*} AS m")

@@ -89,6 +89,7 @@ EXTENDED = {
     "cy_case_exists": "cy_with_having",  # WITH-stage bucketing via front-end
     "cy_undirected_degree": "cy_match_filter",  # direction/alternation via front-end
     "cy_agg_in_func": "cy_expand_collect",  # agg-under-function via front-end
+    "cy_pattern_comprehension": "cy_expand_collect",  # collect-per-source via front-end
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family

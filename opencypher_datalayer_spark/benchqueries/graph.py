@@ -442,6 +442,39 @@ ORDER BY nation
 """
 
 
+def cy_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern comprehensions through the front-end: per-nation
+    cardinalities via size([...]) over incoming labeled targets plus
+    the region name as a (one-element, JSON-serialized) projected list.
+    Each comprehension plans as ONE aggregation + left join on the
+    nation frame — no per-row subquery (PatternCompr docstring)."""
+    from opencypher_datalayer_spark.plans import run_cypher
+
+    store = graph_from_tables(spark, sf_dir)
+    out = run_cypher(
+        store,
+        "MATCH (n:Nation) "
+        "RETURN n.name AS nation, "
+        "size([(n)<-[:in_nation]-(c:Customer) | c.gid]) AS n_customers, "
+        "size([(n)<-[:in_nation]-(s:Supplier) | s.gid]) AS n_suppliers, "
+        "[(n)-[:in_region]->(r) | r.name] AS region "
+        "ORDER BY nation",
+    )
+    return out.select(
+        "nation", "n_customers", "n_suppliers", F.to_json("region").alias("region")
+    )
+
+
+CY_PATTERN_COMPR_SQL = """
+SELECT n_name AS nation,
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers,
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers,
+       CAST(to_json([r_name]) AS VARCHAR) AS region
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY nation
+"""
+
+
 def cy_case_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE bucketing + EXISTS pattern predicate through the front-end:
     French customers by account-balance bracket. EXISTS plans as a
@@ -572,6 +605,11 @@ QUERIES = {
     ),
     "cy_case_exists": QueryDef(
         cy_case_exists, CY_CASE_EXISTS_SQL, "CASE buckets + EXISTS semi-join via front-end"
+    ),
+    "cy_pattern_comprehension": QueryDef(
+        cy_pattern_comprehension,
+        CY_PATTERN_COMPR_SQL,
+        "pattern comprehensions: one aggregation + left join each",
     ),
     "cy_undirected_degree": QueryDef(
         cy_undirected_degree,

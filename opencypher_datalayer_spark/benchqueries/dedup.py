@@ -43,6 +43,7 @@ from opencypher_datalayer_spark.benchqueries.memo import (
     register_memo_cache,
     table_fingerprint,
 )
+from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 from opencypher_datalayer_spark.sources.tables import load_table
 
 SHINGLE_K = 8
@@ -148,7 +149,9 @@ def _shingles(
     ops — for the set-similarity consumers (Jaccard/containment) that
     need a real inverted index. MinHash does NOT come through here: its
     signatures fold per-doc hash arrays without exploding."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -407,7 +410,9 @@ def _minhash_sigs(
     # md5+conv itself — the tax for a hash DuckDB can recompute, i.e.
     # for full value-level oracles; xxhash64 mode (the engine default
     # for library callers) halves the stage without touching the plan.
-    sh = load_table(spark, "documents", sf_dir).select(
+    sh = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -590,7 +595,9 @@ def _simhash(
     sign of the sum over tokens of +-1 depending on bit j of the token
     hash (the UNREDUCED 60-bit hash — a modular residue would zero the
     high bits)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
+from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 from opencypher_datalayer_spark.sources.tables import load_table
 
 # language marker words for the stopword-hit heuristic; deterministic
@@ -284,7 +285,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row cross join, and one window per doc for the top-k."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     n_docs = docs.agg(F.count("*").alias("n_corpus"))
     pairs = (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -361,7 +364,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     short. Pure column expressions (sequence/posexplode/slice — JVM-side,
     codegen'd): chunking is embarrassingly parallel, no shuffle except
     the presentation orderBy."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     return chunk_transform(docs).orderBy("doc_id", "chunk_idx")
 
 
@@ -394,7 +399,11 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc survives. Composition of two already-verified stages (chunking
     expressions + hash-groupBy dedup): one shuffle on the fingerprint,
     one on doc_id."""
-    chunks = chunk_transform(load_table(spark, "documents", sf_dir))
+    chunks = chunk_transform(
+        rebalance_for_inflation(
+            load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        )
+    )
     fp = chunks.withColumn("fp", F.md5("chunk_text"))
     keeper_key = F.concat(
         F.lpad(F.col("doc_id").cast("string"), 12, "0"),

@@ -28,6 +28,81 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def rebalance_for_inflation(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Defensive re-split ahead of a work-INFLATING stage (shingle
+    explode ~30x input bytes; per-vector scoring ~queries x dim flops
+    per row).
+
+    A parquet ROW GROUP is Spark's atomic split unit: a file written as
+    one giant row group — exactly what pandas/pyarrow defaults produce,
+    including this driver's own testdata files — scans as ONE task no
+    matter how many byte-range splits the scheduler makes, serializing
+    the whole downstream stage on a single core. Measured at the sf10
+    rehearsal: one task held the entire 150M-shingle hash stage
+    (330+ s of CPU) while 31 cores idled, because documents.parquet was
+    500k rows in one row group. AQE cannot help (it only re-plans
+    post-shuffle stages), and ``maxPartitionBytes`` cannot split inside
+    a row group.
+
+    The fix is a conditional round-robin repartition of the COMPACT
+    pre-inflation rows — cheap relative to the inflated work. When the
+    scan already yields at least the session's parallelism — any real
+    multi-file table at cluster scale — this is a no-op costing one
+    (cached) footer metadata lookup, so the shuffle is never paid where
+    the layout is healthy.
+
+    The split-count probe reads parquet footers directly instead of
+    ``df.rdd.getNumPartitions()``: converting the frame to an RDD costs
+    ~0.75 s of driver plan translation per call, which would tax every
+    small query; footer reads are milliseconds and cached by file
+    (path, mtime, size)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_REBALANCE", "1") == "0":  # A/B kill switch
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df  # non-file source: splits are the upstream's business
+    if _effective_splits(files, cores) < cores:
+        # exactly `cores` output partitions measured best: more tasks
+        # only add per-task/Arrow-batch overhead once every core is
+        # busy (A/B at sf0.1: 32 parts beat 96 on every query)
+        return df.repartition(cores * factor)
+    return df
+
+
+_SPLIT_CACHE: dict[tuple, int] = {}
+
+
+def _effective_splits(files: list[str], cap: int) -> int:
+    """Row groups summed over the scan's files (row groups are Spark's
+    atomic split units, so this bounds achievable scan parallelism).
+    Early-exits at ``cap``; non-local/unreadable files count 1 each."""
+    import os
+
+    total = 0
+    for uri in files:
+        if total >= cap:
+            return total
+        path = uri[7:] if uri.startswith("file:///") else uri
+        path = "/" + path.lstrip("/") if not path.startswith("/") else path
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+            n = _SPLIT_CACHE.get(key)
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(path).metadata.num_row_groups
+                _SPLIT_CACHE[key] = n
+            total += n
+        except OSError:
+            total += 1
+    return total
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 16
 ) -> None:

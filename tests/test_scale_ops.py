@@ -38,3 +38,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" in explain_str(plain)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_rebalance_for_inflation(spark, tmp_path):
+    """A single-row-group parquet file scans as ONE task (row groups are
+    atomic split units) — the defensive re-split must restore
+    parallelism; an already-well-split frame must pass through as a
+    no-op (no shuffle inserted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+
+    p = str(tmp_path / "one_rg.parquet")
+    pq.write_table(pa.table({"x": list(range(10000))}), p)  # 1 row group
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    cores = spark.sparkContext.defaultParallelism
+    fixed = rebalance_for_inflation(df)
+    assert fixed.rdd.getNumPartitions() >= cores
+    assert fixed.count() == 10000
+
+    p2 = str(tmp_path / "many_rg.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(10000))}), p2, row_group_size=10000 // (cores * 2)
+    )
+    healthy = spark.read.parquet(p2)
+    assert rebalance_for_inflation(healthy) is healthy
+
+    in_memory = spark.range(0, 1000, 1, 1)  # no input files -> no-op
+    assert rebalance_for_inflation(in_memory) is in_memory

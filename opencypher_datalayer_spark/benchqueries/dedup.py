@@ -57,6 +57,16 @@ _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, P) for _ in range(H)]
 MINHASH_B = [_rng.randrange(0, P) for _ in range(H)]
 
+# Per-input-row inflated-work estimates for rebalance_for_inflation's
+# gate (re-split only when rows x work clears MIN_INFLATED_WORK): the
+# shingle stages hash ~len(text) char 8-grams per doc (~600 at the
+# synthetic corpus' ~300-char texts, with the rank/sort pass); MinHash
+# folds every shingle through H permutations; SimHash folds ~64 tokens
+# through 64-bit counters.
+WORK_SHINGLE = 600
+WORK_MINHASH = 600 * H
+WORK_SIMHASH = 4_000
+
 # SimHash: 60-bit fingerprint over word tokens, banded into 4 chunks of
 # 15 bits; Hamming radius 3 < 4 chunks => chunk-equality banding is
 # lossless. 60 bits = the full entropy of a 15-hex-digit md5 prefix
@@ -150,7 +160,8 @@ def _shingles(
     need a real inverted index. MinHash does NOT come through here: its
     signatures fold per-doc hash arrays without exploding."""
     docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_SHINGLE,
     )
     sh = docs.select(
         "doc_id",
@@ -411,7 +422,8 @@ def _minhash_sigs(
     # for full value-level oracles; xxhash64 mode (the engine default
     # for library callers) halves the stage without touching the plan.
     sh = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_MINHASH,
     ).select(
         "doc_id",
         F.explode(
@@ -596,7 +608,8 @@ def _simhash(
     hash (the UNREDUCED 60-bit hash — a modular residue would zero the
     high bits)."""
     docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_SIMHASH,
     )
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")

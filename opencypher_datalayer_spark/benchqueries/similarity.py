@@ -36,6 +36,13 @@ COS_THRESHOLD = 0.4  # synthetic embeddings top out near 0.6 cosine
 TOPK = 5
 N_QUERY = 10  # first N vec_ids serve as the query set for top-k
 
+# Per-corpus-row inflated work for rebalance_for_inflation's gate:
+# every vector-scan family does ~queries x dim (or planes x dim) flops
+# per row, so a 2k-row sf0.1 corpus is ~4M units — below the gate, the
+# re-split shuffle costs more than the single-core scan; a 500k-row
+# sf10 corpus is ~1B units and re-splits.
+WORK_VEC_SCAN = 32 * DIM
+
 
 def _vec(col: str = "embedding") -> F.Column:  # type: ignore[name-defined]
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -62,7 +69,7 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= {COS_THRESHOLD} (rounded to 6dp before the
     threshold so the cut is engine-stable)."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
     )
     a = emb.select(
@@ -105,7 +112,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is not: a map-side partial top-{TOPK} keeps only each Arrow
     batch's best {TOPK} rows per query, so the window shuffle carries
     batches x queries x {TOPK} slim rows, never corpus x queries."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
     )
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
@@ -163,7 +170,7 @@ def _plane_literal(p: list[float]) -> F.Column:  # type: ignore[name-defined]
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH bucket id per vector: bit j = (v . plane_j) > 0.
     Bucketing is the shuffle key for candidate generation at scale."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select("vec_id", _vec().alias("v"))
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id", _vec().alias("v"))
     bucket = None
     for j, plane in enumerate(HYPERPLANES):
         bit = F.when(_dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)).otherwise(F.lit(0))
@@ -192,7 +199,7 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate pairs = same LSH bucket (equi-join on bucket), with
     exact cosine computed only on candidates — the scale path where the
     brute-force cross join is replaced by a bucketed shuffle."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
     )
     bucket = None
@@ -244,7 +251,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     argmax cosine (rounded 6dp, tie-break on centroid id)."""
     from pyspark.sql import Window
 
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
     cents = emb.where(F.col("vec_id") < K_CELLS).select(
@@ -374,7 +381,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = sim_lsh_candidate_pairs(spark, sf_dir).where(F.col("cosine") >= DUP_COS)
     comps = connected_components(pairs, "id_a", "id_b")
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select("vec_id")
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id")
     return (
         emb.join(comps, emb.vec_id == comps.id, "left")
         .select(
@@ -454,7 +461,7 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity), and the rerank reuses the 6dp-rounded cosine."""
     from pyspark.sql import Window
 
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
     scales_row = (
@@ -575,7 +582,7 @@ ORDER BY q_id, rk
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, code: array<bigint>) — the shared SQ8 encoding stage."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select("vec_id", _vec().alias("v"))
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id", _vec().alias("v"))
     scales_row = (
         emb.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
@@ -718,7 +725,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="ivf_index_")
-        build_ivf_index(spark, rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)), d, k_cells=K_CELLS)
+        build_ivf_index(spark, rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN), d, k_cells=K_CELLS)
         _IVF_INDEX_DIRS[key] = d
     return _IVF_INDEX_DIRS[key]
 
@@ -733,7 +740,7 @@ def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     file set."""
     from opencypher_datalayer_spark.operators.vector_index import ivf_pruned_topk
 
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir)).select(
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
@@ -748,7 +755,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector norm + count — element-wise vector aggregate
     reduced to a scalar so it hashes portably; the full centroid array is
     the same pattern without the final reduce."""
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir))
+    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN)
     return (
         emb.select("label", _norm(_vec()).alias("nrm"))
         .groupBy("label")

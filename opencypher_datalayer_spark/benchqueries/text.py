@@ -13,6 +13,13 @@ from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
 from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+
+# Per-doc inflated work for rebalance_for_inflation's gate: token
+# explode / window chunking emits ~64 rows per ~300-char doc, far below
+# the MinHash/vector-scan inflation — at sf0.1 these stages stay below
+# the gate (the re-split measurably taxed them in round 5); at sf10 the
+# 500k-doc explode clears it and re-splits.
+WORK_TOKENIZE = 64
 from opencypher_datalayer_spark.sources.tables import load_table
 
 # language marker words for the stopword-hit heuristic; deterministic
@@ -286,7 +293,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_TOKENIZE,
     )
     n_docs = docs.agg(F.count("*").alias("n_corpus"))
     pairs = (
@@ -365,7 +373,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd): chunking is embarrassingly parallel, no shuffle except
     the presentation orderBy."""
     docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_TOKENIZE,
     )
     return chunk_transform(docs).orderBy("doc_id", "chunk_idx")
 
@@ -401,7 +410,8 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one on doc_id."""
     chunks = chunk_transform(
         rebalance_for_inflation(
-            load_table(spark, "documents", sf_dir).select("doc_id", "text")
+            load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+            work_per_row=WORK_TOKENIZE,
         )
     )
     fp = chunks.withColumn("fp", F.md5("chunk_text"))

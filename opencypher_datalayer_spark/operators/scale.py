@@ -28,7 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def rebalance_for_inflation(df: DataFrame, factor: int = 1) -> DataFrame:
+def rebalance_for_inflation(
+    df: DataFrame, factor: int = 1, work_per_row: int = 1
+) -> DataFrame:
     """Defensive re-split ahead of a work-INFLATING stage (shingle
     explode ~30x input bytes; per-vector scoring ~queries x dim flops
     per row).
@@ -54,8 +56,20 @@ def rebalance_for_inflation(df: DataFrame, factor: int = 1) -> DataFrame:
     The split-count probe reads parquet footers directly instead of
     ``df.rdd.getNumPartitions()``: converting the frame to an RDD costs
     ~0.75 s of driver plan translation per call, which would tax every
-    small query; footer reads are milliseconds and cached by file
-    (path, mtime, size)."""
+    small query; footer reads are milliseconds and cached by file path.
+
+    ``work_per_row`` is the caller's estimate of the downstream
+    inflation per input row (shingles x permutations for MinHash,
+    queries x dim for a vector scan, ~1 for a plain projection). The
+    shuffle is only inserted when ``rows x work_per_row`` clears
+    ``MIN_INFLATED_WORK``: a repartition of a 2k-row frame ahead of a
+    3M-flop scan costs more in exchange + planning overhead than the
+    single-core scan it protects (measured at sf0.1: the unconditional
+    round-5 form taxed every small scoring query 0.4-0.8 s while buying
+    nothing — the whole stage finishes in well under a second on one
+    core). At sf10 (500k docs, 150M-shingle explode) the same gate
+    passes by 4 orders of magnitude and the repartition is what keeps
+    31 of 32 cores from idling."""
     import os
 
     if os.environ.get("SPARK_GRAFT_REBALANCE", "1") == "0":  # A/B kill switch
@@ -65,41 +79,83 @@ def rebalance_for_inflation(df: DataFrame, factor: int = 1) -> DataFrame:
     files = df.inputFiles()
     if not files:
         return df  # non-file source: splits are the upstream's business
-    if _effective_splits(files, cores) < cores:
-        # exactly `cores` output partitions measured best: more tasks
-        # only add per-task/Arrow-batch overhead once every core is
-        # busy (A/B at sf0.1: 32 parts beat 96 on every query)
-        return df.repartition(cores * factor)
-    return df
+    if _effective_splits(files, cores) >= cores:
+        return df  # healthy layout: scan already feeds every core
+    rows = _total_rows(files)
+    if rows * work_per_row < _min_inflated_work():
+        return df  # stage is cheap even single-core; shuffle not worth it
+    # exactly `cores` output partitions measured best: more tasks
+    # only add per-task/Arrow-batch overhead once every core is
+    # busy (A/B at sf0.1: 32 parts beat 96 on every query)
+    return df.repartition(cores * factor)
 
 
-_SPLIT_CACHE: dict[tuple, int] = {}
+# Below this many estimated inflated work units (rows x per-row
+# inflation), a single core finishes the stage faster than an exchange
+# round-trip costs. 8M units ~ a few hundred ms of vectorized JVM work.
+MIN_INFLATED_WORK = 8_000_000
+
+
+def _min_inflated_work() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_REBALANCE_MIN_WORK", MIN_INFLATED_WORK))
+
+
+# path -> (mtime_ns, size, num_row_groups, num_rows); keyed by path so a
+# rewritten file REPLACES its entry instead of leaking a stale one per
+# overwrite (a long-lived service rewrites datasets indefinitely).
+_FOOTER_CACHE: dict[str, tuple[int, int, int, int]] = {}
+
+
+def _footer_stats(path: str) -> tuple[int, int]:
+    """(num_row_groups, num_rows) from the parquet footer, cached by
+    path and invalidated on (mtime, size) change."""
+    import os
+
+    st = os.stat(path)
+    hit = _FOOTER_CACHE.get(path)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2], hit[3]
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    _FOOTER_CACHE[path] = (st.st_mtime_ns, st.st_size, md.num_row_groups, md.num_rows)
+    return md.num_row_groups, md.num_rows
+
+
+def _local_path(uri: str) -> str:
+    path = uri[7:] if uri.startswith("file:///") else uri
+    return "/" + path.lstrip("/") if not path.startswith("/") else path
 
 
 def _effective_splits(files: list[str], cap: int) -> int:
     """Row groups summed over the scan's files (row groups are Spark's
     atomic split units, so this bounds achievable scan parallelism).
     Early-exits at ``cap``; non-local/unreadable files count 1 each."""
-    import os
-
     total = 0
     for uri in files:
         if total >= cap:
             return total
-        path = uri[7:] if uri.startswith("file:///") else uri
-        path = "/" + path.lstrip("/") if not path.startswith("/") else path
         try:
-            st = os.stat(path)
-            key = (path, st.st_mtime_ns, st.st_size)
-            n = _SPLIT_CACHE.get(key)
-            if n is None:
-                import pyarrow.parquet as pq
-
-                n = pq.ParquetFile(path).metadata.num_row_groups
-                _SPLIT_CACHE[key] = n
-            total += n
+            total += _footer_stats(_local_path(uri))[0]
         except OSError:
             total += 1
+    return total
+
+
+def _total_rows(files: list[str]) -> int:
+    """Row count summed over the scan's files. Only consulted after the
+    split probe found FEWER splits than cores, so ``files`` is small by
+    construction (< cores entries with <= a few row groups each) and a
+    full pass is cheap; unreadable files contribute 0 (erring toward
+    skipping the shuffle)."""
+    total = 0
+    for uri in files:
+        try:
+            total += _footer_stats(_local_path(uri))[1]
+        except OSError:
+            pass
     return total
 
 

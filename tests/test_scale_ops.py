@@ -55,9 +55,14 @@ def test_rebalance_for_inflation(spark, tmp_path):
     df = spark.read.parquet(p)
     assert df.rdd.getNumPartitions() == 1
     cores = spark.sparkContext.defaultParallelism
-    fixed = rebalance_for_inflation(df)
+    fixed = rebalance_for_inflation(df, work_per_row=10_000)  # 100M units
     assert fixed.rdd.getNumPartitions() >= cores
     assert fixed.count() == 10000
+
+    # same degenerate layout but a CHEAP downstream stage: the exchange
+    # costs more than the single-core stage, so the gate skips it
+    assert rebalance_for_inflation(df) is df
+    assert rebalance_for_inflation(df, work_per_row=100) is df  # 1M < gate
 
     p2 = str(tmp_path / "many_rg.parquet")
     pq.write_table(
@@ -68,3 +73,25 @@ def test_rebalance_for_inflation(spark, tmp_path):
 
     in_memory = spark.range(0, 1000, 1, 1)  # no input files -> no-op
     assert rebalance_for_inflation(in_memory) is in_memory
+
+
+def test_rebalance_gate_matches_bench_intent(spark):
+    """The work gate must keep the two decisions the bench depends on:
+    the MinHash shingle stage at sf0.1 (5k docs x ~7k work units — a
+    measured 3.3s -> 0.9s win) DOES re-split; the token-explode stages
+    (chunking/TF-IDF, ~64 units/doc — a measured 0.4-0.8s TAX in round
+    5) do NOT. Pins the gate against silent over- or under-tightening."""
+    import os
+
+    import pytest
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata not present")
+    from opencypher_datalayer_spark.benchqueries.dedup import WORK_MINHASH
+    from opencypher_datalayer_spark.benchqueries.text import WORK_TOKENIZE
+    from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+
+    docs = spark.read.parquet(f"{sf01}/documents.parquet").select("doc_id", "text")
+    assert rebalance_for_inflation(docs, work_per_row=WORK_MINHASH) is not docs
+    assert rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE) is docs

@@ -111,10 +111,13 @@ EXTENDED = {
     # similarity: intermediate artifacts / exact-baseline twins
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
-    "sim_ivf_cells": "sim_ivf_topk",
-    "sim_ivf_pruned_topk": "sim_ivf_topk",  # same probe, storage-pruned scan (r4 verdict #5)
+    "sim_ivf_cells": "sim_ivf_pruned_topk",
+    # r5 verdict #5: the partition-PRUNED scan is the plan you'd run at
+    # scale, so it is the primary the driver gates; the full-assignment
+    # probe is its row-identical shape twin.
+    "sim_ivf_topk": "sim_ivf_pruned_topk",
     "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
-    "sim_label_centroids": "sim_ivf_topk",  # centroid build is IVF's first stage
+    "sim_label_centroids": "sim_ivf_pruned_topk",  # centroid build is IVF's first stage
     # temporal
     "ev_tumbling_window": "st_tumbling_window",  # batch twin of the streaming primary
     "ev_sliding_window": "st_tumbling_window",  # F.window, slide = width special case

@@ -152,13 +152,18 @@ def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
     return df
 
 
-def _shingles(
-    spark: SparkSession, sf_dir: str
+def _shingle_hashes(
+    spark: SparkSession, sf_dir: str, hash_family: str
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — char n-grams via pure column
-    ops — for the set-similarity consumers (Jaccard/containment) that
-    need a real inverted index. MinHash does NOT come through here: its
-    signatures fold per-doc hash arrays without exploding."""
+    """Distinct (doc_id, h) 60-bit shingle hashes — char n-grams via
+    pure column ops — for the set-similarity consumers
+    (Jaccard/containment) that need a real inverted index. MinHash does
+    NOT come through here: its signatures fold per-doc hash arrays
+    without exploding. Hashing BEFORE the distinct means both the dedup
+    shuffle and the later df aggregate move 8-byte longs instead of
+    shingle strings (~1.1 s at sf0.1 on the set-similarity path; the
+    extra hashes computed on pre-distinct rows are noise — shingle
+    duplication within a doc is ~10%)."""
     docs = rebalance_for_inflation(
         load_table(spark, "documents", sf_dir).select("doc_id", "text"),
         work_per_row=WORK_SHINGLE,
@@ -172,7 +177,9 @@ def _shingles(
             )
         ).alias("sh"),
     )
-    return sh.dropDuplicates(["doc_id", "sh"])
+    return sh.select(
+        "doc_id", _spark_hash60(F.col("sh"), hash_family).alias("h")
+    ).dropDuplicates(["doc_id", "h"])
 
 
 _DUCK_SHINGLES = f"""
@@ -206,6 +213,12 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 
 JACCARD_T = 0.8
 
+# Hash-value split point for the staged Jaccard verify: the first
+# quarter of the 60-bit hash space. Uniform hashing puts ~25% of each
+# set below it; the quarter-size lo-intersect refutes nearly all false
+# candidates before the hi arrays are touched.
+VERIFY_SPLIT = 1 << 58
+
 
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
@@ -224,16 +237,30 @@ def dedup_ngram_jaccard(
     Scale: prefix join shuffles only prefix rows (~(1-t) of shingle
     volume, minus hot shingles); the sets table is O(n_docs) rows
     (broadcast under the _maybe_broadcast_sets size gate; above the cap
-    the verify join shuffles instead of exhausting memory)."""
+    the verify join shuffles instead of exhausting memory).
+
+    Verification is STAGED by hash-value range: each doc's shingle set
+    is pre-split at VERIFY_SPLIT (the first quarter of the 60-bit hash
+    space, so ~25% of a uniform set lands low). Because lo/hi partition
+    both sets by VALUE, |A . B| = |A_lo . B_lo| + |A_hi . B_hi| exactly
+    (no cross terms), so the verifier intersects the small lo arrays
+    first and only touches the hi arrays when
+    i_lo + min(|A_hi|, |B_hi|) still reaches alpha. At sf0.1 candidate
+    pairs average ~48 shared shingles against alpha ~260 (synthetic
+    texts collide on pseudo-rare 8-grams), so ~99.9% of the 199k
+    candidates are refuted after the quarter-size intersect — a measured
+    A/B on the candidate set: full-intersect verify 199,294 x 586
+    elements vs staged 199,294 x ~146 + 256 x 586. The positional
+    prefix bound could not cut those candidates (they share tokens
+    EARLY in both prefixes — PPJoin's indexing-prefix variant was
+    measured to remove only 13 of 199k)."""
     t = JACCARD_T
     # shingles hashed to 60-bit ints up front: equality, sorting, and the
     # verify intersect all run on longs, not strings (collision odds
     # ~1e-10 over a 13k-shingle vocabulary). Family only affects which
     # hasher computes the set elements — the verified Jaccard output is
     # family-independent modulo those collisions.
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", _spark_hash60(F.col("sh"), hash_family).alias("h")
-    )
+    sh = _shingle_hashes(spark, sf_dir, hash_family)
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     sets = (
         sh.join(F.broadcast(freq), "h")
@@ -273,14 +300,39 @@ def dedup_ngram_jaccard(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"), F.col("n").alias("na"))
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"), F.col("n").alias("nb")
+    # value-split sets for the staged verify: lo/hi partition each set,
+    # so the intersection splits exactly across them
+    vsets = sets.select(
+        "doc_id",
+        "n",
+        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)).alias("lo"),
+        F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)).alias("hi"),
     )
+    sa = vsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("n").alias("na"),
+    )
+    sb = vsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("n").alias("nb"),
+    )
+    valpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    i_lo = F.size(F.array_intersect("lo_a", "lo_b"))
+    # exact upper bound on the total overlap after the lo intersect:
+    # every remaining shared token is >= VERIFY_SPLIT, i.e. in both hi's
+    ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
+    i_full = F.when(
+        ub >= valpha, F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b"))
+    )  # otherwise NULL: i < alpha is certain, the hi intersect is skipped
     return (
         cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
         .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
-        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("i_lo", i_lo)
+        .withColumn("i", i_full)
         .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
         .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
@@ -324,9 +376,7 @@ def dedup_ngram_containment(
     quadratic all-pairs. Verification is one array_intersect per
     candidate against the collected sets."""
     t = CONTAIN_T
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", _spark_hash60(F.col("sh"), hash_family).alias("h")
-    )
+    sh = _shingle_hashes(spark, sf_dir, hash_family)
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     sets = (
         sh.join(F.broadcast(freq), "h")
@@ -351,12 +401,38 @@ def dedup_ngram_containment(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"), F.col("n").alias("na"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    # staged verify, same value-split trick as dedup_ngram_jaccard:
+    # |A . B| = |A_lo . B_lo| + |A_hi . B_hi| (lo/hi partition by value),
+    # so the quarter-size lo intersect plus the exact bound
+    # i_lo + min(|A_hi|, |B_hi|) refutes nearly all candidates before
+    # the hi arrays are touched. Threshold here is i >= ceil(t * |A|).
+    vsets = sets.select(
+        "doc_id",
+        "n",
+        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)).alias("lo"),
+        F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)).alias("hi"),
+    )
+    sa = vsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("n").alias("na"),
+    )
+    sb = vsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    need = F.ceil(F.lit(t) * F.col("na"))
+    ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
+    i_full = F.when(
+        ub >= need, F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b"))
+    )
     return (
         cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
         .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
-        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("i_lo", F.size(F.array_intersect("lo_a", "lo_b")))
+        .withColumn("i", i_full)
         .withColumn(
             "containment", F.round(F.col("i").cast("double") / F.col("na"), 6)
         )

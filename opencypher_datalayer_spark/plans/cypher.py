@@ -278,6 +278,22 @@ class MapLit:
 
 
 @dataclass
+class MapProjAll:
+    """Map projection with ``.*``: ``n {.*}`` / ``n {.*, k: expr}``.
+
+    Compiles onto the node's dynamic ``props`` MAP column (keys are not
+    statically known in a schemaless property graph, so this cannot be
+    a struct like :class:`MapLit`). Engine deviation, documented in the
+    README crosswalk: the result is a ``map<string,string>`` — override
+    entries are cast to string to fit the props value type; overridden
+    keys are removed from the base map first (Spark's ``map_concat``
+    rejects duplicate keys under the default dedup policy)."""
+
+    var: str
+    entries: list[tuple[str, "Expr"]]
+
+
+@dataclass
 class ListPred:
     """any/all/none/single(x IN list WHERE pred) — compiles onto
     Spark's array higher-order functions (exists/forall), with the
@@ -312,7 +328,7 @@ class Reduce:
 
 Expr = (
     Lit | Prop | Var | Cmp | Bool | Not | IsNull | Agg | Param | Func | Case
-    | PatternExists | Arith | MapLit | ListPred | ListCompr | Reduce
+    | PatternExists | Arith | MapLit | MapProjAll | ListPred | ListCompr | Reduce
 )
 
 
@@ -517,6 +533,25 @@ class Parser:
 
     def _ctx(self) -> str:
         return " ".join(t.text for t in self.toks[self.i : self.i + 5]) or "<end>"
+
+    def _paren_starts_pattern(self) -> bool:
+        """At a '(' inside '[': is this a pattern comprehension's node
+        (the balanced group is followed by a relationship arrow), or
+        just a parenthesized list element like ``[(1), 2]``? Pure token
+        lookahead — nothing is consumed."""
+        depth = 0
+        for j in range(self.i, len(self.toks)):
+            txt = self.toks[j].text
+            if txt == "(":
+                depth += 1
+            elif txt == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
+                    return nxt is not None and nxt.text in (
+                        "-[", "<-[", "-->", "<--", "--",
+                    )
+        return False
 
     # -- grammar --
     def parse_matches(self) -> list[MatchClause]:
@@ -934,7 +969,7 @@ class Parser:
             return Case(operand, whens, default)
         if self.at_sym("["):
             self.take()
-            if self.at_sym("("):
+            if self.at_sym("(") and self._paren_starts_pattern():
                 # pattern comprehension: [(n)-[:T]->(m) (WHERE pred)? | expr]
                 path = self.parse_path()
                 if not path.edges:
@@ -1072,15 +1107,17 @@ class Parser:
                 # sugar over MapLit (struct column), same compile path
                 self.take()
                 entries: list[tuple[str, Expr]] = []
+                star = False
                 while not self.at_sym("}"):
                     if self.at_sym("."):
                         self.take()
                         if self.at_sym("*"):
-                            raise CypherError(
-                                "map projection .* is unsupported (name the properties)"
-                            )
-                        key = self.take().text
-                        entries.append((key, Prop(name, key)))
+                            # n {.*, ...}: all properties, see MapProjAll
+                            self.take()
+                            star = True
+                        else:
+                            key = self.take().text
+                            entries.append((key, Prop(name, key)))
                     else:
                         key = self.take().text
                         if self.at_sym(":"):
@@ -1091,6 +1128,8 @@ class Parser:
                     if self.at_sym(","):
                         self.take()
                 self.expect_sym("}")
+                if star:
+                    return MapProjAll(name, entries)
                 return MapLit(entries)
             if self.at_sym("."):
                 self.take()
@@ -1274,6 +1313,8 @@ class PlanState:
             return Func(e.name, [s(a) for a in e.args])
         if isinstance(e, MapLit):
             return MapLit([(k, s(v)) for k, v in e.entries])
+        if isinstance(e, MapProjAll):
+            return MapProjAll(e.var, [(k, s(v)) for k, v in e.entries])
         if isinstance(e, ListPred):
             return ListPred(e.op, e.var, s(e.src), s(e.pred))
         if isinstance(e, ListCompr):
@@ -1351,16 +1392,28 @@ class PlanState:
         clash = [v for v in added if v in self.vars]
         if clash:  # fresh() names cannot clash; user names were checked
             raise CypherError(f"pattern comprehension re-binds {clash[0]!r}")
-        self.vars.update(added)
+        # the body compiles against the SUBFRAME, whose columns are only
+        # the comprehension's own edge/target vars — swap the scope out
+        # entirely so a reference to an outer variable raises a precise
+        # CypherError instead of an unresolved-column AnalysisException
+        outer_scope = self.vars
+        self.vars = dict(added)
         try:
             if e.where is not None:
                 where = self._rewrite_nested_compr_guard(e.where)
                 sub = sub.where(self.to_condition(where))
             expr = self._rewrite_nested_compr_guard(e.expr)
             sub = sub.select(F.col("__pc_src"), self.to_column(expr).alias("__pc_val"))
+        except CypherError as err:
+            if "undefined variable" in str(err):
+                raise CypherError(
+                    f"{err} — a pattern comprehension body can only "
+                    f"reference its own pattern variables "
+                    f"({', '.join(repr(v) for v in added)})"
+                ) from None
+            raise
         finally:
-            for v in added:
-                del self.vars[v]
+            self.vars = outer_scope
 
         flag = self.fresh("pcl")
         vtype = sub.schema["__pc_val"].dataType
@@ -1922,7 +1975,9 @@ class PlanState:
         if order_by:
             sort_cols = []
             for e, asc in order_by:
-                col = self.to_column(e)
+                # bind pattern comprehensions/EXISTS first — a WITH-stage
+                # ORDER BY may reference them just like a WHERE can
+                col = self.to_column(self.bind_subqueries(e))
                 sort_cols.append(col.asc() if asc else col.desc())
             self.df = self.df.orderBy(*sort_cols)
         if skip:
@@ -2006,6 +2061,25 @@ class PlanState:
             return F.struct(
                 *[self.to_column(v).alias(k) for k, v in e.entries]
             )
+        if isinstance(e, MapProjAll):
+            self._check_var(e.var)
+            if self.vars.get(e.var) != "node":
+                raise CypherError(
+                    f"map projection .* requires a node variable, "
+                    f"{e.var!r} is {self.vars.get(e.var)}"
+                )
+            props = F.col(f"{e.var}__props")
+            if not e.entries:
+                return props
+            keys = [k for k, _ in e.entries]
+            base = F.map_filter(props, lambda k, _v: ~k.isin(*keys))
+            over = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]),
+                F.array(
+                    *[self.to_column(v).cast("string") for _, v in e.entries]
+                ),
+            )
+            return F.map_concat(base, over)
         if isinstance(e, ListPred):
             # NOTE: pyspark infers the HOF lambda's arity from its
             # signature — these must be strict one/two-parameter
@@ -2500,6 +2574,8 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
         return Func(e.name, [s(a) for a in e.args])
     if isinstance(e, MapLit):
         return MapLit([(k, s(v)) for k, v in e.entries])
+    if isinstance(e, MapProjAll):
+        return MapProjAll(e.var, [(k, s(v)) for k, v in e.entries])
     if isinstance(e, ListPred):
         return ListPred(e.op, e.var, s(e.src), s(e.pred))
     if isinstance(e, ListCompr):
@@ -2524,6 +2600,17 @@ def _subst_params(e: Expr, params: dict | None) -> Expr:
             for k, v in list(node.props.items()):
                 node.props[k] = _subst_params(v, params)
         return e
+    if isinstance(e, PatternCompr):
+        # same treatment for a comprehension's pattern props, plus its
+        # WHERE and projection expressions — without this, $params in
+        # e.g. [(n)-[:T]->(c) WHERE c.name = $x | c.gid] survive to
+        # compile time and die with an unrelated Param error
+        for node in e.path.nodes:
+            for k, v in list(node.props.items()):
+                node.props[k] = _subst_params(v, params)
+        return PatternCompr(
+            e.path, None if e.where is None else s(e.where), s(e.expr)
+        )
     return e
 
 
@@ -2569,6 +2656,8 @@ def _expr_children(e: Expr) -> list[Expr]:
     if isinstance(e, StrPred):
         return [e.left, e.right]
     if isinstance(e, MapLit):
+        return [v for _, v in e.entries]
+    if isinstance(e, MapProjAll):
         return [v for _, v in e.entries]
     if isinstance(e, ListPred):
         return [e.src, e.pred]
@@ -2622,7 +2711,7 @@ def _post_agg_ok(e: Expr, lam: frozenset = frozenset()) -> bool:
             and _post_agg_ok(e.src, lam)
             and _post_agg_ok(e.expr, inner)
         )
-    if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit)):
+    if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit, MapProjAll)):
         return all(_post_agg_ok(c, lam) for c in _expr_children(e))
     return False
 

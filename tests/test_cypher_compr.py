@@ -190,6 +190,72 @@ def test_map_projection_with_bound_var(store):
     assert out[0][0].asDict() == {"name": "ann", "k": 2}
 
 
-def test_map_projection_star_unsupported(store):
-    with pytest.raises(CypherError, match="map projection"):
-        run_cypher(store, "MATCH (n:Person) RETURN n {.*} AS m")
+def test_map_projection_star(store):
+    # bare .*: the full dynamic props map
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.name = 'ann' RETURN n {.*} AS m",
+        )
+    )
+    assert out[0][0] == {"name": "ann", "age": "31"}
+    # .* with overrides: override replaces, addition merges; values are
+    # strings in the merged map (documented engine deviation)
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.name = 'ann' "
+            "RETURN n {.*, age: n.age * 2, tag: 'x'} AS m",
+        )
+    )
+    assert out[0][0] == {"name": "ann", "age": "62.0", "tag": "x"}
+
+
+def test_map_projection_star_non_node(store):
+    with pytest.raises(CypherError, match="requires a node variable"):
+        run_cypher(
+            store,
+            "MATCH (n:Person) WITH n.name AS nm RETURN nm {.*} AS m",
+        )
+
+
+def test_param_inside_pattern_comprehension(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "RETURN n.name AS nm, "
+            "[(n)-[:worksfor]->(c) WHERE c.name = $co | c.gid] AS hits "
+            "ORDER BY nm",
+            params={"co": "Acme"},
+        )
+    )
+    assert [(nm, len(h)) for nm, h in out] == [
+        ("ann", 1), ("brian", 0), ("joe", 1), ("zoe", 0),
+    ]
+
+
+def test_comprehension_in_with_order_by(store):
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) "
+            "WITH n ORDER BY size([(n)-[:worksfor]->(c) | c.gid]) DESC, n.name "
+            "RETURN n.name AS nm LIMIT 2",
+        )
+    )
+    assert out == [("ann",), ("brian",)]
+
+
+def test_list_literal_parenthesized_first_element(store):
+    out = rows(run_cypher(store, "RETURN [(1), 2] AS xs"))
+    assert out == [([1, 2],)]
+
+
+def test_comprehension_outer_var_precise_error(store):
+    with pytest.raises(CypherError, match="undefined variable 'm'"):
+        run_cypher(
+            store,
+            "MATCH (n:Person), (m:Person) "
+            "RETURN [(n)-[:worksfor]->(c) WHERE c.name = m.name | c.gid] AS xs",
+        )

@@ -696,6 +696,47 @@ class TxnLogGraphStorage(ParquetGraphStorage):
             os.unlink(path)
             self._dir_cache.pop(v, None)
 
+    def gc_orphans(self, min_age_s: float = 3600.0) -> list[str]:
+        """Remove ``d-<uuid>`` data directories referenced by NO log
+        entry — the residue of a writer killed between its (expensive,
+        uncoordinated) data write and the (cheap) ``_publish``, or of a
+        lost merge race whose cleanup was interrupted. Orphans are
+        invisible to readers (the log is the only path to data), so
+        this is pure space reclamation and safe to run any time on any
+        host.
+
+        ``min_age_s`` guards the one racy window: a LIVE writer that
+        has written its directory but not yet published would look like
+        an orphan; requiring the directory to be untouched for an hour
+        (default) makes that misidentification need a writer stalled
+        mid-commit for that long. Returns the removed directory names."""
+        import time
+
+        referenced: set[str] = set()
+        log_dir = os.path.join(self.root, self._LOG)
+        for name in os.listdir(log_dir):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            try:
+                with open(os.path.join(log_dir, name)) as f:
+                    referenced.add(json.load(f)["dir"])
+            except (ValueError, KeyError, OSError):
+                continue
+        removed: list[str] = []
+        now = time.time()
+        for name in os.listdir(self.root):
+            if not name.startswith("d-") or name in referenced:
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                if not os.path.isdir(path) or now - os.stat(path).st_mtime < min_age_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+        return removed
+
 
 BACKENDS = {"parquet": ParquetGraphStorage, "txnlog": TxnLogGraphStorage}
 

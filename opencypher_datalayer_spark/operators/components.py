@@ -53,7 +53,18 @@ def connected_components(
     (3-4 rounds x 4 jobs) regardless of size — the 10x rehearsal's
     229k-edge graph sat in that dead zone under the old 100k cap.
     Set ``driver_threshold=0`` to force the distributed loop (the
-    over-threshold path for graphs that genuinely cannot collect)."""
+    over-threshold path for graphs that genuinely cannot collect).
+
+    Measured past the handover (scripts/bench_cc.py, SCALE.md sf10):
+    on a 90%-quasi-clique/10%-long-chain topology the driver path is
+    2-3x faster up to 8M edges (1M: 15 s vs 36; 4M: 50 vs 146; 8M: 130
+    vs 238) — the long chain forces ~20 pointer-jumping rounds. On the
+    REAL sf10 near-dup graph (5.45M edges, diameter ~2, no chains) the
+    distributed loop converges in a handful of rounds (~25 s) while a
+    driver collect of that size costs ~70-90 s of Python — so the
+    handover sits where it should: chains are pathological in both
+    modes, and realistic near-dup topologies distribute well right
+    where driver memory starts to matter."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -167,6 +167,20 @@ def _maybe_broadcast_freq(df: DataFrame, sf_dir: str) -> DataFrame:
     return df
 
 
+def _maybe_checkpoint_sets(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Materialize the per-doc sets aggregate only when the corpus is
+    ABOVE the verify-broadcast cap. Below it, the two (broadcast)
+    verify sides share one reused exchange and a checkpoint only adds
+    a materialization (measured 8.9s -> 7.5s at sf0.1 without it).
+    Above it, the three consumers (prefix explode, two shuffle verify
+    sides) prune DIFFERENT columns into the aggregate subtree, which
+    defeats ReusedExchange and recomputes the corpus-sized aggregate
+    three times (measured 227s -> 165s at sf10 with the checkpoint)."""
+    if _docs_bytes(sf_dir) * SETS_BYTES_PER_TEXT_BYTE <= BROADCAST_SETS_MAX_BYTES:
+        return df
+    return df.localCheckpoint()
+
+
 def _shingle_hashes(
     spark: SparkSession, sf_dir: str, hash_family: str
 ) -> DataFrame:
@@ -286,12 +300,8 @@ def dedup_ngram_jaccard(
             F.expr("transform(ranked, x -> x.h)").alias("hs"),
             F.size("ranked").alias("n"),
         )
-        # no localCheckpoint: the three consumers (prefix explode and
-        # the two verify sides) compile to IDENTICAL aggregate subtrees
-        # that Spark dedups via ReusedExchange — a checkpoint forces an
-        # extra materialization instead (A/B at sf0.1: 8.9s -> 7.5s
-        # for the full query without it)
     )
+    sets = _maybe_checkpoint_sets(sets, sf_dir)
     prefix = sets.select(
         "doc_id",
         F.col("n"),
@@ -406,12 +416,8 @@ def dedup_ngram_containment(
             F.expr("transform(ranked, x -> x.h)").alias("hs"),
             F.size("ranked").alias("n"),
         )
-        # no localCheckpoint: the three consumers (prefix explode and
-        # the two verify sides) compile to IDENTICAL aggregate subtrees
-        # that Spark dedups via ReusedExchange — a checkpoint forces an
-        # extra materialization instead (A/B at sf0.1: 8.9s -> 7.5s
-        # for the full query without it)
     )
+    sets = _maybe_checkpoint_sets(sets, sf_dir)
     prefix = sets.select(
         "doc_id",
         F.explode(

@@ -95,3 +95,34 @@ def test_rebalance_gate_matches_bench_intent(spark):
     docs = spark.read.parquet(f"{sf01}/documents.parquet").select("doc_id", "text")
     assert rebalance_for_inflation(docs, work_per_row=WORK_MINHASH) is not docs
     assert rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE) is docs
+
+
+def test_adaptive_lsh_planes():
+    """Candidate-generation bucket width grows with corpus size: the
+    oracle's 8 planes at every oracle/bench scale (so driver-checked
+    results never change), more above ~16k vectors, capped at
+    MAX_PLANES. The first N_PLANES of ALL_PLANES must BE the oracle
+    planes — candidate buckets refine, never relabel."""
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        ALL_PLANES,
+        HYPERPLANES,
+        LSH_TARGET_OCCUPANCY,
+        MAX_PLANES,
+        N_PLANES,
+        _lsh_n_planes,
+    )
+
+    assert ALL_PLANES[:N_PLANES] == HYPERPLANES
+    assert len(ALL_PLANES) == MAX_PLANES
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        assert _lsh_n_planes(sf) == N_PLANES  # oracle scales: unchanged
+    import math
+    import os
+
+    sf10 = "/root/repo/.scaledata/sf10"
+    if os.path.isdir(sf10):
+        from opencypher_datalayer_spark.benchqueries.similarity import _emb_rows
+
+        n = _emb_rows(sf10)
+        want = min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n / LSH_TARGET_OCCUPANCY))))
+        assert _lsh_n_planes(sf10) == want > N_PLANES

@@ -41,7 +41,7 @@ HYPERPLANES = [[round(_rng.uniform(-1, 1), 6) for _ in range(DIM)] for _ in rang
 # volume ~linear in corpus size. At <= 2^(8+6) * 64 vectors the plane
 # count is the oracle's 8, so every driver- and selfcheck-scale result
 # is byte-identical to the static bucketing.
-MAX_PLANES = 24
+MAX_PLANES = 48
 _EXTRA_PLANES = [
     [round(_rng.uniform(-1, 1), 6) for _ in range(DIM)]
     for _ in range(MAX_PLANES - N_PLANES)
@@ -237,9 +237,9 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _duck_lsh_bucket_expr() -> str:
+def _duck_lsh_bucket_expr(planes: list | None = None) -> str:
     bits = []
-    for j, plane in enumerate(HYPERPLANES):
+    for j, plane in enumerate(HYPERPLANES if planes is None else planes):
         lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
         bits.append(
             f"(CASE WHEN {_DUCK_DOT.format(a='v', b=lit)} > 0 THEN {2**j} ELSE 0 END)"
@@ -293,6 +293,80 @@ SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
 FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ORDER BY bucket, id_a, id_b
 """
+
+
+# -- multi-band LSH: AND-OR amplified candidate generation --------------
+
+LSH_BANDS = 2
+
+
+def sim_lsh_multiband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-OR amplified LSH candidates: {LSH_BANDS} INDEPENDENT bucket
+    tables (disjoint plane slices of the same seeded stream), a pair is
+    a candidate if it collides in ANY band. For per-plane collision
+    probability p = 1 - theta/pi, single-table recall is p^r while the
+    multiband union reaches 1 - (1 - p^r)^b — the standard
+    amplification that buys recall at a linear (per-band) candidate
+    cost instead of the quadratic cost of fewer planes. Each band uses
+    the adaptive width (`_lsh_n_planes`), so band volume stays ~linear
+    in corpus size; the union dedups on the pair key and rescores with
+    exact cosine once per surviving pair.
+
+    Scale shape: b bucket shuffles + one dropDuplicates shuffle + two
+    id-joins for the rescore vectors — all equi-joins, no all-pairs."""
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    w = _lsh_n_planes(sf_dir)
+    cands = None
+    for k in range(LSH_BANDS):
+        planes = ALL_PLANES[k * w : (k + 1) * w]
+        bucketed = emb.withColumn("bucket", _bucket_col(planes))
+        a = bucketed.select(F.col("bucket"), F.col("vec_id").alias("id_a"))
+        b = bucketed.select(F.col("bucket"), F.col("vec_id").alias("id_b"))
+        band = (
+            a.join(b, ["bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = band if cands is None else cands.unionByName(band)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_multiband_sql() -> str:
+    bands = []
+    for k in range(LSH_BANDS):
+        planes = ALL_PLANES[k * N_PLANES : (k + 1) * N_PLANES]
+        bands.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
+            f"(SELECT vec_id, CAST({_duck_lsh_bucket_expr(planes)} AS BIGINT) AS bucket, v, nrm FROM e) a "
+            f"JOIN (SELECT vec_id, CAST({_duck_lsh_bucket_expr(planes)} AS BIGINT) AS bucket, v, nrm FROM e) b "
+            f"ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        )
+    union = " UNION ".join(bands)  # UNION (not ALL): dedups the pair key
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+cands AS ({union})
+SELECT c.id_a, c.id_b,
+       ROUND({_DUCK_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm), 6) AS cosine
+FROM cands c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
+ORDER BY id_a, id_b
+"""
+
+
+SIM_LSH_MULTIBAND_SQL = _duck_multiband_sql()
 
 
 # -- IVF: inverted-file ANN (coarse quantize -> probe nearest cells) ----
@@ -850,6 +924,11 @@ QUERIES = {
     ),
     "sim_lsh_candidate_pairs": QueryDef(
         sim_lsh_candidate_pairs, SIM_LSH_PAIRS_SQL, "bucketed ANN candidates + exact rerank"
+    ),
+    "sim_lsh_multiband_pairs": QueryDef(
+        sim_lsh_multiband_pairs,
+        SIM_LSH_MULTIBAND_SQL,
+        f"{LSH_BANDS}-band AND-OR amplified LSH candidates + exact rerank",
     ),
     "sim_label_centroids": QueryDef(
         sim_label_centroids, SIM_CENTROIDS_SQL, "per-label vector-norm aggregates"

@@ -112,6 +112,7 @@ EXTENDED = {
     "sim_cosine_pairs": "sim_topk_bruteforce",
     "sim_lsh_buckets": "sim_lsh_candidate_pairs",
     "sim_lsh_multiband_pairs": "sim_lsh_candidate_pairs",  # AND-OR amplified variant
+    "sim_ann_recall": "sim_lsh_candidate_pairs",  # candidate-recall eval metric
     "sim_ivf_cells": "sim_ivf_pruned_topk",
     # r5 verdict #5: the partition-PRUNED scan is the plan you'd run at
     # scale, so it is the primary the driver gates; the full-assignment

@@ -369,6 +369,83 @@ ORDER BY id_a, id_b
 SIM_LSH_MULTIBAND_SQL = _duck_multiband_sql()
 
 
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the multi-band LSH candidate path against the
+    exact brute-force top-{TOPK} — the eval metric an ANN pipeline ships
+    with: for each query, the fraction of its TRUE nearest neighbors
+    that the bucketing would have surfaced as candidates (shares a
+    bucket with the query in at least one band). Exact division of two
+    small ints -> an engine-stable double.
+
+    Scale shape: the exact side is the (bounded, {N_QUERY}-query)
+    brute-force baseline; the candidate probe is two broadcast-sized
+    joins of the {N_QUERY * TOPK}-row truth frame against the bucketed
+    corpus — never an all-pairs join."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"))
+    w = _lsh_n_planes(sf_dir)
+    hits = None
+    for k in range(LSH_BANDS):
+        planes = ALL_PLANES[k * w : (k + 1) * w]
+        bk = emb.select("vec_id", _bucket_col(planes).alias("bucket"))
+        q = bk.select(F.col("vec_id").alias("q_id"), F.col("bucket").alias("qb"))
+        c = bk.select(F.col("vec_id").alias("c_id"), F.col("bucket").alias("cb"))
+        h = (
+            exact.join(q, "q_id")
+            .join(c, "c_id")
+            .where(F.col("qb") == F.col("cb"))
+            .select("q_id", "c_id")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    hits = hits.dropDuplicates(["q_id", "c_id"]).withColumn("hit", F.lit(1))
+    return (
+        exact.join(hits, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.count("hit") / F.lit(TOPK)).alias("recall"))
+        .orderBy("q_id")
+    )
+
+
+def _duck_ann_recall_sql() -> str:
+    band_hits = []
+    for k in range(LSH_BANDS):
+        planes = ALL_PLANES[k * N_PLANES : (k + 1) * N_PLANES]
+        expr = _duck_lsh_bucket_expr(planes)
+        band_hits.append(
+            f"SELECT t.q_id, t.c_id FROM topk t "
+            f"JOIN (SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM e) qb ON t.q_id = qb.vec_id "
+            f"JOIN (SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM e) cb ON t.c_id = cb.vec_id "
+            f"AND qb.bucket = cb.bucket"
+        )
+    union = " UNION ".join(band_hits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROUND({_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY}),
+topk AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM scored)
+  WHERE rk <= {TOPK}),
+hits AS ({union})
+SELECT t.q_id, CAST(COUNT(h.c_id) AS DOUBLE) / {TOPK} AS recall
+FROM topk t LEFT JOIN hits h ON t.q_id = h.q_id AND t.c_id = h.c_id
+GROUP BY t.q_id
+ORDER BY t.q_id
+"""
+
+
+SIM_ANN_RECALL_SQL = _duck_ann_recall_sql()
+
+
 # -- IVF: inverted-file ANN (coarse quantize -> probe nearest cells) ----
 
 K_CELLS = 8
@@ -929,6 +1006,11 @@ QUERIES = {
         sim_lsh_multiband_pairs,
         SIM_LSH_MULTIBAND_SQL,
         f"{LSH_BANDS}-band AND-OR amplified LSH candidates + exact rerank",
+    ),
+    "sim_ann_recall": QueryDef(
+        sim_ann_recall,
+        SIM_ANN_RECALL_SQL,
+        f"recall@{TOPK} of multiband LSH candidates vs exact top-{TOPK}",
     ),
     "sim_label_centroids": QueryDef(
         sim_label_centroids, SIM_CENTROIDS_SQL, "per-label vector-norm aggregates"

@@ -181,6 +181,28 @@ def _maybe_checkpoint_sets(df: DataFrame, sf_dir: str) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _jaccard_feasible(bound, s, t: float):
+    """True iff an overlap upper-bounded by ``bound`` (integer column)
+    could still satisfy the final emit predicate
+    ``round(i/(s-i),6) >= t`` for a pair with total size ``s``. This is
+    the SAME rounded predicate the emit uses, applied to the bound —
+    x/(s-x) is increasing in x, so it can never be stricter than emit.
+    Deliberately NOT ``bound >= ceil(t/(1+t)*s)``: the IEEE double
+    0.8/1.8 rounds above 4/9, so that ceil overshoots by 1 whenever
+    s % 9 == 0 and drops threshold-exact pairs the oracle emits
+    (ADVICE r6 #1). Shared by the AllPairs candidate filter and the
+    staged-verify skip gate in :func:`dedup_ngram_jaccard`."""
+    return F.round(bound / (s - bound), 6) >= F.lit(t)
+
+
+def _containment_feasible(bound, na, t: float):
+    """Containment twin of :func:`_jaccard_feasible`: true iff an
+    overlap upper-bounded by ``bound`` could satisfy
+    ``round(i/na,6) >= t``. Not ``bound >= ceil(t*na)`` — IEEE 0.8 is
+    above 4/5, so that ceil overshoots by 1 when na % 5 == 0."""
+    return F.round(bound.cast("double") / na, 6) >= F.lit(t)
+
+
 def _shingle_hashes(
     spark: SparkSession, sf_dir: str, hash_family: str
 ) -> DataFrame:
@@ -313,18 +335,20 @@ def dedup_ngram_jaccard(
     b = prefix.alias("b")
     # AllPairs position filter (sound: a qualifying pair's FIRST shared
     # prefix token — 0-based positions pa*, pb* — bounds its overlap by
-    # min(na - pa*, nb - pb*), which must reach
-    # alpha = ceil(t/(1+t)*(na+nb)); that token's join row survives the
+    # min(na - pa*, nb - pb*); that token's join row survives the
     # per-row form of the filter, so the pair is never lost. A tighter
     # shared-prefix-count bound is NOT sound here: shared tokens may sit
     # in one doc's prefix and the other's suffix, escaping the count.)
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
+    # The bound is tested with _jaccard_feasible — the exact rounded
+    # emit predicate, never the float-ceil alpha (see its docstring).
+    pos_bound = F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p"))
+    s_ab = F.col("a.n") + F.col("b.n")
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")) >= alpha),
+            & _jaccard_feasible(pos_bound, s_ab, t),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
@@ -349,14 +373,17 @@ def dedup_ngram_jaccard(
         F.col("hi").alias("hi_b"),
         F.col("n").alias("nb"),
     )
-    valpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
     i_lo = F.size(F.array_intersect("lo_a", "lo_b"))
     # exact upper bound on the total overlap after the lo intersect:
     # every remaining shared token is >= VERIFY_SPLIT, i.e. in both hi's
     ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
+    # skip gate is the exact emit predicate applied to the bound
+    # (_jaccard_feasible), so it can never skip a pair the unstaged
+    # verify and the DuckDB oracle would emit (ADVICE r6 #1)
     i_full = F.when(
-        ub >= valpha, F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b"))
-    )  # otherwise NULL: i < alpha is certain, the hi intersect is skipped
+        _jaccard_feasible(ub, F.col("na") + F.col("nb"), t),
+        F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b")),
+    )  # otherwise NULL: jaccard < t is certain, the hi intersect is skipped
     return (
         cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
         .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
@@ -452,10 +479,13 @@ def dedup_ngram_containment(
         F.col("lo").alias("lo_b"),
         F.col("hi").alias("hi_b"),
     )
-    need = F.ceil(F.lit(t) * F.col("na"))
     ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
+    # skip gate is the exact rounded emit predicate on the bound
+    # (_containment_feasible) — never the float ceil(t*na), which
+    # overshoots when na % 5 == 0 (ADVICE r6 #1 sibling)
     i_full = F.when(
-        ub >= need, F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b"))
+        _containment_feasible(ub, F.col("na"), t),
+        F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b")),
     )
     return (
         cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")

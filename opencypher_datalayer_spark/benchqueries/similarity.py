@@ -42,12 +42,31 @@ HYPERPLANES = [[round(_rng.uniform(-1, 1), 6) for _ in range(DIM)] for _ in rang
 # count is the oracle's 8, so every driver- and selfcheck-scale result
 # is byte-identical to the static bucketing.
 MAX_PLANES = 48
+# LSH_BANDS (defined below, near the multiband query) independent
+# band slices each need the FULL adaptive width, so the pool holds
+# LSH_BANDS * MAX_PLANES planes: slicing ALL_PLANES[k*w:(k+1)*w] with
+# w up to MAX_PLANES must never truncate band k>0 to fewer planes than
+# band 0 (silently weaker AND-amplification) or to an empty slice
+# (ADVICE r6 #2). Same seeded stream — the first MAX_PLANES entries
+# are unchanged, so single-band results at every scale are identical.
+_N_BANDS_POOL = 2  # keep in sync with LSH_BANDS (asserted below)
 _EXTRA_PLANES = [
     [round(_rng.uniform(-1, 1), 6) for _ in range(DIM)]
-    for _ in range(MAX_PLANES - N_PLANES)
+    for _ in range(_N_BANDS_POOL * MAX_PLANES - N_PLANES)
 ]
 ALL_PLANES = HYPERPLANES + _EXTRA_PLANES
 LSH_TARGET_OCCUPANCY = 64
+
+
+def _band_planes(k: int, w: int) -> list[list[float]]:
+    """Band k's disjoint plane slice at width w. Guards the pool-size
+    invariant: every band gets exactly w planes."""
+    planes = ALL_PLANES[k * w : (k + 1) * w]
+    assert len(planes) == w, (
+        f"plane pool exhausted: band {k} width {w} needs "
+        f"{(k + 1) * w} planes, pool has {len(ALL_PLANES)}"
+    )
+    return planes
 
 
 def _emb_rows(sf_dir: str) -> int:
@@ -298,6 +317,7 @@ ORDER BY bucket, id_a, id_b
 # -- multi-band LSH: AND-OR amplified candidate generation --------------
 
 LSH_BANDS = 2
+assert LSH_BANDS == _N_BANDS_POOL, "plane pool sized for a different band count"
 
 
 def sim_lsh_multiband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +340,7 @@ def sim_lsh_multiband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _lsh_n_planes(sf_dir)
     cands = None
     for k in range(LSH_BANDS):
-        planes = ALL_PLANES[k * w : (k + 1) * w]
+        planes = _band_planes(k, w)
         bucketed = emb.withColumn("bucket", _bucket_col(planes))
         a = bucketed.select(F.col("bucket"), F.col("vec_id").alias("id_a"))
         b = bucketed.select(F.col("bucket"), F.col("vec_id").alias("id_b"))
@@ -388,7 +408,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _lsh_n_planes(sf_dir)
     hits = None
     for k in range(LSH_BANDS):
-        planes = ALL_PLANES[k * w : (k + 1) * w]
+        planes = _band_planes(k, w)
         bk = emb.select("vec_id", _bucket_col(planes).alias("bucket"))
         q = bk.select(F.col("vec_id").alias("q_id"), F.col("bucket").alias("qb"))
         c = bk.select(F.col("vec_id").alias("c_id"), F.col("bucket").alias("cb"))

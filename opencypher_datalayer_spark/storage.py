@@ -595,15 +595,46 @@ class TxnLogGraphStorage(ParquetGraphStorage):
         self._write_manifest(vdir)
         return dirname
 
+    def _touch_publish_dir(self, dirname: str) -> bool:
+        """Restart ``gc_orphans``' min-age clock on the about-to-publish
+        data dir. False iff the dir is already gone — a writer stalled
+        past ``min_age_s`` whose dir GC collected must rebuild before
+        publishing (ADVICE r6 #3)."""
+        try:
+            os.utime(os.path.join(self.root, dirname))
+            return True
+        except OSError:
+            return False
+
+    def _finalize_publish(self, v: int, dirname: str, rebuild) -> int:
+        """Close the remaining ``gc_orphans`` race: if GC collected the
+        data dir in the sliver between the utime guard and the log-entry
+        link, the freshly-won entry points at nothing and every reader
+        of version ``v`` would break. Rebuild the content and atomically
+        rewrite OUR OWN slot — safe because ``_publish``'s put-if-absent
+        means no other writer ever writes slot ``v``."""
+        if os.path.isdir(os.path.join(self.root, dirname)):
+            return v
+        new_dir = rebuild()
+        tmp = os.path.join(self.root, self._LOG, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "dir": new_dir}, f)
+        os.replace(tmp, self._log_path(v))
+        self._dir_cache.pop(v, None)
+        return v
+
     def commit(self, store: GraphStore, cluster_buckets: int | None = None) -> int:
         # data first (expensive, uncoordinated), then CAS-publish the
         # log entry; on a lost race the snapshot is still self-contained
         # and valid, so only the (cheap) publish retries
         dirname = self._write_snapshot(store, cluster_buckets)
+        rebuild = lambda: self._write_snapshot(store, cluster_buckets)
         while True:
             v = self.current_version() + 1
+            if not self._touch_publish_dir(dirname):
+                dirname = rebuild()  # collected by GC during a long stall
             if self._publish(v, dirname):
-                return v
+                return self._finalize_publish(v, dirname, rebuild)
 
     def merge_commit(
         self, spark: SparkSession, batch: DataFrame, label: str, source: str
@@ -617,11 +648,16 @@ class TxnLogGraphStorage(ParquetGraphStorage):
             manifest = self._manifest(base_v)
             if base_v == 0 or manifest is None:
                 merged = self.load(spark).apply_batch(batch, label, source)
-                dirname = self._write_snapshot(merged)
+                build = lambda m=merged: self._write_snapshot(m)
             else:
-                dirname = self._build_merge_dir(spark, batch, label, source, base_v, manifest)
+                build = lambda b=base_v, m=manifest: self._build_merge_dir(
+                    spark, batch, label, source, b, m
+                )
+            dirname = build()
+            if not self._touch_publish_dir(dirname):
+                dirname = build()  # collected by GC during a long stall
             if self._publish(base_v + 1, dirname):
-                return base_v + 1
+                return self._finalize_publish(base_v + 1, dirname, build)
             shutil.rmtree(os.path.join(self.root, dirname), ignore_errors=True)
 
     def _build_merge_dir(
@@ -702,14 +738,19 @@ class TxnLogGraphStorage(ParquetGraphStorage):
         uncoordinated) data write and the (cheap) ``_publish``, or of a
         lost merge race whose cleanup was interrupted. Orphans are
         invisible to readers (the log is the only path to data), so
-        this is pure space reclamation and safe to run any time on any
-        host.
+        removing a TRUE orphan is pure space reclamation.
 
-        ``min_age_s`` guards the one racy window: a LIVE writer that
-        has written its directory but not yet published would look like
-        an orphan; requiring the directory to be untouched for an hour
-        (default) makes that misidentification need a writer stalled
-        mid-commit for that long. Returns the removed directory names."""
+        ``min_age_s`` guards the racy window: a LIVE writer that has
+        written its directory but not yet published looks like an
+        orphan. Misidentifying it is worse than lost work — the
+        writer's publish would still win and point CURRENT at a deleted
+        directory — so the commit path defends in depth: it
+        ``os.utime``-refreshes the dir immediately before publishing
+        (``_touch_publish_dir``, restarting this age clock), and after
+        winning the slot re-verifies the dir and rebuilds + rewrites
+        its own log entry if GC got it anyway (``_finalize_publish``).
+        A stalled writer therefore never leaves a dangling published
+        version. Returns the removed directory names."""
         import time
 
         referenced: set[str] = set()

@@ -113,7 +113,20 @@ def test_adaptive_lsh_planes():
     )
 
     assert ALL_PLANES[:N_PLANES] == HYPERPLANES
-    assert len(ALL_PLANES) == MAX_PLANES
+    # pool holds LSH_BANDS full-width slices (ADVICE r6 #2: slicing
+    # band k at width up to MAX_PLANES must never truncate or go empty)
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        LSH_BANDS,
+        _band_planes,
+    )
+
+    assert len(ALL_PLANES) == LSH_BANDS * MAX_PLANES
+    seen = []
+    for k in range(LSH_BANDS):
+        band = _band_planes(k, MAX_PLANES)
+        assert len(band) == MAX_PLANES
+        seen.extend(map(tuple, (tuple(p) for p in band)))
+    assert len(set(seen)) == len(seen)  # bands are disjoint plane sets
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         assert _lsh_n_planes(sf) == N_PLANES  # oracle scales: unchanged
     import math

@@ -302,6 +302,58 @@ def test_txnlog_lost_link_reply_still_wins(spark, tmp_path, monkeypatch):
         assert _json.load(f)["dir"] == "d-a"
 
 
+def test_txnlog_gc_racing_stalled_writer_never_dangles(spark, tmp_path, monkeypatch):
+    """ADVICE r6 #3: a writer stalled past min_age_s between its data
+    write and _publish can have its dir collected by a concurrent
+    gc_orphans — yet its publish still wins the slot. The commit path
+    must self-heal (rebuild + rewrite its own entry) so CURRENT never
+    points at a nonexistent directory."""
+    import os as _os
+    import shutil as _shutil
+
+    from opencypher_datalayer_spark.storage import TxnLogGraphStorage
+
+    root = str(tmp_path / "t")
+    storage = _seed(spark, root, n=10, buckets=2, backend="txnlog")
+    assert storage.current_version() == 1
+
+    # simulate the worst-case interleaving: GC fires between the utime
+    # guard and the log-entry link (min_age 0 == arbitrarily long stall)
+    real_publish = storage._publish
+
+    def gc_then_publish(v, dirname):
+        TxnLogGraphStorage(root).gc_orphans(min_age_s=0.0)
+        assert not _os.path.isdir(_os.path.join(root, dirname))
+        return real_publish(v, dirname)
+
+    monkeypatch.setattr(storage, "_publish", gc_then_publish)
+    b = _batch(spark, [{"id": f"{NS}/healed", "props": {}, "refs": {}}])
+    assert storage.merge_commit(spark, b, "P", "s") == 2
+    monkeypatch.undo()
+
+    # the published version is fully readable from a fresh handle
+    fresh = TxnLogGraphStorage(root)
+    assert fresh.current_version() == 2
+    vdir = fresh._version_dir(2)
+    assert _os.path.isdir(vdir)
+    nodes = {r.gid for r in fresh.load(spark).nodes.collect()}
+    assert f"{NS}/healed" in nodes and f"{NS}/n0000" in nodes
+
+    # same self-heal on the snapshot commit path
+    monkeypatch.setattr(fresh, "_publish", lambda v, d, _r=fresh._publish: (
+        _shutil.rmtree(_os.path.join(root, d), ignore_errors=True),
+        _r(v, d),
+    )[1])
+    store = fresh.load(spark)
+    assert fresh.commit(store) == 3
+    fresh2 = TxnLogGraphStorage(root)
+    assert _os.path.isdir(fresh2._version_dir(3))
+    assert {r.gid for r in fresh2.load(spark).nodes.collect()} == nodes
+
+    # the pre-publish utime guard: a missing dir reports False
+    assert fresh._touch_publish_dir("d-definitely-missing") is False
+
+
 def test_txnlog_crash_between_write_and_publish(spark, tmp_path, monkeypatch):
     """A writer killed AFTER the data write but BEFORE _publish leaves
     an orphaned d-<uuid> dir and no log entry: readers (same handle and

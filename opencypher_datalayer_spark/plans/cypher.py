@@ -2711,7 +2711,14 @@ def _post_agg_ok(e: Expr, lam: frozenset = frozenset()) -> bool:
             and _post_agg_ok(e.src, lam)
             and _post_agg_ok(e.expr, inner)
         )
-    if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit, MapProjAll)):
+    if isinstance(e, MapProjAll):
+        # n {.*, ...} reads the row-bound {var}__props column for its
+        # base regardless of the override entries — after the groupBy
+        # that column is gone, so the projection is as row-bound as a
+        # bare property reference and must get the same precise error
+        # (ADVICE r6 #4), not a raw AnalysisException downstream.
+        return False
+    if isinstance(e, (Arith, Func, Case, Cmp, Bool, Not, IsNull, StrPred, MapLit)):
         return all(_post_agg_ok(c, lam) for c in _expr_children(e))
     return False
 

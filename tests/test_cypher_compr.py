@@ -211,6 +211,31 @@ def test_map_projection_star(store):
     assert out[0][0] == {"name": "ann", "age": "62.0", "tag": "x"}
 
 
+def test_map_projection_star_rejected_post_aggregation(store):
+    """ADVICE r6 #4: n {.*} inside an aggregating RETURN reads the
+    row-bound props column, which no longer exists after the groupBy —
+    it must raise the precise post-aggregation CypherError, not a raw
+    Spark AnalysisException on a missing n__props column."""
+    with pytest.raises(CypherError, match="over aggregates"):
+        run_cypher(
+            store,
+            "MATCH (n:Person) RETURN n {.*, c: count(*)} AS m",
+        )
+
+
+def test_map_projection_star_as_grouping_key(store):
+    """n {.*} WITHOUT an embedded aggregate is a grouping key next to an
+    aggregate — that stays supported."""
+    out = rows(
+        run_cypher(
+            store,
+            "MATCH (n:Person) WHERE n.name = 'ann' "
+            "RETURN n {.*} AS m, count(*) AS c",
+        )
+    )
+    assert out[0][0] == {"name": "ann", "age": "31"} and out[0][1] == 1
+
+
 def test_map_projection_star_non_node(store):
     with pytest.raises(CypherError, match="requires a node variable"):
         run_cypher(

@@ -43,6 +43,9 @@ HEADLINE: list[str] = list(all_queries().keys())
 # (reported under "secondary_queries", excluded from the headline total)
 # so round-over-round comparisons with BENCH_r{1..4} remain possible.
 SECONDARY = [
+    # demoted r7 (multiband LSH promoted per VERDICT r6 #6); timed here
+    # so cross-round comparison continues
+    "sim_lsh_candidate_pairs",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -127,6 +130,69 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
             engine_mode[name] = min(runs)
 
+    # ANN quality alongside speed (VERDICT r6 #1): recall@5 of the
+    # production IVF answer path and of the multiband LSH candidate
+    # generator, at this run's scale — a perf win that silently trades
+    # away recall shows up here the same round it happens.
+    recall: dict[str, float] = {}
+    if not only:
+        from opencypher_datalayer_spark.benchqueries import similarity as _sim
+
+        for key, fn in (
+            ("ivf_answer", _sim.sim_ivf_recall),
+            ("lsh_candidates", _sim.sim_ann_recall),
+        ):
+            rows = fn(spark, sf_dir).collect()
+            recall[f"{key}_mean"] = round(sum(r.recall for r in rows) / len(rows), 4)
+            recall[f"{key}_min"] = round(min(r.recall for r in rows), 4)
+        recall["floor"] = _sim.RECALL_FLOOR
+        recall["k"] = _sim.TOPK
+
+    # Outlier auto-isolation (VERDICT r6 'what's wrong' #1): min-of-N
+    # inside one warm JVM conflates JIT state and co-scheduling. Any
+    # headline query whose min regressed >25% (and >0.3s absolute)
+    # vs the previously committed artifact is re-timed in a FRESH
+    # session (subprocess) and both numbers are recorded, so the
+    # artifact itself adjudicates plan regression vs harness artifact.
+    isolated: dict[str, float] = {}
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        prior_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_PRIOR",
+            str(Path(__file__).resolve().parent / "BENCH_full.json"),
+        )
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
+        flagged = sorted(
+            (n for n, t in timings.items()
+             if n in prior and t > prior[n] * 1.25 and t - prior[n] > 0.3),
+            key=lambda n: prior[n] - timings[n],
+        )[:6]
+        if flagged:
+            import subprocess
+            import tempfile
+
+            for name in flagged:
+                with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+                    env = dict(
+                        os.environ,
+                        SPARK_GRAFT_BENCH_ONLY=name,
+                        SPARK_GRAFT_BENCH_SECONDARY="0",
+                        SPARK_GRAFT_BENCH_ISOLATE="0",
+                        SPARK_GRAFT_BENCH_OUT=tmp.name,
+                    )
+                    try:
+                        subprocess.run(
+                            [sys.executable, str(Path(__file__).resolve())],
+                            env=env, capture_output=True, timeout=900, check=True,
+                        )
+                        with open(tmp.name) as f:
+                            isolated[name] = json.load(f)["queries"][name]
+                    except (subprocess.SubprocessError, OSError, ValueError, KeyError):
+                        isolated[name] = -1.0  # isolation attempt failed
+
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(r[0] for r in all_runs.values()), 3)
     import hashlib
@@ -139,6 +205,8 @@ def main() -> None:
         "queries": timings,
         "secondary_queries": secondary,
         "engine_mode_queries": engine_mode,
+        "recall": recall,
+        "isolated": isolated,
         "sf": float(sf),
         "n_queries": len(timings),
         # set identity: label + content hash of the sorted query names,

@@ -469,7 +469,17 @@ SIM_ANN_RECALL_SQL = _duck_ann_recall_sql()
 # -- IVF: inverted-file ANN (coarse quantize -> probe nearest cells) ----
 
 K_CELLS = 8
-NPROBE = 2
+# nprobe=4 is the measured recall@5 >= RECALL_FLOOR operating point on
+# this corpus (VERDICT r6 #1): mean recall vs the exact top-5 is
+# 0.90 at sf0.01, 0.94 at sf0.1, 1.00 at sf10 (nprobe=2 gave
+# 0.90/0.86 at sf0.1/sf10; nprobe=3 gave 0.82 at sf0.01). The
+# near-uniform synthetic embeddings put true neighbors at cosine
+# ~0.33-0.6, so cells are weakly separating and half the (toy, 8-cell)
+# codebook must be probed; with a real trained codebook the same floor
+# is met at a much smaller probe fraction. sim_ivf_recall measures
+# this per round; tests/test_ann_recall.py pins the floor.
+NPROBE = 4
+RECALL_FLOOR = 0.9  # pinned minimum MEAN recall@TOPK of the IVF answer path
 
 
 def _ivf_parts(spark: SparkSession, sf_dir: str):
@@ -592,6 +602,72 @@ SELECT q_id, c_id, cosine, rk FROM (
   FROM scored)
 WHERE rk <= {TOPK}
 ORDER BY q_id, rk
+"""
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the PRODUCTION ANN answer path (the
+    partition-pruned IVF probe, nprobe={NPROBE}) against the exact
+    brute-force top-{TOPK} — the quality number the pipeline is tuned
+    by. Distinct from :func:`sim_ann_recall`, which measures the LSH
+    *candidate generator*: this one scores the ranked answers a user
+    gets back. The committed operating point (NPROBE) is chosen so the
+    mean stays >= RECALL_FLOOR at every rehearsed scale; the floor is
+    pinned in tests/test_ann_recall.py.
+
+    Scale shape: both sides are {N_QUERY}-query bounded frames
+    ({N_QUERY * TOPK} rows each) — the recall join is trivially small;
+    all the heavy lifting happens inside the two ranked inputs."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    ivf = (
+        sim_ivf_pruned_topk(spark, sf_dir)
+        .select("q_id", "c_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg((F.count("hit") / F.lit(TOPK)).alias("recall"))
+        .orderBy("q_id")
+    )
+
+
+SIM_IVF_RECALL_SQL = f"""
+WITH {_DUCK_IVF_CTES},
+queries AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERY}),
+probes AS (
+  SELECT q_id, qv, qn, cell FROM (
+    SELECT q.q_id, q.qv, q.qn, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ROUND({_DUCK_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn), 6) DESC,
+                      c.cell ASC) AS prk
+    FROM queries q CROSS JOIN cents c)
+  WHERE prk <= {NPROBE}),
+ivf AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.q_id, a.vec_id AS c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.q_id
+             ORDER BY ROUND({_DUCK_DOT.format(a='p.qv', b='a.v')} / (p.qn * a.nrm), 6) DESC,
+                      a.vec_id ASC) AS rk
+    FROM probes p JOIN assign a ON p.cell = a.cell
+    WHERE p.q_id <> a.vec_id)
+  WHERE rk <= {TOPK}),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_DUCK_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERY})
+  WHERE rk <= {TOPK})
+SELECT t.q_id, CAST(COUNT(i.c_id) AS DOUBLE) / {TOPK} AS recall
+FROM exact t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
+GROUP BY t.q_id
+ORDER BY t.q_id
 """
 
 
@@ -1045,6 +1121,11 @@ QUERIES = {
     ),
     "sim_ivf_topk": QueryDef(
         sim_ivf_topk, SIM_IVF_TOPK_SQL, f"IVF nprobe={NPROBE} ANN top-{TOPK}"
+    ),
+    "sim_ivf_recall": QueryDef(
+        sim_ivf_recall,
+        SIM_IVF_RECALL_SQL,
+        f"recall@{TOPK} of the pruned-IVF answer path vs exact top-{TOPK}",
     ),
     "sim_ivf_pruned_topk": QueryDef(
         sim_ivf_pruned_topk,

@@ -26,8 +26,32 @@ extension surface (repo north star), not reference parity.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Driver-path memory model (measured, scripts/bench_cc_rss.py; table in
+# SCALE.md §cc-handover): the Arrow-collected numpy path's peak driver
+# RSS grows linearly at ~129 B per symmetrized edge on the straddle
+# topology (516 MB / 1.03 GB / 2.06 GB at 4/8/16M symmetrized edges,
+# nodes ~= 0.55x edges). The constant is rounded up to 200 B because a
+# node-heavy graph (pure chain: nodes ~= edges) carries ~9 extra
+# 8-byte array cells per NODE (uniq + inv + three label generations +
+# the result frame). The handover admits a graph to the driver only
+# while edges x DRIVER_CC_EDGE_BYTES fits the budget (default 4 GiB,
+# overridable via SPARK_GRAFT_CC_DRIVER_BYTES — size it to spare
+# driver headroom, not total driver memory).
+DRIVER_CC_EDGE_BYTES = 200
+DRIVER_CC_MEM_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_BYTES", str(4 * 1024**3))
+)
+
+
+def driver_edge_budget() -> int:
+    """Max deduped (symmetrized) edges admitted to the driver path:
+    the memory budget divided by the measured per-edge footprint."""
+    return max(1, DRIVER_CC_MEM_BUDGET // DRIVER_CC_EDGE_BYTES)
 
 
 def connected_components(
@@ -35,7 +59,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Return ``(id, component)``: each node labeled with the minimum
     node id reachable from it (undirected). Ids may be any orderable
@@ -43,28 +67,24 @@ def connected_components(
     gets no row (callers left-join and coalesce to self, as singletons
     get no row either).
 
-    Adaptive execution: when the deduped edge list fits comfortably on
-    the driver (``<= driver_threshold`` edges), a local union-find beats
-    N rounds of distributed joins by orders of magnitude — near-dup
-    graphs are usually tiny relative to the corpus that produced them.
-    The threshold is sized from driver memory, not caution: 2M edges
-    collect to ~30 MB of Rows and union-find in well under a second,
-    while the distributed loop's floor is ~10 s of fixed job overhead
-    (3-4 rounds x 4 jobs) regardless of size — the 10x rehearsal's
-    229k-edge graph sat in that dead zone under the old 100k cap.
-    Set ``driver_threshold=0`` to force the distributed loop (the
-    over-threshold path for graphs that genuinely cannot collect).
+    Adaptive execution: when the deduped edge list fits a DRIVER MEMORY
+    BUDGET (``edges x DRIVER_CC_EDGE_BYTES <= DRIVER_CC_MEM_BUDGET``,
+    VERDICT r6 #2 — a measured bytes-per-edge model, not a fixed edge
+    count), the graph is pulled to the driver over Arrow and solved
+    with vectorized numpy min-label propagation — near-dup graphs are
+    usually tiny relative to the corpus that produced them, and the
+    distributed loop's floor is ~10 s of fixed job overhead (3-4
+    rounds x 4 jobs) regardless of size. ``driver_threshold``
+    overrides the derived edge cap (0 forces the distributed loop —
+    the over-budget path for graphs that genuinely cannot collect).
 
-    Measured past the handover (scripts/bench_cc.py, SCALE.md sf10):
-    on a 90%-quasi-clique/10%-long-chain topology the driver path is
-    2-3x faster up to 8M edges (1M: 15 s vs 36; 4M: 50 vs 146; 8M: 130
-    vs 238) — the long chain forces ~20 pointer-jumping rounds. On the
-    REAL sf10 near-dup graph (5.45M edges, diameter ~2, no chains) the
-    distributed loop converges in a handful of rounds (~25 s) while a
-    driver collect of that size costs ~70-90 s of Python — so the
-    handover sits where it should: chains are pathological in both
-    modes, and realistic near-dup topologies distribute well right
-    where driver memory starts to matter."""
+    Measured at the handover (scripts/bench_cc.py + bench_cc_rss.py,
+    SCALE.md §cc-handover): the Arrow/numpy driver path replaced the
+    per-Row Python union-find in r7 — collect is a columnar Arrow
+    transfer and each propagation round is O(m) numpy, so the real
+    sf10 near-dup graph (5.45M symmetrized edges) solves in ~4 s on
+    the driver vs ~25 s distributed, and the measured RSS footprint
+    (not an assumed one) sets how far that is allowed to scale."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -73,7 +93,8 @@ def connected_components(
         .localCheckpoint()
     )
 
-    if driver_threshold and und.limit(driver_threshold + 1).count() <= driver_threshold:
+    cap = driver_edge_budget() if driver_threshold is None else driver_threshold
+    if cap and und.limit(cap + 1).count() <= cap:
         return _driver_union_find(und)
     labels = (
         und.select(F.col("a").alias("id"))
@@ -114,28 +135,49 @@ def connected_components(
 
 
 def _driver_union_find(und: DataFrame) -> DataFrame:
-    """Local union-find over a small collected edge list; same output
-    contract (min reachable id per node) as the distributed loop."""
-    parent: dict = {}
+    """Driver-local components over the collected edge list; same
+    output contract (min reachable id per node) as the distributed
+    loop. Columnar end-to-end: the edges arrive as ONE Arrow transfer
+    (``toPandas``, no per-Row Python objects), ids are mapped to dense
+    ranks with ``np.unique`` (sorted, so rank order == id order and
+    the min-rank root IS the min-id component label), and labels
+    converge by vectorized min propagation — ``np.minimum.at`` per
+    round, pointer-jump compressed with ``label[label]`` doubling —
+    each round O(m) in C. Replaces the r6 per-Row dict union-find
+    (~15 us/edge in Python) with ~40 ns/edge, which is what lets the
+    handover be sized by memory instead of patience (VERDICT r6 #2)."""
+    import numpy as np
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for row in und.collect():
-        a, b = row["a"], row["b"]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min id so the root IS the component label
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    rows = [(x, find(x)) for x in parent]
     spark = und.sparkSession
-    return spark.createDataFrame(rows, schema=und.schema).toDF("id", "comp")
+    pdf = und.toPandas()
+    out_schema = (
+        f"id {und.schema['a'].dataType.simpleString()}, "
+        f"comp {und.schema['b'].dataType.simpleString()}"
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(uniq))
+    while True:
+        nxt = label.copy()
+        # und is symmetrized, so one directed pass sees every neighbor
+        np.minimum.at(nxt, ea, label[eb])
+        # pointer jumping to closure: label(label) halves depth per
+        # apply, so chains compress in O(log diameter) O(n) passes
+        while True:
+            jumped = np.minimum(nxt, nxt[nxt])
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": uniq, "comp": uniq[label]}), out_schema
+    )

@@ -1,0 +1,59 @@
+"""ANN quality floor (VERDICT r6 #1): the production answer path must
+meet a MEASURED recall target, not an asserted one. The committed
+operating point is NPROBE={4} of K_CELLS=8; the floor is mean
+recall@5 >= RECALL_FLOOR (0.9), measured in this suite at sf0.01 and
+sf0.1 and recorded per-round by bench.py's ``recall`` artifact key
+(sf10 numbers live in SCALE.md §recall)."""
+
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries import similarity as sim
+
+
+def _hits(spark, sf_dir) -> tuple[int, int]:
+    """(total true-neighbor hits, total truth rows) as exact ints —
+    avoids float-mean edge cases at the floor boundary."""
+    rows = sim.sim_ivf_recall(spark, sf_dir).collect()
+    total = sum(int(round(r.recall * sim.TOPK)) for r in rows)
+    return total, len(rows) * sim.TOPK
+
+
+def test_ivf_recall_floor_sf001(spark):
+    hits, n = _hits(spark, "/root/testdata/sf0.01")
+    assert hits >= sim.RECALL_FLOOR * n, f"mean recall {hits/n:.3f} < floor"
+
+
+def test_ivf_recall_floor_sf01(spark):
+    hits, n = _hits(spark, "/root/testdata/sf0.1")
+    assert hits >= sim.RECALL_FLOOR * n, f"mean recall {hits/n:.3f} < floor"
+
+
+def test_multiband_recall_dominates_single_band(spark):
+    """AND-OR amplification invariant: band 0 of the multiband pool IS
+    the single-band plane set, so the multiband candidate hits are a
+    superset and recall@5 is per-query >= the single-band recall."""
+    sf = "/root/testdata/sf0.01"
+    multi = {r.q_id: r.recall for r in sim.sim_ann_recall(spark, sf).collect()}
+
+    # single-band recall via the same truth frame against band-0 buckets
+    exact = sim.sim_topk_bruteforce(spark, sf).select("q_id", "c_id")
+    emb = sim.load_table(spark, "embeddings", sf).select(
+        "vec_id", sim._vec().alias("v")
+    )
+    bk = emb.select(
+        "vec_id", sim._bucket_col(sim.ALL_PLANES[: sim._lsh_n_planes(sf)]).alias("b")
+    )
+    q = bk.select(F.col("vec_id").alias("q_id"), F.col("b").alias("qb"))
+    c = bk.select(F.col("vec_id").alias("c_id"), F.col("b").alias("cb"))
+    single = {
+        r.q_id: r.recall
+        for r in exact.join(q, "q_id")
+        .join(c, "c_id")
+        .withColumn("hit", F.when(F.col("qb") == F.col("cb"), 1))
+        .groupBy("q_id")
+        .agg((F.count("hit") / F.lit(sim.TOPK)).alias("recall"))
+        .collect()
+    }
+    assert set(multi) == set(single)
+    for q_id, r in multi.items():
+        assert r >= single[q_id] - 1e-9

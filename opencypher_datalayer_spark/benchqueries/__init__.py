@@ -65,6 +65,7 @@ EXTENDED = {
     # relational
     "q5_local_supplier": "q8_market_share",  # multiway join + agg
     "q7_volume_shipping": "q8_market_share",  # multiway join + yearly agg family
+    "q9_product_profit": "q8_market_share",  # 5-way join + expression profit (r7)
     "q_order_priority": "q21_lone_returner",  # EXISTS semi-join
     "q_customers_no_orders": "q22_idle_customers",  # NOT EXISTS anti-join
     "q_running_order_total": "q_window_navigation",  # window family
@@ -92,7 +93,9 @@ EXTENDED = {
     "cy_pattern_comprehension": "cy_expand_collect",  # collect-per-source via front-end
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
+    "dedup_minhash_error": "dedup_minhash_lsh_pairs",  # estimator-quality eval (r7)
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
+    "dedup_incremental": "dedup_ngram_jaccard",  # new-batch vs corpus asymmetric form (r7)
     "dedup_simhash": "dedup_simhash_pairs",
     # text / curation
     "text_lang_confusion": "text_lang_id",

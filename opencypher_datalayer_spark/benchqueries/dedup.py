@@ -985,6 +985,167 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- incremental (ingest-time) near-dup check ---------------------------
+
+# The simulated ingest batch: doc_id % INCR_NEW_MOD == 0 (~5% of the
+# corpus) plays "today's documents"; the rest is the standing corpus.
+INCR_NEW_MOD = 20
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    """Ingest-time near-dup check — the shape a production pipeline
+    actually runs daily: for each NEW document, every STANDING-corpus
+    document with 8-gram Jaccard >= {JACCARD_T}. Candidates are
+    new-batch prefix rows joined against the corpus shingle table, so
+    candidate volume is new x corpus-df, never corpus^2 — at 100 TB
+    the standing corpus is only ever probed, not self-joined.
+
+    Prefix soundness (one-sided): Jaccard >= t implies |B| >= t|A| and
+    overlap >= t/(1+t)(|A|+|B|) >= t|A|, so at most (1-t)|A| of A's
+    rarest-first shingles are unshared — a shared token must land in
+    A's first floor((1-t)|A|)+1. Verification reuses the shared staged
+    engine (:func:`_staged_verify`). Oracle: the naive new x corpus
+    shared-shingle join."""
+    t = JACCARD_T
+    sh = _shingle_hashes(spark, sf_dir, hash_family)
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(_maybe_broadcast_freq(freq, sf_dir), "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.expr("transform(ranked, x -> x.h)").alias("hs"),
+            F.size("ranked").alias("n"),
+        )
+    )
+    sets = _stage_sets(spark, sets, sf_dir, hash_family)
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    new_prefix = sets.where(is_new).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
+        ).alias("h"),
+    )
+    corpus_sh = sh.where(F.col("doc_id") % INCR_NEW_MOD != 0)
+    cand = (
+        new_prefix.alias("a")
+        .join(corpus_sh.alias("b"), F.col("a.h") == F.col("b.h"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    exact = _staged_verify(
+        sets, cand, sf_dir, lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t)
+    )
+    return (
+        exact.withColumn(
+            "jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        )
+        .where(F.col("jaccard") >= t)
+        .select(F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("dup_of"), "jaccard")
+        .orderBy("new_doc", "dup_of")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS i
+  FROM s a JOIN s b ON a.sh = b.sh
+  WHERE a.doc_id % {INCR_NEW_MOD} = 0 AND b.doc_id % {INCR_NEW_MOD} <> 0
+  GROUP BY 1, 2)
+SELECT new_doc, dup_of, ROUND(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sizes x ON new_doc = x.doc_id JOIN sizes y ON dup_of = y.doc_id
+WHERE ROUND(i * 1.0 / (x.n + y.n - i), 6) >= {JACCARD_T}
+ORDER BY new_doc, dup_of
+"""
+
+
+# -- MinHash estimator quality (this round's quantification theme) ------
+
+
+def dedup_minhash_error(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    """Estimator-quality eval for the MinHash family — the Jaccard the
+    {H}-permutation signatures ESTIMATE (share of agreeing mins) vs the
+    TRUE shingle Jaccard, per LSH candidate pair, with the absolute
+    error. The number that tells a pipeline owner whether H is large
+    enough for their threshold, the way ``sim_ivf_recall`` does for the
+    ANN path.
+
+    Scale shape: the pair frame is the (already-bounded) LSH candidate
+    set; signatures join by doc id; the true-Jaccard side reuses the
+    broadcast-gated sets frame — one exact intersect per candidate."""
+    sig = _minhash_sigs(spark, sf_dir, hash_family)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir, hash_family)
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(H)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(H)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(H)
+    )
+    sh = _shingle_hashes(spark, sf_dir, hash_family)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count("*").alias("n")
+    )
+    ha = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    hb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
+    i = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree.cast("double") / F.lit(H), 6))
+        .join(_maybe_broadcast_sets(ha, sf_dir), "doc_a")
+        .join(_maybe_broadcast_sets(hb, sf_dir), "doc_b")
+        .withColumn("i", i)
+        .withColumn(
+            "true_jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6))
+        .select("doc_a", "doc_b", "est_jaccard", "true_jaccard", "abs_err")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_ERROR_SQL = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND ({' OR '.join(f'a.band{i} = b.band{i}' for i in range(BANDS))})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p JOIN s x ON x.doc_id = p.doc_a JOIN s y
+    ON y.doc_id = p.doc_b AND x.sh = y.sh
+  GROUP BY 1, 2),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         ROUND(CAST({' + '.join(f'(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)' for i in range(H))} AS DOUBLE) / {H}, 6) AS est_jaccard
+  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (x.n + y.n - COALESCE(i.i, 0)), 6) AS true_jaccard,
+       ROUND(ABS(e.est_jaccard - ROUND(COALESCE(i.i, 0) * 1.0 / (x.n + y.n - COALESCE(i.i, 0)), 6)), 6) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes x ON x.doc_id = e.doc_a JOIN sizes y ON y.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+
+
 def _oracle_mode(fn):
     """Registry binding: the driver value-checks against DuckDB, which
     can only recompute the md5 family — pin it explicitly. Library
@@ -1030,5 +1191,15 @@ QUERIES = {
         _oracle_mode(dedup_simhash_pairs),
         DEDUP_SIMHASH_PAIRS_SQL,
         "Hamming<=3 pairs via chunk banding",
+    ),
+    "dedup_incremental": QueryDef(
+        _oracle_mode(dedup_incremental),
+        DEDUP_INCREMENTAL_SQL,
+        f"ingest-time new-batch vs corpus Jaccard >= {JACCARD_T} check",
+    ),
+    "dedup_minhash_error": QueryDef(
+        _oracle_mode(dedup_minhash_error),
+        DEDUP_MINHASH_ERROR_SQL,
+        f"{H}-perm MinHash Jaccard-estimate error vs true, per LSH pair",
     ),
 }

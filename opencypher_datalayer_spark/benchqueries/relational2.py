@@ -752,7 +752,65 @@ ORDER BY segment, p
 """
 
 
+# -- q9: product-type profit by nation and year -------------------------
+
+Q9_PART_TOKEN = "red"  # p_name substring filter (synthetic part names)
+Q9_COST_RATIO = "0.4"  # supply-cost stand-in: 40% of retail price — the
+# driver tables have no partsupp (FIXTURES.md), so ps_supplycost is
+# modeled as a fixed fraction of p_retailprice; the operator shape
+# (5-way join, expression profit, two-level grouping) is Q9's.
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation and order year over
+    parts matching a name token — revenue minus modeled supply cost,
+    exact decimal accumulation, one cast to double at the end. The
+    part and nation dimensions broadcast; the lineitem-orders join is
+    the only large shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").contains(Q9_PART_TOKEN)
+    )
+    profit = _dec6(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.expr(Q9_COST_RATIO) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.col("yr").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - {Q9_COST_RATIO} * p_retailprice * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+GROUP BY 1, 2
+ORDER BY nation, yr DESC
+"""
+
+
 QUERIES = {
+    "q9_product_profit": QueryDef(q9_product_profit, Q9_SQL, "5-way join + expression profit"),
     "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "4-way join + group + top-20"),
     "q12_priority_lines": QueryDef(q12_priority_lines, Q12_SQL, "join + CASE aggregation"),
     "q14_promo_revenue": QueryDef(q14_promo_revenue, Q14_SQL, "conditional-sum ratio"),

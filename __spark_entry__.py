@@ -11,10 +11,10 @@ PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
 connected-components clustering), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. A further 58 shape-twin queries (same operator family as a
+plumbing. A further 61 shape-twin queries (same operator family as a
 primary entry — see ``benchqueries.EXTENDED``) stay oracle-checked
 locally via ``scripts/selfcheck.py``. Every query — all 50 primaries
-and all 58 twins, including the pandas-UDF multimodal pipelines and
+and all 61 twins, including the pandas-UDF multimodal pipelines and
 the iterative graph algorithms — carries a full DuckDB value oracle
 with identical column names and driver-canonical output types (no raw
 DECIMAL/HUGEINT/array in final projections).

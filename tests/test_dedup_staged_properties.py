@@ -1,0 +1,158 @@
+"""Randomized cross-check of the staged set-similarity verify
+(`_staged_verify`, the r7 redesign) against an engine-independent
+pure-Python reference: for corpora constructed to be dense in
+near-dups, threshold-exact pairs, and containments, the Spark output
+must equal the naive shingle-set computation pair-for-pair and
+value-for-value — in BOTH hash families (the int32 stage-A truncation
+and the broadcast/bucketed paths must never change emitted rows)."""
+
+import os
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+from opencypher_datalayer_spark.benchqueries import dedup
+
+
+def _r6(x: float) -> float:
+    """round(x, 6) with HALF_UP, matching Spark/DuckDB ROUND — Python's
+    built-in round is half-to-even and diverges on exact ties like
+    0.9453125 (121/128): Spark 0.945313, Python 0.945312. repr() mirrors
+    the JVM's Double.toString shortest-representation semantics."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+FRAGS = [
+    "the quick brown fox jumps over the lazy dog near the river bank ",
+    "pack my box with five dozen liquor jugs before the storm arrives ",
+    "sphinx of black quartz judge my vow under the ancient oak tree ",
+    "how vexingly quick daft zebras jump across the frozen meadow now ",
+    "bright vixens watch as the jury convenes beside the old mill gate ",
+    "crazy fredrick bought many very exquisite opal jewels yesterday ",
+    "we promptly judged antique ivory buckles for the next prize draw ",
+    "a mad boxer shot a quick gloved jab to the jaw of his opponent ",
+]
+
+
+def _mk_corpus(seed: int, n_docs: int = 36) -> dict[int, str]:
+    """Docs composed from a small fragment pool: high shingle overlap,
+    perturbed near-copies, exact duplicates, and containments."""
+    rng = random.Random(seed)
+    texts: dict[int, str] = {}
+    for i in range(n_docs):
+        k = rng.randint(3, 6)
+        texts[i] = "".join(rng.choice(FRAGS) for _ in range(k))
+    # near-copies: replace one fragment of an earlier doc
+    for i in range(n_docs, n_docs + 8):
+        base = texts[rng.randrange(n_docs)]
+        parts = [base[j : j + len(FRAGS[0])] for j in range(0, len(base), len(FRAGS[0]))]
+        parts[rng.randrange(len(parts))] = rng.choice(FRAGS)
+        texts[i] = "".join(parts)
+    # exact duplicates and contained excerpts
+    texts[n_docs + 8] = texts[0]
+    texts[n_docs + 9] = texts[1][: len(FRAGS[0]) * 2]
+    return texts
+
+
+def _shingles(text: str) -> set[str]:
+    k = dedup.SHINGLE_K
+    n = max(len(text) - k + 1, 1)
+    return {text[i : i + k] for i in range(n)}
+
+
+def _naive_jaccard(texts: dict[int, str], t: float) -> set[tuple]:
+    out = set()
+    ids = sorted(texts)
+    sets = {i: _shingles(texts[i]) for i in ids}
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            i = len(sets[a] & sets[b])
+            j = _r6(i / (len(sets[a]) + len(sets[b]) - i))
+            if j >= t:
+                out.add((a, b, j))
+    return out
+
+
+def _naive_containment(texts: dict[int, str], t: float) -> set[tuple]:
+    out = set()
+    sets = {i: _shingles(texts[i]) for i in texts}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = _r6(len(sets[a] & sets[b]) / len(sets[a]))
+            if c >= t:
+                out.add((a, b, c))
+    return out
+
+
+def _naive_incremental(texts: dict[int, str], t: float, mod: int) -> set[tuple]:
+    out = set()
+    sets = {i: _shingles(texts[i]) for i in texts}
+    for a in sets:
+        if a % mod != 0:
+            continue
+        for b in sets:
+            if b % mod == 0:
+                continue
+            i = len(sets[a] & sets[b])
+            j = _r6(i / (len(sets[a]) + len(sets[b]) - i))
+            if j >= t:
+                out.add((a, b, j))
+    return out
+
+
+def _write(sf_dir: str, texts: dict[int, str]) -> None:
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(v) for v in texts.values()],
+        }
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+def test_staged_verify_matches_naive(spark, tmp_path, seed, family):
+    sf = str(tmp_path)
+    texts = _mk_corpus(seed)
+    _write(sf, texts)
+    got_j = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf, hash_family=family).collect()
+    }
+    assert got_j == _naive_jaccard(texts, dedup.JACCARD_T)
+    got_c = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup.dedup_ngram_containment(spark, sf, hash_family=family).collect()
+    }
+    assert got_c == _naive_containment(texts, dedup.CONTAIN_T)
+    got_i = {
+        (r.new_doc, r.dup_of, r.jaccard)
+        for r in dedup.dedup_incremental(spark, sf, hash_family=family).collect()
+    }
+    assert got_i == _naive_incremental(texts, dedup.JACCARD_T, dedup.INCR_NEW_MOD)
+
+
+def test_staged_verify_matches_naive_above_broadcast_gates(
+    spark, tmp_path, monkeypatch
+):
+    """Force every gate to its large-corpus branch (bucketed table +
+    shuffled-hash slim/exact joins): identical rows."""
+    sf = str(tmp_path)
+    texts = _mk_corpus(99)
+    _write(sf, texts)
+    expected = _naive_jaccard(texts, dedup.JACCARD_T)
+    monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
+    monkeypatch.setattr(dedup, "SLIM_BROADCAST_MAX_BYTES", 0)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got == expected and got

@@ -58,8 +58,9 @@ class EdgePat:
     vl_min: int | None = None
     vl_max: int | None = None
     # shortestPath(...) wrapper: reduce the expansion to min-hops per
-    # endpoint pair before attaching
-    shortest: bool = False
+    # endpoint pair before attaching. True = one row per pair
+    # (shortestPath); "all" = every min-hop path row (allShortestPaths)
+    shortest: bool | str = False
     # alternation: [:A|B|C] — rel_type holds A, alt_types the rest
     alt_types: list[str] = field(default_factory=list)
     # 'out' (a)-[]->(b), 'in' (a)<-[]-(b), 'both' (a)-[]-(b)
@@ -696,7 +697,7 @@ class Parser:
             and self.i + 1 < len(self.toks)
             and self.toks[self.i + 1].text == "="
             and self.i + 2 < len(self.toks)
-            and self.toks[self.i + 2].text in ("(", "shortestPath", "shortestpath")
+            and self.toks[self.i + 2].text.lower() in ("(", "shortestpath", "allshortestpaths")
         ):
             # named path: p = (a)-[...]->(b) — consumed here, bound by
             # the planner to (length, nodes, relationships)
@@ -705,10 +706,12 @@ class Parser:
             inner = self.parse_path()
             inner.var = pvar
             return inner
-        if t and t.kind == "name" and t.text.lower() == "shortestpath":
+        if t and t.kind == "name" and t.text.lower() in ("shortestpath", "allshortestpaths"):
             # shortestPath((a)-[:T*1..k]->(b)) — openCypher wrapper; the
-            # inner pattern must be a single var-length relationship
-            self.take()
+            # inner pattern must be a single var-length relationship.
+            # allShortestPaths keeps EVERY minimum-hop path row instead
+            # of one row per endpoint pair.
+            all_mode = self.take().text.lower() == "allshortestpaths"
             self.expect_sym("(")
             inner = self.parse_path()
             self.expect_sym(")")
@@ -716,7 +719,7 @@ class Parser:
                 raise CypherError(
                     "shortestPath requires a single var-length relationship"
                 )
-            inner.edges[0].shortest = True
+            inner.edges[0].shortest = "all" if all_mode else True
             return inner
         nodes = [self.parse_node()]
         edges: list[EdgePat] = []
@@ -1797,7 +1800,19 @@ class PlanState:
         out = hops[0]
         for more in hops[1:]:
             out = out.unionByName(more)
-        if epat.shortest:
+        if epat.shortest == "all":
+            # allShortestPaths: every path row at the per-pair minimum
+            # hop count — a window-min filter (one shuffle, no second
+            # scan of the iterative union) instead of the groupBy pick
+            from pyspark.sql import Window as _W
+
+            wmin = _W.partitionBy("_s", "_d")
+            out = (
+                out.withColumn("_mh", F.min("_h").over(wmin))
+                .where(F.col("_h") == F.col("_mh"))
+                .drop("_mh")
+            )
+        elif epat.shortest:
             # shortestPath: one row per endpoint pair at the minimum hop
             # count — a groupBy-min instead of per-path rows, so the
             # all-paths blowup between well-connected endpoints never

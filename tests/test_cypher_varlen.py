@@ -132,6 +132,39 @@ def test_shortest_path_all_pairs_from_source(spark):
     assert out == [("b", 1), ("c", 1)]
 
 
+def test_all_shortest_paths_keeps_every_min_hop_path(spark):
+    # diamond: a->b->d and a->c->d (two 2-hop paths) plus the longer
+    # a->e->f->d — allShortestPaths returns BOTH 2-hop rows,
+    # shortestPath exactly one
+    st = _store(
+        spark,
+        [
+            ("a", "x", "b"), ("b", "x", "d"),
+            ("a", "x", "c"), ("c", "x", "d"),
+            ("a", "x", "e"), ("e", "x", "f"), ("f", "x", "d"),
+        ],
+    )
+    allp = run_cypher(
+        st,
+        "MATCH p = allShortestPaths((s {gid: 'a'})-[:x*1..3]->(t {gid: 'd'})) "
+        "RETURN length(p) AS h, nodes(p) AS ns ORDER BY ns",
+    )
+    assert rows(allp) == [(2, ["a", "b", "d"]), (2, ["a", "c", "d"])]
+    one = run_cypher(
+        st,
+        "MATCH shortestPath((s {gid: 'a'})-[r:x*1..3]->(t {gid: 'd'})) "
+        "RETURN r.hops AS h",
+    )
+    assert rows(one) == [(2,)]
+    # without a carried path var, cardinality is still one row per path
+    allbare = run_cypher(
+        st,
+        "MATCH allShortestPaths((s {gid: 'a'})-[r:x*1..3]->(t {gid: 'd'})) "
+        "RETURN r.hops AS h",
+    )
+    assert rows(allbare) == [(2,), (2,)]
+
+
 def test_shortest_path_requires_varlength(spark):
     st = _store(spark, [("a", "x", "b")])
     with pytest.raises(CypherError):

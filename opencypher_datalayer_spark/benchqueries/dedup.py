@@ -169,6 +169,12 @@ def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
 SLIM_BYTES_PER_TEXT_BYTE = 4
 SLIM_BROADCAST_MAX_BYTES = 1 << 30
 
+# Cap for broadcasting an exploded PREFIX frame (16 B/row, ~20% of
+# shingle volume ~= 4x docs parquet bytes) in the asymmetric candidate
+# joins (containment, incremental): small enough that the driver-side
+# broadcast collect never brushes spark.driver.maxResultSize.
+PREFIX_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def _maybe_broadcast_slim(df: DataFrame, sf_dir: str) -> DataFrame:
     if _docs_bytes(sf_dir) * SLIM_BYTES_PER_TEXT_BYTE <= SLIM_BROADCAST_MAX_BYTES:
@@ -561,8 +567,16 @@ def dedup_ngram_containment(
             F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
         ).alias("h"),
     )
+    # pin the build side: Catalyst's post-distinct estimate for the
+    # corpus shingle table is optimistic and at sf10 auto-broadcast the
+    # 150M-row side (>2 GB collect, driver.maxResultSize abort). The
+    # prefix frame is ~20% of shingle volume at 16 B/row (~3.2x the
+    # docs parquet bytes); broadcast it only under a dedicated cap,
+    # else force the shuffle join.
+    prefix_small = _docs_bytes(sf_dir) * 4 <= PREFIX_BROADCAST_MAX_BYTES
+    probe = F.broadcast(prefix) if prefix_small else prefix.hint("shuffle_hash")
     cand = (
-        prefix.alias("a")
+        probe.alias("a")
         .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
@@ -1030,8 +1044,16 @@ def dedup_incremental(
         ).alias("h"),
     )
     corpus_sh = sh.where(F.col("doc_id") % INCR_NEW_MOD != 0)
+    # the build side MUST be pinned explicitly: Catalyst's size estimate
+    # for the corpus shingle aggregate is optimistic (post-distinct
+    # stats are guesses) and at sf10 it auto-broadcast the 150M-row
+    # corpus side — a >2 GB collect that hit driver.maxResultSize.
+    # The new-batch prefix is the genuinely small side; broadcast it
+    # while the batch estimate fits, else force a shuffle join.
+    new_small = _docs_bytes(sf_dir) * 4 // INCR_NEW_MOD <= PREFIX_BROADCAST_MAX_BYTES
+    probe = F.broadcast(new_prefix) if new_small else new_prefix.hint("shuffle_hash")
     cand = (
-        new_prefix.alias("a")
+        probe.alias("a")
         .join(corpus_sh.alias("b"), F.col("a.h") == F.col("b.h"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()

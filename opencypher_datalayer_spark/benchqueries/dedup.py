@@ -158,8 +158,9 @@ def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
 
 
 # Stage-A slim frames for the staged verify: the quarter-slice (lo)
-# bound arrays TRUNCATED TO INT32 plus two set-size ints — ~4x the docs
-# parquet bytes in memory (measured ~160 MB for the 58 MB sf10 corpus).
+# bound arrays TRUNCATED TO INT32 (distinct) plus three set-size ints
+# (n, nh, and the truncation-collapse count dq) — ~4x the docs parquet
+# bytes in memory (measured ~160 MB for the 58 MB sf10 corpus).
 # Broadcast up to a much higher cap than the full-array frames: the
 # whole point is that the candidate stream (117.8M rows at sf10) flows
 # through two broadcast-hash joins WITHOUT ever shuffling array
@@ -190,16 +191,25 @@ def _staged_verify(
     :func:`dedup_ngram_jaccard` and :func:`dedup_ngram_containment`.
 
     STAGE A streams every candidate through two joins against frames
-    carrying only ``(lo32, n, nh)``: the below-``VERIFY_SPLIT`` quarter
-    of each set truncated to int32, plus sizes. Because lo/hi partition
-    the sets BY VALUE, ``|A . B| = |A_lo . B_lo| + |A_hi . B_hi|``
-    exactly, so ``i_lo + min(|A_hi|,|B_hi|)`` bounds the true overlap;
-    int32 truncation can only ADD lo collisions, so the computed bound
-    only grows — refutation stays sound while the per-doc payload drops
-    ~8x vs the full 64-bit arrays (the r6 shape shipped both docs' full
-    arrays per candidate; at sf10's 117.8M candidates that intermediate
-    filled the disk). ``gate(ub, na, nb)`` decides feasibility and must
-    never be stricter than the caller's emit predicate.
+    carrying only ``(lo32, n, nh, dq)``: the below-``VERIFY_SPLIT``
+    quarter of each set truncated to int32 (distinct), plus sizes and
+    the per-doc truncation-collapse count. Because lo/hi partition the
+    sets BY VALUE, ``|A . B| = |A_lo . B_lo| + |A_hi . B_hi|`` exactly,
+    so ``i_lo + min(|A_hi|,|B_hi|)`` bounds the true overlap. Truncation
+    needs care in BOTH directions: unshared 60-bit values may collide
+    into the int32 intersection (bound grows — harmless), but two
+    distinct SHARED 60-bit values may also collapse to one int32
+    element, shrinking ``size(array_intersect)`` below the true
+    ``i_lo`` (ADVICE r7 #1 — the round-6/7 shape was unsound here).
+    Every such collapse among shared values is a collapse within each
+    doc's own lo array, so ``i_lo <= |T(A) . T(B)| + min(dq_a, dq_b)``
+    where ``dq = |lo| - |distinct(lo32)|`` — adding ``least(dq_a,
+    dq_b)`` restores a true upper bound at two ints/doc of extra
+    payload. The per-doc payload still drops ~8x vs the full 64-bit
+    arrays (the r6 shape shipped both docs' full arrays per candidate;
+    at sf10's 117.8M candidates that intermediate filled the disk).
+    ``gate(ub, na, nb)`` decides feasibility and must never be stricter
+    than the caller's emit predicate.
 
     STAGE B joins only the survivors (measured ~0.1%: 256 of 199k at
     sf0.1) against the full 64-bit ``hs`` arrays — one exact
@@ -212,20 +222,35 @@ def _staged_verify(
         lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
     )
     nh = F.size(F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)))
-    slim = sets.select("doc_id", lo32.alias("lo32"), F.col("n"), nh.alias("nh"))
+    slim = (
+        sets.select("doc_id", lo32.alias("lo32raw"), F.col("n"), nh.alias("nh"))
+        .select(
+            "doc_id",
+            F.array_distinct("lo32raw").alias("lo32"),
+            (F.size("lo32raw") - F.size(F.array_distinct("lo32raw"))).alias("dq"),
+            "n",
+            "nh",
+        )
+    )
     slim_a = slim.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lo32").alias("lo_a"),
+        F.col("dq").alias("dqa"),
         F.col("n").alias("na"),
         F.col("nh").alias("nha"),
     )
     slim_b = slim.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lo32").alias("lo_b"),
+        F.col("dq").alias("dqb"),
         F.col("n").alias("nb"),
         F.col("nh").alias("nhb"),
     )
-    ub = F.size(F.array_intersect("lo_a", "lo_b")) + F.least("nha", "nhb")
+    ub = (
+        F.size(F.array_intersect("lo_a", "lo_b"))
+        + F.least("dqa", "dqb")
+        + F.least("nha", "nhb")
+    )
     feasible = (
         cand.join(_maybe_broadcast_slim(slim_a, sf_dir), "doc_a")
         .join(_maybe_broadcast_slim(slim_b, sf_dir), "doc_b")
@@ -293,25 +318,67 @@ def _stage_sets(
     if table is not None and spark.catalog.tableExists(table):
         return spark.table(table)
     import hashlib
+    import os
 
     # stable digest, NOT Python hash() (salted per process — a new
-    # name every run would accumulate dead tables in the warehouse)
-    table = f"ngram_sets_{hash_family}_{hashlib.md5(repr(key).encode()).hexdigest()[:10]}"
-    # the catalog is session-scoped but the warehouse dir is not: a
-    # location orphaned by a previous process blocks saveAsTable —
-    # remove it (content-addressed name: same key would rewrite the
-    # same data anyway)
-    import os
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table)
-    if not spark.catalog.tableExists(table) and os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    # name every run would accumulate dead tables in the warehouse);
+    # the OWNER PID is part of the name (ADVICE r7 #3): two processes
+    # sharing one warehouse dir never rmtree or saveAsTable over each
+    # other's live table, and the sweep below can prove a leftover dir
+    # is dead by checking its embedded pid.
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+    table = f"ngram_sets_{hash_family}_{digest}_p{os.getpid()}"
+    _sweep_stale_sets_tables(spark, keep=table)
     cpus = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     write_bucketed(df, table, "doc_id", n_buckets=cpus)
     _SETS_TABLE_CACHE[key] = table
     return spark.table(table)
+
+
+def _sweep_stale_sets_tables(spark: SparkSession, keep: str) -> None:
+    """Remove dead ``ngram_sets_*`` locations from the warehouse before
+    writing a new one (ADVICE r7 #3: superseded corpus fingerprints used
+    to accrue forever, and a name collision with an orphaned location
+    blocks saveAsTable). A dir is provably dead when its embedded owner
+    pid is not a live process, or when it belongs to THIS process but is
+    no longer in the (session-scoped) catalog — i.e. its fingerprint was
+    superseded or its session discarded. Dirs owned by other LIVE
+    processes are never touched."""
+    import os
+    import re
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = warehouse.removeprefix("file:")
+    if not os.path.isdir(root):
+        return
+    pat = re.compile(r"^ngram_sets_[0-9a-z]+_[0-9a-f]{10}(?:_p(\d+))?$")
+    for name in os.listdir(root):
+        m = pat.match(name)
+        if not m or name == keep:
+            continue
+        if m.group(1) is None:
+            # legacy pre-pid name from an older code version: nothing
+            # running this code can own it — reclaim
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            stale = not spark.catalog.tableExists(name)
+        else:
+            try:
+                os.kill(pid, 0)
+                stale = False  # owner still alive — hands off
+            except ProcessLookupError:
+                stale = True
+            except PermissionError:
+                stale = False
+        if stale:
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _jaccard_feasible(bound, s, t: float):
@@ -426,7 +493,8 @@ def dedup_ngram_jaccard(
     Verification is STAGED (see :func:`_staged_verify`): stage A
     bounds every candidate's overlap using only int32-truncated
     quarter-slice arrays + set sizes (sound upper bound; truncation
-    only inflates it), stage B computes ONE exact full-array intersect
+    collapses are compensated by the per-doc ``dq`` slack — ADVICE r7
+    #1), stage B computes ONE exact full-array intersect
     for the ~0.1% survivors (256 of 199k at sf0.1). The r7 redesign
     exists because candidates grow superlinearly on replicated corpora
     — measured 117.8M at sf10 (590x the sf0.1 count at 100x data;

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # dedup's _maybe_broadcast_slim explicitly broadcasts slim
+        # frames estimated up to 1 GiB (SLIM_BROADCAST_MAX_BYTES); the
+        # default 1g maxResultSize would abort that broadcast's driver
+        # collect for corpora in the ~128-256 MB docs range (ADVICE r7
+        # #2) — keep headroom above the largest gated broadcast.
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

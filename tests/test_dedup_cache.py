@@ -105,6 +105,40 @@ def test_verify_sets_side_reads_bucketed_without_exchange(
     assert dedup.dedup_ngram_jaccard(spark, SRC).collect() == expected
 
 
+def test_sweep_stale_sets_tables(spark):
+    """ADVICE r7 #3: the warehouse sweep reclaims provably-dead
+    ngram_sets_* locations (legacy pre-pid names, dirs whose owner pid
+    is gone, this process's superseded fingerprints) and never touches
+    a dir owned by another LIVE process."""
+    import subprocess
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = warehouse.removeprefix("file:")
+    os.makedirs(root, exist_ok=True)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    mine_stale = f"ngram_sets_md5_{'a' * 10}_p{os.getpid()}"
+    dirs = {
+        "legacy": f"ngram_sets_md5_{'b' * 10}",
+        "deadpid": f"ngram_sets_md5_{'c' * 10}_p{dead.pid}",
+        "livepid": f"ngram_sets_md5_{'d' * 10}_p1",
+        "mine": mine_stale,
+        "unrelated": "some_other_table",
+    }
+    for d in dirs.values():
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    try:
+        dedup._sweep_stale_sets_tables(spark, keep="nothing")
+        assert not os.path.isdir(os.path.join(root, dirs["legacy"]))
+        assert not os.path.isdir(os.path.join(root, dirs["deadpid"]))
+        assert not os.path.isdir(os.path.join(root, dirs["mine"]))
+        assert os.path.isdir(os.path.join(root, dirs["livepid"]))
+        assert os.path.isdir(os.path.join(root, dirs["unrelated"]))
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 SF001 = "/root/testdata/sf0.01"
 
 

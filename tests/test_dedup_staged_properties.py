@@ -140,6 +140,32 @@ def test_staged_verify_matches_naive(spark, tmp_path, seed, family):
     assert got_i == _naive_incremental(texts, dedup.JACCARD_T, dedup.INCR_NEW_MOD)
 
 
+def test_staged_verify_int32_collision_pair_survives(spark, monkeypatch):
+    """ADVICE r7 #1 / VERDICT r7 'what's wrong' #1: two DISTINCT 60-bit
+    lo-hashes that share their low 31 bits collapse to one element in
+    the truncated stage-A intersect, so without the dq slack the bound
+    UNDERCOUNTS the true overlap and a threshold-exact pair is wrongly
+    refuted. Constructed collision: u and w = u + 2^31 are both below
+    VERIFY_SPLIT (2^58) and truncate to the same int32. Sets A =
+    {u, w, x}, B = {u, w, y} have true overlap 2; the raw truncated
+    intersect is 1. The pair must survive a gate that demands the
+    full overlap (ub >= 2) and stage B must emit the exact i = 2."""
+    from pyspark.sql import functions as F
+
+    u, w = 5, 5 + (1 << 31)
+    assert u < dedup.VERIFY_SPLIT and w < dedup.VERIFY_SPLIT
+    x, y = 1001, 1002  # distinct fillers, distinct low-31 images
+    sets = spark.createDataFrame(
+        [(1, [u, w, x], 3), (2, [u, w, y], 3)], "doc_id long, hs array<long>, n int"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    monkeypatch.setattr(dedup, "_docs_bytes", lambda sf_dir: 0)  # broadcast branch
+    rows = dedup._staged_verify(
+        sets, cand, sf_dir="unused", gate=lambda ub, na, nb: ub >= F.lit(2)
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.i) for r in rows] == [(1, 2, 2)]
+
+
 def test_staged_verify_matches_naive_above_broadcast_gates(
     spark, tmp_path, monkeypatch
 ):

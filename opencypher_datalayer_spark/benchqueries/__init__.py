@@ -95,10 +95,18 @@ EXTENDED = {
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_minhash_error": "dedup_minhash_lsh_pairs",  # estimator-quality eval (r7)
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
-    "dedup_incremental": "dedup_ngram_jaccard",  # new-batch vs corpus asymmetric form (r7)
+    # r7 verdict #3: dedup_incremental (new-batch vs corpus, the
+    # ingest-time operator a pipeline runs every day) promoted to the
+    # driver-gated primaries — mirror of the r5 IVF / r6 multiband
+    # promotions.
     "dedup_simhash": "dedup_simhash_pairs",
     # text / curation
     "text_lang_confusion": "text_lang_id",
+    # demoted r8 to keep the primary tier at 50 when dedup_incremental
+    # was promoted: the same per-doc token/char expressions as
+    # text_quality plus a plain grouped agg (covered by the relational
+    # primaries)
+    "text_corpus_stats": "text_quality",
     "text_repetition": "text_quality",  # per-doc quality-stat family
     "text_mixture_upsample": "text_stratified_sample",  # deterministic-hash sampling
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family

@@ -73,6 +73,52 @@ ENGINE_MODE = [
 ]
 
 
+def retime_in_fresh_session(name: str, timeout: int = 900) -> float:
+    """Re-time one registry query in a FRESH JVM (subprocess running
+    this script with SPARK_GRAFT_BENCH_ONLY) and return its min — the
+    adjudicator for warm-harness artifacts (JIT cliffs, co-scheduling).
+    Returns -1.0 when the subprocess fails. Used by the outlier
+    auto-isolation pass and by SPARK_GRAFT_BENCH_FRESH (VERDICT r7 #7:
+    sf10 inflection queries carry both the warm-harness and the
+    fresh-session number systematically, not as prose footnotes)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ONLY=name,
+            SPARK_GRAFT_BENCH_SECONDARY="0",
+            SPARK_GRAFT_BENCH_ISOLATE="0",
+            SPARK_GRAFT_BENCH_FRESH="",
+            SPARK_GRAFT_BENCH_OUT=tmp.name,
+        )
+        try:
+            subprocess.run(
+                [sys.executable, str(Path(__file__).resolve())],
+                env=env, capture_output=True, timeout=timeout, check=True,
+            )
+            with open(tmp.name) as f:
+                return json.load(f)["queries"][name]
+        except (subprocess.SubprocessError, OSError, ValueError, KeyError):
+            return -1.0
+
+
+def isolate_regressions(
+    timings: dict[str, float], prior: dict[str, float], max_n: int = 6
+) -> dict[str, float]:
+    """Outlier auto-isolation (VERDICT r6 'what's wrong' #1): any query
+    whose min regressed >25% (and >0.3s absolute) vs the prior artifact
+    is re-timed in a fresh session; both numbers land in the artifact so
+    it adjudicates plan regression vs harness artifact itself."""
+    flagged = sorted(
+        (n for n, t in timings.items()
+         if n in prior and t > prior[n] * 1.25 and t - prior[n] > 0.3),
+        key=lambda n: prior[n] - timings[n],
+    )[:max_n]
+    return {name: retime_in_fresh_session(name) for name in flagged}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,33 +211,20 @@ def main() -> None:
                 prior = json.load(f).get("queries", {})
         except (OSError, ValueError):
             prior = {}
-        flagged = sorted(
-            (n for n, t in timings.items()
-             if n in prior and t > prior[n] * 1.25 and t - prior[n] > 0.3),
-            key=lambda n: prior[n] - timings[n],
-        )[:6]
-        if flagged:
-            import subprocess
-            import tempfile
+        isolated = isolate_regressions(timings, prior)
 
-            for name in flagged:
-                with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
-                    env = dict(
-                        os.environ,
-                        SPARK_GRAFT_BENCH_ONLY=name,
-                        SPARK_GRAFT_BENCH_SECONDARY="0",
-                        SPARK_GRAFT_BENCH_ISOLATE="0",
-                        SPARK_GRAFT_BENCH_OUT=tmp.name,
-                    )
-                    try:
-                        subprocess.run(
-                            [sys.executable, str(Path(__file__).resolve())],
-                            env=env, capture_output=True, timeout=900, check=True,
-                        )
-                        with open(tmp.name) as f:
-                            isolated[name] = json.load(f)["queries"][name]
-                    except (subprocess.SubprocessError, OSError, ValueError, KeyError):
-                        isolated[name] = -1.0  # isolation attempt failed
+    # Fresh-session re-times requested explicitly (VERDICT r7 #7): the
+    # sf10 artifact records warm-harness AND fresh-JVM numbers for its
+    # inflection queries under a systematic key instead of prose.
+    fresh: dict[str, float] = {}
+    fresh_names = [
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_BENCH_FRESH", "").split(",")
+        if n.strip()
+    ]
+    for name in fresh_names:
+        if name in timings:
+            fresh[name] = retime_in_fresh_session(name, timeout=1800)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(r[0] for r in all_runs.values()), 3)
@@ -207,6 +240,7 @@ def main() -> None:
         "engine_mode_queries": engine_mode,
         "recall": recall,
         "isolated": isolated,
+        "fresh_session": fresh,
         "sf": float(sf),
         "n_queries": len(timings),
         # set identity: label + content hash of the sorted query names,

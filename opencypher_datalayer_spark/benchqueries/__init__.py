@@ -95,6 +95,9 @@ EXTENDED = {
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_minhash_error": "dedup_minhash_lsh_pairs",  # estimator-quality eval (r7)
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
+    # r8 (VERDICT r7 'what's missing' #4): the operational containment
+    # policy — near-dup pre-collapse, then containment among keepers
+    "dedup_containment_collapsed": "dedup_ngram_jaccard",
     # r7 verdict #3: dedup_incremental (new-batch vs corpus, the
     # ingest-time operator a pipeline runs every day) promoted to the
     # driver-gated primaries — mirror of the r5 IVF / r6 multiband

@@ -166,6 +166,53 @@ def test_staged_verify_int32_collision_pair_survives(spark, monkeypatch):
     assert [(r.doc_a, r.doc_b, r.i) for r in rows] == [(1, 2, 2)]
 
 
+def test_containment_collapsed_keeps_cross_cluster_excerpt(spark, tmp_path):
+    """The replica-dense-corpus policy (VERDICT r7 'what's missing' #4):
+    pre-collapsing near-dup clusters must erase the quadratic in-family
+    containment pairs while a genuine cross-cluster excerpt (low
+    Jaccard, so never LSH-clustered) survives with its exact value.
+    Cross-checked against the DuckDB oracle on the same corpus."""
+    import duckdb
+
+    sf = str(tmp_path)
+    u1 = "unique excerpt payload about meandering rivers and quiet canyons "
+    u2 = "another singular passage describing glacial valleys at dawn light "
+    filler = (
+        "wholly unrelated filler narrative segment number %d with plenty of "
+        "distinct vocabulary tokens spread across the remainder of this text "
+    )
+    base = "".join(FRAGS)
+    texts = {
+        0: base,                      # near-dup family: 0..3 cluster together
+        1: base.replace("fox", "cat"),
+        2: base.replace("storm", "rain"),
+        3: base.replace("jury", "crowd"),
+        10: u1 + u2,                  # X: the excerpt
+        11: u1 + u2 + "".join(filler % i for i in range(12)),  # Y contains X
+    }
+    _write(sf, texts)
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf, hash_family="md5").collect()
+    }
+    assert clusters[1] == 0 and clusters[2] == 0 and clusters[3] == 0
+    assert clusters[10] == 10 and clusters[11] == 11  # excerpt NOT clustered
+    got = [
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup.dedup_containment_collapsed(spark, sf, hash_family="md5").collect()
+    ]
+    assert got == [(10, 11, 1.0)]
+    # raw mode additionally reports the in-family pairs the policy drops
+    raw = dedup.dedup_ngram_containment(spark, sf, hash_family="md5").count()
+    assert raw > 1
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = con.sql(dedup.DEDUP_CONTAINMENT_COLLAPSED_SQL).fetchall()
+    assert [tuple(r) for r in oracle] == got
+
+
 def test_staged_verify_matches_naive_above_broadcast_gates(
     spark, tmp_path, monkeypatch
 ):

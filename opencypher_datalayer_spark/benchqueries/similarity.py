@@ -466,69 +466,206 @@ ORDER BY t.q_id
 SIM_ANN_RECALL_SQL = _duck_ann_recall_sql()
 
 
-# -- IVF: inverted-file ANN (coarse quantize -> probe nearest cells) ----
+# -- IVF: inverted-file ANN (trained coarse quantizer -> probe cells) ---
 
-K_CELLS = 8
-# nprobe=4 is the measured recall@5 >= RECALL_FLOOR operating point on
-# this corpus (VERDICT r6 #1): mean recall vs the exact top-5 is
-# 0.90 at sf0.01, 0.94 at sf0.1, 1.00 at sf10 (nprobe=2 gave
-# 0.90/0.86 at sf0.1/sf10; nprobe=3 gave 0.82 at sf0.01). The
-# near-uniform synthetic embeddings put true neighbors at cosine
-# ~0.33-0.6, so cells are weakly separating and half the (toy, 8-cell)
-# codebook must be probed; with a real trained codebook the same floor
-# is met at a much smaller probe fraction. sim_ivf_recall measures
-# this per round; tests/test_ann_recall.py pins the floor.
-NPROBE = 4
-RECALL_FLOOR = 0.9  # pinned minimum MEAN recall@TOPK of the IVF answer path
+from opencypher_datalayer_spark.benchqueries.memo import (
+    register_memo_cache,
+    table_fingerprint,
+)
+from opencypher_datalayer_spark.operators.ivf_codebook import (
+    ASSIGN_A,
+    IVF_ITERS,
+    IVF_K_MULT,
+    SCALE_Q,
+    TRAIN_CAP,
+    assign_cells,
+    collect_sample,
+    ivf_nprobe,
+    k_cells_for,
+    nprobe_sql_case,
+    top_cells,
+    train_codebook,
+    train_stride,
+    vq_expr,
+)
+
+# Pinned minimum MEAN recall@TOPK of the IVF answer path. The r8
+# trained codebook (k-means, K = IVF_K_MULT * sqrt(n) cells,
+# ASSIGN_A-way boundary replication — see operators/ivf_codebook.py)
+# meets it at the measured nprobe step table: probe fraction 0.33 at
+# n=500, 0.34 at n=2k, 0.145 at n=200k — falling as the corpus grows,
+# vs the pre-r8 sample codebook's flat 50% (NPROBE=4 of 8 cells).
+# sim_ivf_recall measures this per round; tests/test_ann_recall.py
+# pins the floor.
+RECALL_FLOOR = 0.9
+
+
+_CODEBOOK_CACHE: dict = {}
+register_memo_cache(_CODEBOOK_CACHE)
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str):
+    """(n_corpus, cell_ids, integer centroids) — trained driver-side on
+    the deterministic ``vec_id % s == 0`` sample with cross-engine-exact
+    integer arithmetic (every decision reproduced bit-for-bit by the
+    unrolled Lloyd CTEs in the oracle SQL). Memoized per dataset
+    fingerprint; the bench clears it so timed runs pay the build."""
+    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    n = emb.count()
+    s = train_stride(n)
+    vq_df = emb.select("vec_id", vq_expr().alias("vq"))
+    if s > 1:
+        vq_df = vq_df.where(F.col("vec_id") % s == 0)
+    ids, cq = train_codebook(collect_sample(vq_df), n)
+    _CODEBOOK_CACHE[key] = (n, ids, cq)
+    return n, ids, cq
 
 
 def _ivf_parts(spark: SparkSession, sf_dir: str):
-    """(embeddings, centroids, assignment). The coarse quantizer is a
-    deterministic sample (vec_id < {K_CELLS}) standing in for an
-    offline-trained k-means codebook: iterative mean updates sum doubles
-    in engine-specific order, which would break oracle hash-equality —
-    assignment/probe mechanics are identical either way. Cell id =
-    argmax cosine (rounded 6dp, tie-break on centroid id)."""
-    from pyspark.sql import Window
-
-    emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
-        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
-    )
-    cents = emb.where(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    cos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cos)
-        .withColumn("crk", F.row_number().over(w))
-        .where(F.col("crk") == 1)
-        .select("vec_id", "cell", "v", "nrm")
-    )
-    return emb, cents, assign
+    """(embeddings, (n, ids, cq), multi-assignment frame). The
+    assignment carries ``v``/``nrm`` through the Arrow-batched scorer so
+    no corpus-sized join or shuffle happens at all — the codebook rides
+    along in the UDF closure (<1 MB for K ~ 2000)."""
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    n, ids, cq = _ivf_codebook(spark, sf_dir)
+    vq_df = emb.select("vec_id", "v", "nrm", vq_expr().alias("vq"))
+    assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
+    return emb, (n, ids, cq), assign
 
 
-_DUCK_IVF_CTES = f"""
-e AS (
+def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    """(q_id, cell) probe list for the {N_QUERY} query vectors — a
+    bounded driver-side numpy ranking against the codebook (N_QUERY x
+    nprobe ints), exactly mirroring the oracle's probes CTE."""
+    import numpy as np
+
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    n, ids, cq = _ivf_codebook(spark, sf_dir)
+    qdf = (
+        emb.where(F.col("vec_id") < N_QUERY)
+        .select("vec_id", vq_expr().alias("vq"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    qv = np.stack(qdf["vq"].to_numpy()).astype(np.float64)
+    cells = top_cells(qv, ids, cq, ivf_nprobe(n))
+    return [
+        (int(q), int(c)) for q, row in zip(qdf["vec_id"], cells) for c in row
+    ]
+
+
+# Shared oracle machinery: the ENTIRE trained pipeline in SQL —
+# quantize, deterministic-stride init, IVF_ITERS unrolled Lloyd steps
+# on exact integer arithmetic, boundary-replicated final assignment,
+# measured-step-table probes. Every decision compares raw doubles of
+# the form (int_dot / sqrt(int)) / sqrt(int) with cell-id tie-breaks,
+# so numpy/Spark/DuckDB agree bit-for-bit (ivf_codebook.py docstring).
+_DUCK_INT_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2])) AS DOUBLE)"
+)
+_DUCK_INT_NORM = "sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
+
+
+def _duck_ivf_ctes() -> str:
+    score_s = (
+        f"(({_DUCK_INT_DOT.format(a='s.vq', b='c.cq')}) / s.vn) / c.cn"
+    )
+    score_t = (
+        f"(({_DUCK_INT_DOT.format(a='t.vq', b='c.cq')}) / t.vn) / c.cn"
+    )
+    parts = [
+        f"""e AS (
   SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
   FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < {K_CELLS}),
-assign AS (
-  SELECT vec_id, cell, v, nrm FROM (
-    SELECT e.vec_id, c.cell, e.v, e.nrm,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY ROUND({_DUCK_DOT.format(a='e.v', b='c.cv')} / (e.nrm * c.cn), 6) DESC,
-                      c.cell ASC) AS crk
-    FROM e CROSS JOIN cents c)
-  WHERE crk = 1)
-"""
+vqn AS MATERIALIZED (
+  SELECT vec_id, v, nrm, vq, {_DUCK_INT_NORM.format(a='vq')} AS vn FROM (
+    SELECT vec_id, v, nrm,
+           list_transform(v, x -> CAST(FLOOR(ABS(x / nrm) * {SCALE_Q}.0 + 0.5) AS BIGINT)
+                                  * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS vq
+    FROM e) q0),
+params AS (
+  SELECT COUNT(*) AS n,
+         GREATEST(8, {IVF_K_MULT} * CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k,
+         CAST(CEIL(COUNT(*) / {TRAIN_CAP}.0) AS BIGINT) AS s
+  FROM vqn),
+sample AS MATERIALIZED (
+  SELECT vq, vn, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS srn
+  FROM vqn WHERE vec_id % (SELECT s FROM params) = 0),
+strideq AS (
+  SELECT GREATEST(COUNT(*) // (SELECT k FROM params), 1) AS st FROM sample),
+centsn0 AS MATERIALIZED (
+  SELECT srn // (SELECT st FROM strideq) AS cell, vq AS cq,
+         {_DUCK_INT_NORM.format(a='vq')} AS cn
+  FROM sample
+  WHERE srn % (SELECT st FROM strideq) = 0
+    AND srn // (SELECT st FROM strideq) < (SELECT k FROM params)),
+dims AS MATERIALIZED (
+  SELECT UNNEST(range(1, (SELECT len(vq) FROM vqn LIMIT 1) + 1)) AS j)"""
+    ]
+    for i in range(1, IVF_ITERS + 1):
+        parts.append(
+            f"""cells{i} AS MATERIALIZED (
+  SELECT cell, vq FROM (
+    SELECT s.srn, s.vq, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.srn
+                              ORDER BY {score_s} DESC, c.cell ASC) AS rk
+    FROM sample s CROSS JOIN centsn{i - 1} c) z
+  WHERE rk = 1),
+cs{i} AS (
+  SELECT cell, j, SUM(vq[j]) AS sj, COUNT(*) AS cj
+  FROM cells{i} CROSS JOIN dims GROUP BY cell, j),
+centsn{i} AS MATERIALIZED (
+  SELECT cell, cq, {_DUCK_INT_NORM.format(a='cq')} AS cn FROM (
+    SELECT cell,
+           list(CASE WHEN sj < 0 THEN -((2 * (-sj) + cj) // (2 * cj))
+                     ELSE (2 * sj + cj) // (2 * cj) END ORDER BY j) AS cq
+    FROM cs{i} GROUP BY cell) z)"""
+        )
+    parts.append(
+        f"""assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {score_t} DESC, c.cell ASC) AS rk
+    FROM vqn t CROSS JOIN centsn{IVF_ITERS} c) z
+  WHERE rk <= {ASSIGN_A}),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT t.vec_id AS q_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {score_t} DESC, c.cell ASC) AS rk
+    FROM vqn t CROSS JOIN centsn{IVF_ITERS} c
+    WHERE t.vec_id < {N_QUERY}) z
+  WHERE rk <= (SELECT {nprobe_sql_case('n')} FROM params))"""
+    )
+    return ",\n".join(parts)
+
+
+_DUCK_IVF_CTES = _duck_ivf_ctes()
+
+# the trained-IVF answer set, ranked: shared tail of topk and recall
+_DUCK_IVF_SCORED = f"""scored AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS c_id,
+         ROUND({_DUCK_DOT.format(a='q.v', b='x.v')} / (q.nrm * x.nrm), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+  JOIN e q ON q.vec_id = p.q_id
+  JOIN e x ON x.vec_id = a.vec_id)"""
 
 
 def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell assignment + occupancy — the partition layout an IVF
-    index would persist (partitionBy(cell) at scale)."""
+    """Trained-IVF cell occupancy (multi-assignment rows) — the
+    partition layout the index persists (partitionBy(cell) at scale)."""
     _, _, assign = _ivf_parts(spark, sf_dir)
     return (
         assign.groupBy("cell")
@@ -545,33 +682,32 @@ FROM assign GROUP BY cell ORDER BY cell
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-{TOPK} via IVF probe: each query scores only vectors in
-    its {NPROBE} nearest cells — the 100 TB path where the scored set is
-    a cell-pruned fraction of the corpus (vs brute-force's full scan).
-    Exact same approximation in the oracle => value-level comparable."""
+    """ANN top-{TOPK} via the trained IVF probe: each query scores only
+    vectors indexed under its nprobe nearest cells — the 100 TB path
+    where the scored set is a measured, falling fraction of the corpus
+    (SCALE.md §recall) instead of brute-force's full scan. Exact same
+    trained quantizer in the oracle => value-level comparable."""
     from pyspark.sql import Window
 
-    emb, cents, assign = _ivf_parts(spark, sf_dir)
+    emb, (n, _, _), assign = _ivf_parts(spark, sf_dir)
+    probes = spark.createDataFrame(
+        _ivf_probe_pairs(spark, sf_dir), "q_id long, cell long"
+    )
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    qcos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
-    wprobe = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cell").asc())
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("p_cos", qcos)
-        .withColumn("prk", F.row_number().over(wprobe))
-        .where(F.col("prk") <= NPROBE)
-        .select("q_id", "qv", "qn", "cell")
+    cand = assign.select(
+        F.col("vec_id").alias("c_id"), "cell", F.col("v").alias("cv2"), F.col("nrm").alias("cn2")
     )
-    cand = assign.select(F.col("vec_id").alias("c_id"), "cell", F.col("v").alias("cv2"), F.col("nrm").alias("cn2"))
     cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
     wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
-        probes.join(cand, "cell")
+        F.broadcast(probes.join(queries, "q_id"))
+        .join(cand, "cell")
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn("cosine", cos)
+        .select("q_id", "c_id", "cosine")
+        .dropDuplicates(["q_id", "c_id"])  # boundary-replicated candidates
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= TOPK)
         .select("q_id", "c_id", "cosine", "rk")
@@ -581,21 +717,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_IVF_TOPK_SQL = f"""
 WITH {_DUCK_IVF_CTES},
-queries AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERY}),
-probes AS (
-  SELECT q_id, qv, qn, cell FROM (
-    SELECT q.q_id, q.qv, q.qn, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.q_id
-             ORDER BY ROUND({_DUCK_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn), 6) DESC,
-                      c.cell ASC) AS prk
-    FROM queries q CROSS JOIN cents c)
-  WHERE prk <= {NPROBE}),
-scored AS (
-  SELECT p.q_id, a.vec_id AS c_id,
-         ROUND({_DUCK_DOT.format(a='p.qv', b='a.v')} / (p.qn * a.nrm), 6) AS cosine
-  FROM probes p JOIN assign a ON p.cell = a.cell
-  WHERE p.q_id <> a.vec_id)
+{_DUCK_IVF_SCORED}
 SELECT q_id, c_id, cosine, rk FROM (
   SELECT q_id, c_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
@@ -607,13 +729,13 @@ ORDER BY q_id, rk
 
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOPK} of the PRODUCTION ANN answer path (the
-    partition-pruned IVF probe, nprobe={NPROBE}) against the exact
-    brute-force top-{TOPK} — the quality number the pipeline is tuned
-    by. Distinct from :func:`sim_ann_recall`, which measures the LSH
-    *candidate generator*: this one scores the ranked answers a user
-    gets back. The committed operating point (NPROBE) is chosen so the
-    mean stays >= RECALL_FLOOR at every rehearsed scale; the floor is
-    pinned in tests/test_ann_recall.py.
+    partition-pruned trained-IVF probe) against the exact brute-force
+    top-{TOPK} — the quality number the pipeline is tuned by. Distinct
+    from :func:`sim_ann_recall`, which measures the LSH *candidate
+    generator*: this one scores the ranked answers a user gets back.
+    The committed nprobe step table (operators/ivf_codebook.py) is the
+    measured floor-meeting point per scale; tests/test_ann_recall.py
+    pins RECALL_FLOOR.
 
     Scale shape: both sides are {N_QUERY}-query bounded frames
     ({N_QUERY * TOPK} rows each) — the recall join is trivially small;
@@ -634,25 +756,12 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_IVF_RECALL_SQL = f"""
 WITH {_DUCK_IVF_CTES},
-queries AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERY}),
-probes AS (
-  SELECT q_id, qv, qn, cell FROM (
-    SELECT q.q_id, q.qv, q.qn, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.q_id
-             ORDER BY ROUND({_DUCK_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn), 6) DESC,
-                      c.cell ASC) AS prk
-    FROM queries q CROSS JOIN cents c)
-  WHERE prk <= {NPROBE}),
+{_DUCK_IVF_SCORED},
 ivf AS (
   SELECT q_id, c_id FROM (
-    SELECT p.q_id, a.vec_id AS c_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY p.q_id
-             ORDER BY ROUND({_DUCK_DOT.format(a='p.qv', b='a.v')} / (p.qn * a.nrm), 6) DESC,
-                      a.vec_id ASC) AS rk
-    FROM probes p JOIN assign a ON p.cell = a.cell
-    WHERE p.q_id <> a.vec_id)
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM scored)
   WHERE rk <= {TOPK}),
 exact AS (
   SELECT q_id, c_id FROM (
@@ -669,6 +778,7 @@ FROM exact t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
 GROUP BY t.q_id
 ORDER BY t.q_id
 """
+
 
 
 # -- embedding near-dup clustering --------------------------------------
@@ -1031,7 +1141,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="ivf_index_")
-        build_ivf_index(spark, rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN), d, k_cells=K_CELLS)
+        build_ivf_index(spark, rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN), d)
         _IVF_INDEX_DIRS[key] = d
     return _IVF_INDEX_DIRS[key]
 
@@ -1052,8 +1162,9 @@ def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
+    n, _, _ = _ivf_codebook(spark, sf_dir)
     return ivf_pruned_topk(
-        spark, _ivf_index_dir(spark, sf_dir), queries, nprobe=NPROBE, topk=TOPK
+        spark, _ivf_index_dir(spark, sf_dir), queries, topk=TOPK, nprobe=ivf_nprobe(n)
     )
 
 
@@ -1117,10 +1228,12 @@ QUERIES = {
         f"cosine>={DUP_COS} near-dup clusters over LSH candidates",
     ),
     "sim_ivf_cells": QueryDef(
-        sim_ivf_cells, SIM_IVF_CELLS_SQL, f"IVF coarse-quantizer assignment, {K_CELLS} cells"
+        sim_ivf_cells,
+        SIM_IVF_CELLS_SQL,
+        f"trained-IVF cell occupancy ({IVF_K_MULT}*sqrt(n) cells, {ASSIGN_A}-way assign)",
     ),
     "sim_ivf_topk": QueryDef(
-        sim_ivf_topk, SIM_IVF_TOPK_SQL, f"IVF nprobe={NPROBE} ANN top-{TOPK}"
+        sim_ivf_topk, SIM_IVF_TOPK_SQL, f"trained-IVF ANN top-{TOPK} (measured nprobe table)"
     ),
     "sim_ivf_recall": QueryDef(
         sim_ivf_recall,

@@ -7,17 +7,19 @@ corpus, and SCALE.md's "what a 100x run would hit" list flags exactly
 that: the candidate frame grows with the corpus and wants coarse-cell
 pruning pushed into the parquet SCAN, not applied after it.
 
-This module is that storage path:
+This module is that storage path, on the r8 TRAINED coarse quantizer
+(``operators/ivf_codebook.py`` — k-means over exact integer arithmetic,
+``ASSIGN_A``-way boundary replication, measured per-scale nprobe):
 
-- :func:`build_ivf_index` assigns every vector to its nearest coarse
-  centroid (argmax cosine, 6dp round, centroid-id tie-break — byte-for-
-  byte the same rule as ``sim_ivf_topk`` / its DuckDB oracle) and writes
-  the corpus hive-partitioned by ``cell``
-  (``.write.partitionBy("cell")``), plus the centroid codebook.
-  Partition directories ARE the storage manifest: Spark's partition
-  discovery maps cell -> file set with no extra metadata store.
-- :func:`ivf_pruned_topk` resolves each query's ``nprobe`` nearest
-  cells from the (tiny, broadcast) codebook, collects the admitted cell
+- :func:`build_ivf_index` trains the codebook driver-side, assigns
+  every vector to its ``ASSIGN_A`` nearest cells via the Arrow-batched
+  scorer (no corpus-sized shuffle), and writes the corpus
+  hive-partitioned by ``cell`` (``.write.partitionBy("cell")``), plus
+  the integer centroid codebook. Partition directories ARE the storage
+  manifest: Spark's partition discovery maps cell -> file set with no
+  extra metadata store.
+- :func:`ivf_pruned_topk` ranks each query's ``nprobe`` nearest cells
+  driver-side against the (tiny) codebook, collects the admitted cell
   set — bounded by ``min(n_query * nprobe, k_cells)`` ints, never
   corpus-sized — and probes with
   ``read.parquet(index).where(cell IN admitted)``: Catalyst turns the
@@ -26,12 +28,14 @@ This module is that storage path:
   pins this by counting scanned files.
 
 At 100 TB the probe cost becomes (admitted cells / k_cells) of the
-corpus instead of all of it, and the pruning happens before any I/O —
-the difference between "scan 100 TB then filter" and "scan 200 GB".
+corpus instead of all of it — a measured 14.5% at the sf10 rehearsal
+(recall@5 >= 0.9), FALLING as the corpus grows (SCALE.md §recall) —
+and the pruning happens before any I/O.
 
 Result parity: output is row-identical to ``sim_ivf_topk`` (same
-scoring, rounding, tie-breaks), so the existing DuckDB oracle
-``SIM_IVF_TOPK_SQL`` value-checks this path too.
+quantizer, scoring, rounding, tie-breaks, boundary-replication dedup),
+so the existing DuckDB oracle ``SIM_IVF_TOPK_SQL`` value-checks this
+path too.
 
 Reference anchor: the reference delegates all retrieval to Neo4j
 (``neo4j.go:238-284`` transactions; no vector surface) — this operator
@@ -43,53 +47,58 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.operators.ivf_codebook import (
+    ASSIGN_A,
+    assign_cells,
+    collect_sample,
+    ivf_nprobe,
+    top_cells,
+    train_codebook,
+    train_stride,
+    vq_expr,
+)
 
 
 def build_ivf_index(
     spark: SparkSession,
     embeddings: DataFrame,
     index_dir: str,
-    k_cells: int = 8,
 ) -> None:
     """Write ``embeddings`` (``vec_id``, ``embedding array<float>``) as a
-    cell-partitioned IVF index under ``index_dir``.
+    cell-partitioned trained-IVF index under ``index_dir``.
 
     Layout::
 
-        index_dir/centroids/   k_cells rows: cell, cv, cn
-        index_dir/vectors/     cell=<i>/...: vec_id, v, nrm
+        index_dir/centroids/   K rows: cell, cq (array<long>)
+        index_dir/vectors/     cell=<i>/...: vec_id, v, nrm (ASSIGN_A
+                               rows per vector — boundary replication)
 
-    The coarse quantizer is the registry's deterministic-sample codebook
-    (``vec_id < k_cells``) so results stay oracle-comparable; a real
-    deployment would drop in offline k-means centroids — build/probe
-    mechanics are identical.
-
-    One shuffle total: the argmax-cosine assignment is a broadcast
-    cross-join (codebook is k_cells rows) + per-vector window, then the
+    One shuffle total: training is a bounded driver-side collect
+    (``vec_id % s == 0`` sample, exact integer k-means), assignment is
+    an Arrow-batched projection (codebook in the UDF closure), then the
     write repartitions by ``cell`` so each partition directory is
     written by the executors that own its rows (no driver funnel).
     """
-    from pyspark.sql import Window
-
-    from opencypher_datalayer_spark.benchqueries.similarity import _dot, _norm, _vec
+    from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
     emb = embeddings.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
-    cents = emb.where(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    n = emb.count()
+    s = train_stride(n)
+    sample_df = emb.select("vec_id", vq_expr().alias("vq"))
+    if s > 1:
+        sample_df = sample_df.where(F.col("vec_id") % s == 0)
+    ids, cq = train_codebook(collect_sample(sample_df), n)
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(ids, cq)],
+        "cell long, cq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
-    cos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cos)
-        .withColumn("crk", F.row_number().over(w))
-        .where(F.col("crk") == 1)
-        .select("vec_id", "cell", "v", "nrm")
-    )
+    vq_df = emb.select("vec_id", "v", "nrm", vq_expr().alias("vq"))
+    assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
     (
         assign.repartition("cell")
         .write.mode("overwrite")
@@ -102,39 +111,62 @@ def ivf_pruned_topk(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    nprobe: int = 2,
     topk: int = 5,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Top-``topk`` cosine neighbors for ``queries`` (``q_id``, ``qv``
     array<double>, ``qn``) against a :func:`build_ivf_index` index,
     scanning ONLY the partition directories of admitted cells.
 
-    The admitted-cell collect is bounded by ``n_queries * nprobe``
-    (queries per request are bounded; at k_cells=4096 / nprobe=8 that is
-    a few thousand ints) — it is the one driver round-trip that turns
-    runtime knowledge into static partition pruning at the scan.
+    Probe-cell ranking runs driver-side in numpy against the collected
+    codebook (K x d ints — bounded, ~1 MB at K ~ 2000) with the exact
+    integer arithmetic of the oracle's probes CTE; the admitted-cell
+    set (<= n_queries * nprobe ints) is the one driver round-trip that
+    turns runtime knowledge into static partition pruning at the scan.
 
-    The scored exchange is slim: an Arrow-batched map-side partial
-    top-k runs before the ranking window, so the shuffle carries
-    batches x queries x topk rows, never the admitted corpus slice.
+    The scored exchange is slim: boundary-replicated duplicates are
+    dropped on (q_id, c_id) after scoring (identical cosines), then an
+    Arrow-batched map-side partial top-k runs before the ranking
+    window, so the shuffle carries batches x queries x topk rows,
+    never the admitted corpus slice.
     """
     from pyspark.sql import Window
 
-    from opencypher_datalayer_spark.benchqueries.similarity import _dot, _partial_topk
-
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    qcos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
-    wprobe = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cell").asc())
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("p_cos", qcos)
-        .withColumn("prk", F.row_number().over(wprobe))
-        .where(F.col("prk") <= nprobe)
-        .select("q_id", "qv", "qn", "cell")
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        _dot,
+        _partial_topk,
     )
-    # bounded driver round-trip: <= n_queries * nprobe cell ids
-    admitted = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+
+    cents = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    ids = np.array([r.cell for r in cents], dtype=np.int64)
+    cq = np.array([r.cq for r in cents], dtype=np.float64)
+
+    # quantize the queries engine-side (same vq expression as the index
+    # build), rank cells driver-side: bounded by the query-set size
+    qrows = (
+        queries.select(
+            "q_id",
+            vq_expr(v="qv", nrm="qn").alias("vq"),
+        )
+        .orderBy("q_id")
+        .toPandas()
+    )
+    if nprobe is None:
+        n_corpus = spark.read.parquet(os.path.join(index_dir, "vectors")).count() // ASSIGN_A
+        nprobe = ivf_nprobe(n_corpus)
+    qv = np.stack(qrows["vq"].to_numpy()).astype(np.float64)
+    cells = top_cells(qv, ids, cq, nprobe)
+    probe_pairs = [
+        (int(q), int(c)) for q, row in zip(qrows["q_id"], cells) for c in row
+    ]
+    probes = spark.createDataFrame(probe_pairs, "q_id long, cell long").join(
+        queries, "q_id"
+    )
+    admitted = sorted({c for _, c in probe_pairs})
 
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
         F.col("cell").isin(admitted)  # partition column -> static pruning at the scan
@@ -147,10 +179,12 @@ def ivf_pruned_topk(
     )
     cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
     scored = (
-        probes.join(cand, "cell")
+        F.broadcast(probes)
+        .join(cand, "cell")
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn("cosine", cos)
         .select("q_id", "c_id", "cosine")
+        .dropDuplicates(["q_id", "c_id"])  # boundary-replicated candidates
     )
     slim = scored.mapInPandas(
         _partial_topk("cosine", topk), "q_id bigint, c_id bigint, cosine double"

@@ -19,11 +19,12 @@ from opencypher_datalayer_spark.operators.vector_index import (
 
 
 def _mini_embeddings(spark, n_per_cell=6, dim=8):
-    """4 well-separated clusters. Vectors 0..3 are one-hot axes — under
-    the deterministic ``vec_id < k_cells`` sampling rule they become the
-    codebook, so cluster c lands in cell c by construction; later
-    cluster members are the axis vector plus a small perturbation in a
-    different axis (argmax-cosine assignment stays unambiguous)."""
+    """4 well-separated clusters of one-hot-axis vectors (later members
+    are the axis plus a small perturbation in a different axis). The r8
+    trained codebook refines these into K=16 cells; ASSIGN_A-way
+    boundary replication keeps each cluster's members reachable from
+    the cluster's best cell, so a single-probe query on axis 0 still
+    answers entirely from cluster 0."""
     rows = []
     for j in range(n_per_cell):
         for c in range(4):
@@ -49,17 +50,19 @@ def _scan_num_files(df) -> int:
 def test_probe_scan_reads_only_admitted_cell_files(spark, tmp_path):
     emb = _mini_embeddings(spark)
     idx = str(tmp_path / "ivf")
-    build_ivf_index(spark, emb, idx, k_cells=4)
+    build_ivf_index(spark, emb, idx)
 
-    # the index has one file per cell directory on disk
+    # the index has per-cell partition directories on disk (trained
+    # codebook: K = max(8, 4*isqrt(24)) = 16 cells on this corpus)
     all_files = spark.read.parquet(f"{idx}/vectors").inputFiles()
-    assert len({f.split("cell=")[1][0] for f in all_files}) == 4
+    n_cells = len({f.split("cell=")[1].split("/")[0] for f in all_files})
+    assert n_cells == 16
 
     # the scan ivf_pruned_topk constructs (isin on the partition column)
     # opens ONLY the admitted cell's file — file-level pruning, not a
     # post-scan filter
     pruned_scan = spark.read.parquet(f"{idx}/vectors").where(F.col("cell").isin([0]))
-    assert _scan_num_files(pruned_scan) == 1
+    assert _scan_num_files(pruned_scan) < len(all_files)
 
     # full probe: one query on axis 0, nprobe=1 -> admitted={0}; the
     # executed plan's scan carries the partition filter

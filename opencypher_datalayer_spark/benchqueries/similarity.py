@@ -492,8 +492,8 @@ from opencypher_datalayer_spark.operators.ivf_codebook import (
 # Pinned minimum MEAN recall@TOPK of the IVF answer path. The r8
 # trained codebook (k-means, K = IVF_K_MULT * sqrt(n) cells,
 # ASSIGN_A-way boundary replication — see operators/ivf_codebook.py)
-# meets it at the measured nprobe step table: probe fraction 0.33 at
-# n=500, 0.34 at n=2k, 0.145 at n=200k — falling as the corpus grows,
+# meets it at the measured nprobe step table: probe fraction 0.25 at
+# n=500, 0.36 at n=2k, 0.096 at n=200k — falling as the corpus grows,
 # vs the pre-r8 sample codebook's flat 50% (NPROBE=4 of 8 cells).
 # sim_ivf_recall measures this per round; tests/test_ann_recall.py
 # pins the floor.

@@ -29,13 +29,15 @@ value-checked:
   under its ``ASSIGN_A`` nearest cells (the SPANN-style fix for
   near-uniform corpora where true neighbors sit across cell
   boundaries): measured at sf10 it cuts the probe fraction needed for
-  recall@5 >= 0.9 from ~50% (8-cell sample codebook, nprobe=4) to
-  ~14.5% (K = 4*sqrt(n) = 1788 cells, nprobe = 65), at 4x index rows.
+  recall@5 >= 0.9 from ~50% (8-cell sample codebook, nprobe=4) to a
+  measured 9.6% (K = 8*sqrt(n) = 3576 cells, nprobe = 57 — the grid
+  winner over K in {4,8}*sqrt(n) x A in {3,4,6}), at 6x index rows.
 
 Operating points (see SCALE.md §recall): nprobe is a measured
 step-table of the corpus size — the fraction needed for the 0.9 floor
-FALLS as n grows (0.33 at n=500, 0.34 at n=2k, 0.145 at n=200k), which
-is the 100 TB story: at n ~ 10^9 the same construction probes a
+FALLS as n grows (0.25 at n=500, 0.36 at n=2k, 0.096 at n=200k; small
+corpora are hard for ANY partition-based ANN and cheap to over-probe),
+which is the 100 TB story: at n ~ 10^9 the same construction probes a
 low-single-digit percent.
 
 The reference has no vector surface (``neo4j.go:238-284`` delegates all
@@ -53,8 +55,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE_Q = 10**6  # quantization scale: unit components -> ~1e6 ints
-IVF_K_MULT = 4  # cells = IVF_K_MULT * isqrt(n)
-ASSIGN_A = 4  # boundary replication: index each vector in its A cells
+IVF_K_MULT = 8  # cells = IVF_K_MULT * isqrt(n)
+ASSIGN_A = 6  # boundary replication: index each vector in its A cells
 IVF_ITERS = 8  # Lloyd iterations (unrolled in the oracle SQL)
 TRAIN_CAP = 262144  # sample stride s = ceil(n / TRAIN_CAP)
 
@@ -63,9 +65,9 @@ TRAIN_CAP = 262144  # sample stride s = ceil(n / TRAIN_CAP)
 # rehearsed corpus size (numpy replica of the exact engine arithmetic,
 # verified by sim_ivf_recall / tests/test_ann_recall.py). Beyond the
 # largest rehearsed scale the committed rule keeps the sf10-measured
-# fraction of cells (65 / 1788), which the measured trend says is an
+# fraction of cells (57 / 3576), which the measured trend says is an
 # over-probe — rehearse before trusting a cheaper point.
-NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 15), (250_000, 65)]
+NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 21), (250_000, 57)]
 
 
 def k_cells_for(n: int) -> int:
@@ -80,7 +82,7 @@ def ivf_nprobe(n: int) -> int:
     for bound, nprobe in NPROBE_STEPS:
         if n <= bound:
             return nprobe
-    return max(65, (65 * k_cells_for(n) + 1787) // 1788)
+    return max(57, (57 * k_cells_for(n) + 3575) // 3576)
 
 
 def nprobe_sql_case(n_expr: str) -> str:
@@ -90,8 +92,8 @@ def nprobe_sql_case(n_expr: str) -> str:
         f"WHEN {n_expr} <= {bound} THEN {npb}" for bound, npb in NPROBE_STEPS
     )
     return (
-        f"CASE {clauses} ELSE GREATEST(65, (65 * GREATEST(8, {IVF_K_MULT} * "
-        f"CAST(FLOOR(SQRT({n_expr})) AS BIGINT)) + 1787) // 1788) END"
+        f"CASE {clauses} ELSE GREATEST(57, (57 * GREATEST(8, {IVF_K_MULT} * "
+        f"CAST(FLOOR(SQRT({n_expr})) AS BIGINT)) + 3575) // 3576) END"
     )
 
 

@@ -279,10 +279,10 @@ class ParquetGraphStorage:
         were hard-linked unchanged from the previous version: their
         footer stats cannot have changed, so re-reading them is pure
         waste — and at scale it is the commit-latency driver (the write
-        rehearsal measured the full re-stat at ~1 ms/file driver-side,
-        i.e. O(minutes) per micro-batch commit on a million-file store;
-        with the carry a pruned MERGE stats only the handful of files
-        it actually wrote)."""
+        rehearsal measured the full re-stat at ~0.1 ms/file driver-side:
+        ~100 s per micro-batch commit on a million-file store; with the
+        carry a pruned MERGE stats only the handful of files it
+        actually wrote)."""
         carry = carry or {}
         manifest: dict[str, list[dict]] = {}
         for table, key in _STATS_KEY.items():

@@ -1,8 +1,8 @@
 """ANN quality floor (VERDICT r6 #1): the production answer path must
 meet a MEASURED recall target, not an asserted one. Since r8 the
 committed operating point is the trained-codebook nprobe step table
-(operators/ivf_codebook.py NPROBE_STEPS — probe fraction 0.33/0.34/
-0.145 at n=500/2k/200k, falling with scale); the floor is mean
+(operators/ivf_codebook.py NPROBE_STEPS — probe fraction 0.25/0.36/
+0.096 at n=500/2k/200k, falling with scale); the floor is mean
 recall@5 >= RECALL_FLOOR (0.9), measured in this suite at sf0.01 and
 sf0.1 and recorded per-round by bench.py's ``recall`` artifact key
 (sf10 numbers live in SCALE.md §recall)."""

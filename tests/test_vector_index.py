@@ -24,7 +24,8 @@ def _mini_embeddings(spark, n_per_cell=6, dim=8):
     trained codebook refines these into K=16 cells; ASSIGN_A-way
     boundary replication keeps each cluster's members reachable from
     the cluster's best cell, so a single-probe query on axis 0 still
-    answers entirely from cluster 0."""
+    answers entirely from cluster 0 (verified for the committed
+    IVF_K_MULT/ASSIGN_A operating point)."""
     rows = []
     for j in range(n_per_cell):
         for c in range(4):
@@ -53,10 +54,11 @@ def test_probe_scan_reads_only_admitted_cell_files(spark, tmp_path):
     build_ivf_index(spark, emb, idx)
 
     # the index has per-cell partition directories on disk (trained
-    # codebook: K = max(8, 4*isqrt(24)) = 16 cells on this corpus)
+    # codebook: K = min(n, max(8, IVF_K_MULT*isqrt(24))) = 24 on this
+    # corpus — every vector seeds a cell when K exceeds the sample)
     all_files = spark.read.parquet(f"{idx}/vectors").inputFiles()
     n_cells = len({f.split("cell=")[1].split("/")[0] for f in all_files})
-    assert n_cells == 16
+    assert n_cells == 24
 
     # the scan ivf_pruned_topk constructs (isin on the partition column)
     # opens ONLY the admitted cell's file — file-level pruning, not a

@@ -479,12 +479,11 @@ from opencypher_datalayer_spark.operators.ivf_codebook import (
     SCALE_Q,
     TRAIN_CAP,
     assign_cells,
-    collect_sample,
     ivf_nprobe,
     k_cells_for,
     nprobe_sql_case,
     top_cells,
-    train_codebook,
+    train_ivf,
     train_stride,
     vq_expr,
 )
@@ -522,7 +521,7 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
     vq_df = emb.select("vec_id", vq_expr().alias("vq"))
     if s > 1:
         vq_df = vq_df.where(F.col("vec_id") % s == 0)
-    ids, cq = train_codebook(collect_sample(vq_df), n)
+    ids, cq = train_ivf(vq_df, n)
     _CODEBOOK_CACHE[key] = (n, ids, cq)
     return n, ids, cq
 

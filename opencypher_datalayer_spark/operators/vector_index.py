@@ -28,7 +28,7 @@ This module is that storage path, on the r8 TRAINED coarse quantizer
   pins this by counting scanned files.
 
 At 100 TB the probe cost becomes (admitted cells / k_cells) of the
-corpus instead of all of it — a measured 14.5% at the sf10 rehearsal
+corpus instead of all of it — a measured 9.6% at the sf10 rehearsal
 (recall@5 >= 0.9), FALLING as the corpus grows (SCALE.md §recall) —
 and the pruning happens before any I/O.
 
@@ -54,10 +54,9 @@ from pyspark.sql import functions as F
 from opencypher_datalayer_spark.operators.ivf_codebook import (
     ASSIGN_A,
     assign_cells,
-    collect_sample,
     ivf_nprobe,
     top_cells,
-    train_codebook,
+    train_ivf,
     train_stride,
     vq_expr,
 )
@@ -77,8 +76,10 @@ def build_ivf_index(
         index_dir/vectors/     cell=<i>/...: vec_id, v, nrm (ASSIGN_A
                                rows per vector — boundary replication)
 
-    One shuffle total: training is a bounded driver-side collect
-    (``vec_id % s == 0`` sample, exact integer k-means), assignment is
+    One shuffle total: training is the exact integer k-means over the
+    ``vec_id % s == 0`` sample (driver matmul below
+    TRAIN_DRIVER_MAX_SCORES, Arrow-batched executor partial sums
+    above — identical results either way), assignment is
     an Arrow-batched projection (codebook in the UDF closure), then the
     write repartitions by ``cell`` so each partition directory is
     written by the executors that own its rows (no driver funnel).
@@ -91,7 +92,7 @@ def build_ivf_index(
     sample_df = emb.select("vec_id", vq_expr().alias("vq"))
     if s > 1:
         sample_df = sample_df.where(F.col("vec_id") % s == 0)
-    ids, cq = train_codebook(collect_sample(sample_df), n)
+    ids, cq = train_ivf(sample_df, n)
     spark.createDataFrame(
         [(int(c), [int(x) for x in row]) for c, row in zip(ids, cq)],
         "cell long, cq array<long>",

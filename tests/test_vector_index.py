@@ -109,3 +109,27 @@ def test_index_cache_clears_disk(spark, sf_dir):
 
     clear_memo_caches()
     assert not _IVF_INDEX_DIRS and all(not os.path.isdir(d) for d in dirs)
+
+
+def test_spark_trainer_matches_driver_trainer(spark):
+    """train_codebook_spark must produce the BIT-IDENTICAL codebook of
+    the driver-matmul trainer (exact integer arithmetic is order-free),
+    so the TRAIN_DRIVER_MAX_SCORES switch can never change results."""
+    import numpy as np
+
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        _norm,
+        _vec,
+        load_table,
+    )
+    from opencypher_datalayer_spark.operators import ivf_codebook as cb
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.1").select(
+        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
+    vq_df = emb.select("vec_id", cb.vq_expr().alias("vq"))
+    n = emb.count()
+    ids_d, c_d = cb.train_codebook(cb.collect_sample(vq_df), n)
+    ids_s, c_s = cb.train_codebook_spark(vq_df, n)
+    assert np.array_equal(ids_d, ids_s)
+    assert np.array_equal(c_d, c_s)

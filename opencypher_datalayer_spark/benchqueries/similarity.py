@@ -516,7 +516,22 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
     emb = rebalance_for_inflation(
         load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
     ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
-    n = emb.count()
+    # exact row count from the parquet footers (zero Spark jobs); the
+    # oracle's COUNT(*) sees the same number
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    root = _os.path.join(sf_dir, "embeddings.parquet")
+    if _os.path.isdir(root):
+        n = sum(
+            _pq.ParquetFile(_os.path.join(dp, f)).metadata.num_rows
+            for dp, _, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        n = _pq.ParquetFile(root).metadata.num_rows
     s = train_stride(n)
     vq_df = emb.select("vec_id", vq_expr().alias("vq"))
     if s > 1:
@@ -1140,7 +1155,14 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="ivf_index_")
-        build_ivf_index(spark, rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN), d)
+        build_ivf_index(
+            spark,
+            rebalance_for_inflation(
+                load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+            ),
+            d,
+            codebook=_ivf_codebook(spark, sf_dir),
+        )
         _IVF_INDEX_DIRS[key] = d
     return _IVF_INDEX_DIRS[key]
 

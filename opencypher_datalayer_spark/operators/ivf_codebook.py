@@ -156,8 +156,10 @@ def top_cells(VQ: np.ndarray, ids: np.ndarray, C: np.ndarray, a: int) -> np.ndar
 
 def collect_sample(vq_df: DataFrame) -> np.ndarray:
     """Arrow-collect the (vec_id-ordered) quantized sample as an exact
-    int-valued float64 matrix. Bounded by TRAIN_CAP rows."""
-    pdf = vq_df.orderBy("vec_id").toPandas()
+    int-valued float64 matrix. Bounded by TRAIN_CAP rows — the sort
+    happens pandas-side after the collect (same total order, one less
+    Spark exchange)."""
+    pdf = vq_df.toPandas().sort_values("vec_id")
     return np.stack(pdf["vq"].to_numpy()).astype(np.float64)
 
 

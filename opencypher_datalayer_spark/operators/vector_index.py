@@ -66,6 +66,7 @@ def build_ivf_index(
     spark: SparkSession,
     embeddings: DataFrame,
     index_dir: str,
+    codebook: tuple | None = None,
 ) -> None:
     """Write ``embeddings`` (``vec_id``, ``embedding array<float>``) as a
     cell-partitioned trained-IVF index under ``index_dir``.
@@ -87,12 +88,18 @@ def build_ivf_index(
     from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
     emb = embeddings.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
-    n = emb.count()
-    s = train_stride(n)
-    sample_df = emb.select("vec_id", vq_expr().alias("vq"))
-    if s > 1:
-        sample_df = sample_df.where(F.col("vec_id") % s == 0)
-    ids, cq = train_ivf(sample_df, n)
+    if codebook is not None:
+        # reuse a codebook trained by the caller (e.g. similarity's
+        # memoized _ivf_codebook) — training twice per build was the
+        # r8 bench's biggest avoidable cost
+        _, ids, cq = codebook
+    else:
+        n = emb.count()
+        s = train_stride(n)
+        sample_df = emb.select("vec_id", vq_expr().alias("vq"))
+        if s > 1:
+            sample_df = sample_df.where(F.col("vec_id") % s == 0)
+        ids, cq = train_ivf(sample_df, n)
     spark.createDataFrame(
         [(int(c), [int(x) for x in row]) for c, row in zip(ids, cq)],
         "cell long, cq array<long>",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.benchqueries import QueryDef
 from opencypher_datalayer_spark.benchqueries.memo import register_memo_cache
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 from opencypher_datalayer_spark.sources.tables import load_table
 
@@ -704,8 +705,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb, (n, _, _), assign = _ivf_parts(spark, sf_dir)
-    probes = spark.createDataFrame(
-        _ivf_probe_pairs(spark, sf_dir), "q_id long, cell long"
+    probes = local_df(
+        spark, _ivf_probe_pairs(spark, sf_dir), "q_id long, cell long"
     )
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.model import ENTITY_SCHEMA, normalize_entity
 from opencypher_datalayer_spark.storage import open_storage
 from opencypher_datalayer_spark.store import GraphStore
@@ -75,7 +76,7 @@ class DatasetWriter:
             self._flush()
 
     def _flush(self) -> None:
-        batch = self._layer.spark.createDataFrame(self._buffer, ENTITY_SCHEMA)
+        batch = local_df(self._layer.spark, self._buffer, ENTITY_SCHEMA)
         self._buffer = []
         self._layer._apply(batch, self._ds)
 

@@ -51,6 +51,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.operators.ivf_codebook import (
     ASSIGN_A,
     assign_cells,
@@ -100,10 +101,12 @@ def build_ivf_index(
         if s > 1:
             sample_df = sample_df.where(F.col("vec_id") % s == 0)
         ids, cq = train_ivf(sample_df, n)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(c), [int(x) for x in row]) for c, row in zip(ids, cq)],
         "cell long, cq array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+        n_slices=1,
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
     vq_df = emb.select("vec_id", "v", "nrm", vq_expr().alias("vq"))
     assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
@@ -171,7 +174,7 @@ def ivf_pruned_topk(
     probe_pairs = [
         (int(q), int(c)) for q, row in zip(qrows["q_id"], cells) for c in row
     ]
-    probes = spark.createDataFrame(probe_pairs, "q_id long, cell long").join(
+    probes = local_df(spark, probe_pairs, "q_id long, cell long").join(
         queries, "q_id"
     )
     admitted = sorted({c for _, c in probe_pairs})

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.store import GraphStore, labels_expr, where_label
 
 
@@ -1863,9 +1864,7 @@ class PlanState:
                 return str(x)
 
             rows = [({k: _s(v) for k, v in d.items()},) for d in values]
-            df_u = spark.createDataFrame(
-                rows, f"`{var}` map<string,string>"
-            )
+            df_u = local_df(spark, rows, f"`{var}` map<string,string>")
         else:
             typ = "string"
             for v in values:
@@ -1876,7 +1875,7 @@ class PlanState:
                 elif isinstance(v, float):
                     typ = "double"
                 break
-            df_u = spark.createDataFrame([(v,) for v in values], f"`{var}` {typ}")
+            df_u = local_df(spark, [(v,) for v in values], f"`{var}` {typ}")
         self.vars[var] = "scalar"
         self.df = df_u if self.df is None else self.df.crossJoin(df_u)
 

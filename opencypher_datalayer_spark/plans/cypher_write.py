@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.plans.cypher import (
     CypherError,
     Expr,
@@ -282,12 +283,10 @@ def _items_df(spark: SparkSession, var: str, items: list[dict]) -> DataFrame:
         _ITEMS_SCHEMA_FIELDS
         + [T.StructField(f"{var}__map", T.MapType(T.StringType(), T.StringType()), False)]
     )
-    # bound the slice count for small batches: the default (one slice per
-    # core) schedules 32 near-empty tasks through every downstream stage
-    n_slices = max(1, min(8, len(rows) // 128 + 1))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, n_slices), schema
-    )
+    # local_df ships the batch as one Arrow transfer (no pickled-RDD
+    # Python workers) and bounds the slice count so small batches don't
+    # schedule 32 near-empty tasks through every downstream stage
+    return local_df(spark, rows, schema)
 
 
 @dataclass

@@ -50,6 +50,16 @@ def get_spark(
         # #2) — keep headroom above the largest gated broadcast.
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # Partitioned-table file listing: below this many directories
+        # the driver lists sequentially; above it Spark runs a listing
+        # JOB with one task per directory. The IVF index is
+        # hive-partitioned by cell (K = 8*sqrt(n) directories — ~350 at
+        # sf0.1), and a 352-task listing job costs ~0.9 s per read on
+        # local[32] vs 0.13 s driver-side. 4096 keeps every local-scale
+        # listing driver-side; a 100 TB cluster against an object store
+        # crosses the threshold and gets the parallel job exactly when
+        # the directory count makes it worth a job's overhead.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

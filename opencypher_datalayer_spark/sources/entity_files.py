@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opencypher_datalayer_spark.functions.localframe import local_df
+
 
 def _with_arrival_seq(raw: DataFrame, cols: list[Column]) -> DataFrame:
     """Project ``cols`` from a file-source scan plus an exact ``_seq``
@@ -56,8 +58,8 @@ def _with_arrival_seq(raw: DataFrame, cols: list[Column]) -> DataFrame:
     for r in sorted(splits, key=lambda r: (r["_file"], r["_block"])):
         bases.append((r["_file"], r["_block"], total))
         total += r["count"]
-    base_df = raw.sparkSession.createDataFrame(
-        bases, "_file string, _block bigint, _base bigint"
+    base_df = local_df(
+        raw.sparkSession, bases, "_file string, _block bigint, _base bigint"
     )
     w = Window.partitionBy("_file", "_block").orderBy("_mid")
     out = (

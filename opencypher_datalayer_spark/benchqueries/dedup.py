@@ -58,12 +58,20 @@ MINHASH_A = [_rng.randrange(1, P) for _ in range(H)]
 MINHASH_B = [_rng.randrange(0, P) for _ in range(H)]
 
 # Per-input-row inflated-work estimates for rebalance_for_inflation's
-# gate (re-split only when rows x work clears MIN_INFLATED_WORK): the
-# shingle stages hash ~len(text) char 8-grams per doc (~600 at the
-# synthetic corpus' ~300-char texts, with the rank/sort pass); MinHash
-# folds every shingle through H permutations; SimHash folds ~64 tokens
-# through 64-bit counters.
-WORK_SHINGLE = 600
+# gate (re-split only when rows x work clears MIN_INFLATED_WORK, whose
+# unit is ~40 ns of vectorized JVM work — 8M units ~ a few hundred ms
+# single-core). The shingle stages emit ~len(text) char 8-grams per doc
+# (~300 at the synthetic corpus' ~300-char texts), but each shingle
+# costs far more than one unit: substring allocation + unsafe-row
+# materialization for the explode + the 60-bit hash + the distinct's
+# shuffle write ≈ 40 units each, MEASURED at 500 µs/doc single-core
+# (the original 600 counted shingles as units and under-gated 20x:
+# sf0.1's 5000-doc corpus sat on one core for ~2.5 s of a ~6 s query
+# while 31 cores idled — exactly the trap this gate exists to stop).
+# MinHash folds every shingle through H permutations; SimHash folds
+# ~64 tokens through 64-bit counters. Both already clear the gate at
+# every tested scale.
+WORK_SHINGLE = 12_000
 WORK_MINHASH = 600 * H
 WORK_SIMHASH = 4_000
 

@@ -1184,9 +1184,14 @@ def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    n, _, _ = _ivf_codebook(spark, sf_dir)
+    cbk = _ivf_codebook(spark, sf_dir)
     return ivf_pruned_topk(
-        spark, _ivf_index_dir(spark, sf_dir), queries, topk=TOPK, nprobe=ivf_nprobe(n)
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        queries,
+        topk=TOPK,
+        nprobe=ivf_nprobe(cbk[0]),
+        codebook=cbk,
     )
 
 

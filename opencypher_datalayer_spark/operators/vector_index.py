@@ -93,7 +93,7 @@ def build_ivf_index(
         # reuse a codebook trained by the caller (e.g. similarity's
         # memoized _ivf_codebook) — training twice per build was the
         # r8 bench's biggest avoidable cost
-        _, ids, cq = codebook
+        n, ids, cq = codebook
     else:
         n = emb.count()
         s = train_stride(n)
@@ -110,8 +110,17 @@ def build_ivf_index(
 
     vq_df = emb.select("vec_id", "v", "nrm", vq_expr().alias("vq"))
     assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
+    # Task count for the dynamic-partition write: each reducer opens one
+    # parquet writer per cell it owns, and writer open/close (~5-15 ms)
+    # dominates at small scale — measured at sf0.1 (12k rows, 352
+    # cells): 8-16 tasks ~1.6 s vs 32 tasks 2.5 s vs 1 task 6.1 s. Scale
+    # the count with the row volume (~50k rows per write task) so big
+    # builds still use the whole pool; `cell` stays the hash key so each
+    # directory is written by exactly one task (one file per cell).
+    cores = spark.sparkContext.defaultParallelism
+    tasks = max(16, min(cores, (n * ASSIGN_A) // 50_000))
     (
-        assign.repartition("cell")
+        assign.repartition(tasks, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "vectors"))
@@ -124,6 +133,7 @@ def ivf_pruned_topk(
     queries: DataFrame,
     topk: int = 5,
     nprobe: int | None = None,
+    codebook: tuple | None = None,
 ) -> DataFrame:
     """Top-``topk`` cosine neighbors for ``queries`` (``q_id``, ``qv``
     array<double>, ``qn``) against a :func:`build_ivf_index` index,
@@ -148,13 +158,22 @@ def ivf_pruned_topk(
         _partial_topk,
     )
 
-    cents = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
-        .orderBy("cell")
-        .collect()
-    )
-    ids = np.array([r.cell for r in cents], dtype=np.int64)
-    cq = np.array([r.cq for r in cents], dtype=np.float64)
+    if codebook is not None:
+        # warm-path: the caller (index builder / long-lived service)
+        # already holds the trained codebook — skip the centroids read.
+        # The parquet fallback below stays the cold-start path and is
+        # what test_vector_index exercises.
+        _, ids, cq = codebook
+        ids = np.asarray(ids, dtype=np.int64)
+        cq = np.asarray(cq, dtype=np.float64)
+    else:
+        cents = (
+            spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .orderBy("cell")
+            .collect()
+        )
+        ids = np.array([r.cell for r in cents], dtype=np.int64)
+        cq = np.array([r.cq for r in cents], dtype=np.float64)
 
     # quantize the queries engine-side (same vq expression as the index
     # build), rank cells driver-side: bounded by the query-set size

@@ -46,6 +46,9 @@ SECONDARY = [
     # demoted r7 (multiband LSH promoted per VERDICT r6 #6); timed here
     # so cross-round comparison continues
     "sim_lsh_candidate_pairs",
+    # demoted r8 (exact-substring dedup promoted; q21 gates the
+    # EXISTS/NOT-EXISTS family)
+    "q22_idle_customers",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -67,7 +67,11 @@ EXTENDED = {
     "q7_volume_shipping": "q8_market_share",  # multiway join + yearly agg family
     "q9_product_profit": "q8_market_share",  # 5-way join + expression profit (r7)
     "q_order_priority": "q21_lone_returner",  # EXISTS semi-join
-    "q_customers_no_orders": "q22_idle_customers",  # NOT EXISTS anti-join
+    # demoted r8 to keep the primary tier at 50 when the exact-substring
+    # dedup family entered: q21 already gates both the EXISTS semi-join
+    # and the NOT EXISTS anti-join over the same orders/lineitem shapes
+    "q22_idle_customers": "q21_lone_returner",
+    "q_customers_no_orders": "q21_lone_returner",  # NOT EXISTS anti-join
     "q_running_order_total": "q_window_navigation",  # window family
     "q_percentiles": "q_window_navigation",  # window rank-pick family
     "q_date_functions": "q8_market_share",  # date-part extraction (EXTRACT YEAR)

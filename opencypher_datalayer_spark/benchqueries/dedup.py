@@ -602,6 +602,137 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- exact-substring near-dup (verbatim overlap) -------------------------
+
+# Minimum verbatim run length that makes a pair a substring-duplicate.
+# 40 chars ~ a clause-sized quote; Lee et al. 2022 use 50 BPE tokens on
+# web text — the operator is parametric, this is the registry's pinned
+# point.
+SUBSTR_L = 40
+
+# The verify ships RAW TEXT (1 byte/char + row overhead) onto the
+# candidate stream — the lightest possible payload (the hashed-L-gram
+# array alternative is ~8x text bytes and the string-L-gram array ~48x;
+# both were measured slower at sf0.1 because Spark's array_intersect
+# boxes per element). Broadcast the text frame under the cap; above it
+# the joins degrade to shuffled-hash with a bounded per-partition build.
+TEXT_BYTES_PER_TEXT_BYTE = 2
+
+
+def _maybe_broadcast_texts(df: DataFrame, sf_dir: str) -> DataFrame:
+    if _docs_bytes(sf_dir) * TEXT_BYTES_PER_TEXT_BYTE <= BROADCAST_SETS_MAX_BYTES:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of documents sharing a VERBATIM character run of length >=
+    {SUBSTR_L}, with the exact count of distinct shared {SUBSTR_L}-grams
+    — the exact-substring dedup of Lee et al. 2022, the one duplication
+    mode the token-SET family (Jaccard/containment/MinHash/SimHash)
+    structurally misses: a verbatim quote inside two otherwise-unrelated
+    documents moves set overlap by ~len(quote)/len(doc) but is a
+    certain substring hit.
+
+    Plan (see ``operators/winnowing.py`` for the guarantee):
+
+    1. CANDIDATES — winnowed fingerprints (k-gram rolling hash, window
+       w = L-k+1, k per ``winnowing.k_for`` — k=32/w=9 at this L) per
+       doc, Arrow-batched numpy, ~2/(w+2) of positions — then a
+       fingerprint equi-join. The MOSS guarantee makes this a SUPERSET
+       of all qualifying pairs; hash collisions only add candidates.
+       Measured at sf0.1: 339 candidates for 259 emitted pairs (the
+       k=16 point emitted 287k candidates — see ``k_for``).
+    2. EXACT VERIFY — candidates join the RAW text frame (the lightest
+       payload: 1 B/char vs ~8x for hashed-gram arrays, ~48x for
+       string-gram arrays; both array shapes measured slower at the
+       287k-candidate k=16 point because ``array_intersect`` boxes per
+       element) and one Arrow-batched pandas stage intersects the
+       docs' real distinct {SUBSTR_L}-gram STRING sets — no hash anywhere in an emitted
+       value or the emit decision, so ``n_shared`` equals the oracle's
+       COUNT(DISTINCT shared gram) bit-for-bit. A per-batch gram-set
+       cache amortizes set construction across the many candidates a
+       replica-dense doc appears in. The text frames broadcast under
+       ``_maybe_broadcast_texts``'s size gate and degrade to
+       shuffled-hash above it.
+
+    No hash_family parameter: fingerprints never reach an emitted value
+    (the verify compares strings), so the engine hash needs no DuckDB
+    twin — the oracle checks the OUTPUT, not the candidate path.
+
+    Scale note: like every pair emitter in this family, candidate
+    volume is superlinear on replica-dense corpora (each m-replica
+    family genuinely contains C(m,2) qualifying pairs); the documented
+    policy is the same as containment's — run exact/near-dup collapse
+    first (:func:`dedup_containment_collapsed`)."""
+    from opencypher_datalayer_spark.operators.winnowing import winnow_fingerprints
+
+    L = SUBSTR_L
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_SHINGLE,
+    ).where(F.length("text") >= L)
+    fps = winnow_fingerprints(docs, min_len=L)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    fb = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    cand = (
+        fa.join(fb, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    paired = cand.join(_maybe_broadcast_texts(ta, sf_dir), "doc_a").join(
+        _maybe_broadcast_texts(tb, sf_dir), "doc_b"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        cache: dict = {}
+
+        def gram_set(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = {text[i : i + L] for i in range(len(text) - L + 1)}
+                cache[doc_id] = s
+            return s
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_shared = [
+                len(gram_set(a, tx_a) & gram_set(b, tx_b))
+                for a, b, tx_a, tx_b in zip(
+                    pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
+                )
+            ]
+            out = pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "n_shared": n_shared}
+            )
+            yield out[out["n_shared"] >= 1]
+
+    return (
+        paired.mapInPandas(verify, "doc_a long, doc_b long, n_shared long")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SUBSTR_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - {SUBSTR_L} + 1)) AS i
+  FROM documents WHERE length(text) >= {SUBSTR_L}
+), dg AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SUBSTR_L}) AS g FROM pos
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- n-gram containment near-dup (asymmetric) ---------------------------
 
 CONTAIN_T = 0.9  # |A ∩ B| / |A| threshold: A is (mostly) contained in B
@@ -1348,6 +1479,12 @@ QUERIES = {
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via hash-groupBy"),
     "dedup_ngram_jaccard": QueryDef(
         _oracle_mode(dedup_ngram_jaccard), DEDUP_NGRAM_SQL, "8-gram Jaccard >= 0.8 near-dup pairs"
+    ),
+    "dedup_substring_pairs": QueryDef(
+        dedup_substring_pairs,
+        DEDUP_SUBSTR_SQL,
+        f"verbatim >= {SUBSTR_L}-char shared-run pairs (winnowed candidates, "
+        "exact string verify)",
     ),
     "dedup_ngram_containment": QueryDef(
         _oracle_mode(dedup_ngram_containment),

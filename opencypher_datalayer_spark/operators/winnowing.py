@@ -102,6 +102,23 @@ def fingerprint_values(text: str, w: int, k: int = K_GRAM_MAX) -> np.ndarray:
     return np.unique(mins).view(np.int64)
 
 
+def lgram_hash_values(text: str, L: int) -> np.ndarray:
+    """Sorted distinct rolling hashes of every L-byte gram — the cheap
+    per-doc screen representation for exact-substring verification
+    (2 KB/doc vs ~35 KB for Python string sets at 300-char docs). Equal
+    strings hash equal, so an empty intersect of two docs' arrays
+    PROVES an empty string-gram intersect; collisions only pass pairs
+    forward to the exact string check."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    m = len(b) - L + 1
+    if m < 1:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(L):
+        h = h * _BASE + b[j : j + m]
+    return np.unique(h)
+
+
 def winnow_fingerprints(docs: DataFrame, min_len: int) -> DataFrame:
     """(doc_id, fp) — the winnowed fingerprint set of every document,
     tuned so any two docs sharing a verbatim run of >= ``min_len``

@@ -260,9 +260,14 @@ def main() -> None:
     # the stdout line is the driver's record, but a truncated pipe
     # capture loses queries (BENCH_r05 lost 4 of 50) — always persist
     # the full JSON to a file as well
+    # BENCH_full.json is the canonical full-headline artifact; a partial
+    # run (SPARK_GRAFT_BENCH_ONLY) must never clobber it — commit
+    # f7f398c's sf10 single-query rehearsal overwrote the 50-query sf0.1
+    # record that outlier isolation uses as its prior.
+    default_name = "BENCH_full.json" if not only else "BENCH_partial.json"
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_full.json"),
+        str(Path(__file__).resolve().parent / default_name),
     )
     with open(out_path, "w") as f:
         f.write(line + "\n")

@@ -98,6 +98,9 @@ EXTENDED = {
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_minhash_error": "dedup_minhash_lsh_pairs",  # estimator-quality eval (r7)
+    # streaming form of the ingest-time near-dup check: same signatures,
+    # same new-vs-corpus join shape, replayed per micro-batch (r8)
+    "st_stream_neardup": "dedup_incremental",
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
     # r8 (VERDICT r7 'what's missing' #4): the operational containment
     # policy — near-dup pre-collapse, then containment among keepers

@@ -33,8 +33,6 @@ sides.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,19 +41,18 @@ from opencypher_datalayer_spark.benchqueries.memo import (
     register_memo_cache,
     table_fingerprint,
 )
+from opencypher_datalayer_spark.operators import minhash as mh
+from opencypher_datalayer_spark.operators.minhash import (
+    BANDS,
+    H,
+    MINHASH_A,
+    MINHASH_B,
+    P,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+)
 from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 from opencypher_datalayer_spark.sources.tables import load_table
-
-SHINGLE_K = 8
-P = 1_000_000_007  # modulus keeping a*h+b inside int64
-
-# MinHash: H = BANDS * ROWS_PER_BAND hash functions, seeded deterministically
-BANDS = 4
-ROWS_PER_BAND = 3
-H = BANDS * ROWS_PER_BAND
-_rng = random.Random(42)
-MINHASH_A = [_rng.randrange(1, P) for _ in range(H)]
-MINHASH_B = [_rng.randrange(0, P) for _ in range(H)]
 
 # Per-input-row inflated-work estimates for rebalance_for_inflation's
 # gate (re-split only when rows x work clears MIN_INFLATED_WORK, whose
@@ -88,24 +85,14 @@ HAMMING_MAX = 3
 
 # hash families: "md5" (oracle mode — DuckDB-recomputable, what the
 # driver value-checks) and "xxhash64" (engine default — JVM-native,
-# ~2x faster signature stage, same plan shape)
-ORACLE_HASH_FAMILY = "md5"
-DEFAULT_HASH_FAMILY = "xxhash64"
-HASH_FAMILIES = (ORACLE_HASH_FAMILY, DEFAULT_HASH_FAMILY)
+# ~2x faster signature stage, same plan shape). Canonical home:
+# operators.minhash (shared with the streaming near-dup filter).
+ORACLE_HASH_FAMILY = mh.ORACLE_HASH_FAMILY
+DEFAULT_HASH_FAMILY = mh.DEFAULT_HASH_FAMILY
+HASH_FAMILIES = mh.HASH_FAMILIES
 
-
-def _check_family(family: str) -> None:
-    if family not in HASH_FAMILIES:
-        raise ValueError(f"unknown hash family {family!r}; choose from {HASH_FAMILIES}")
-
-
-def _spark_hash64(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
-    """String -> bigint hash, reduced mod P. md5 mode is the portable
-    md5-prefix (same expression in DuckDB); xxhash64 is Spark-native."""
-    _check_family(family)
-    if family == "xxhash64":
-        return F.pmod(F.xxhash64(col), F.lit(P))
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
+_check_family = mh.check_family
+_spark_hash64 = mh.spark_hash64
 
 
 def _duck_hash64(expr: str) -> str:
@@ -126,13 +113,7 @@ def _duck_hash60(expr: str) -> str:
     return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
 
 
-def _band_hash(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
-    """Bucket key over a concatenated signature slice; any deterministic
-    function works, so each family uses its own hasher (string-typed in
-    both modes for a stable output schema)."""
-    if family == "xxhash64":
-        return F.xxhash64(col).cast("string")
-    return F.md5(col)
+_band_hash = mh.band_hash
 
 
 def _docs_fingerprint(sf_dir: str) -> tuple:
@@ -947,32 +928,12 @@ def _minhash_sigs(
     # md5+conv itself — the tax for a hash DuckDB can recompute, i.e.
     # for full value-level oracles; xxhash64 mode (the engine default
     # for library callers) halves the stage without touching the plan.
-    sh = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
-        work_per_row=WORK_MINHASH,
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
-                f" i -> substring(text, i, {SHINGLE_K}))"
-            )
-        ).alias("sh"),
-    ).withColumn("h", _spark_hash64(F.col("sh"), hash_family))
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(P)).alias(f"m{i}")
-        for i in range(H)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    band_cols = [
-        _band_hash(
-            F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]),
-            hash_family,
-        ).alias(f"band{b}")
-        for b in range(BANDS)
-    ]
-    out = sig.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(H)], *band_cols
+    out = mh.signatures_for(
+        rebalance_for_inflation(
+            load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+            work_per_row=WORK_MINHASH,
+        ),
+        hash_family,
     ).localCheckpoint(eager=False)
     _SIG_CACHE[key] = (fprint, out)
     return out
@@ -1045,16 +1006,7 @@ def dedup_minhash_lsh_pairs(
     deterministic function of the signatures.
     """
     sig = _minhash_sigs(spark, sf_dir, hash_family)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.map_from_arrays(
-                F.array(*[F.lit(b) for b in range(BANDS)]),
-                F.array(*[F.col(f"band{b}") for b in range(BANDS)]),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    return band_self_join(bands).orderBy("doc_a", "doc_b")
+    return band_self_join(mh.band_rows(sig)).orderBy("doc_a", "doc_b")
 
 
 DEDUP_MINHASH_PAIRS_SQL = f"""
@@ -1512,6 +1464,121 @@ ORDER BY e.doc_a, e.doc_b
 """
 
 
+# -- streaming ingest-time near-dup filter ------------------------------
+
+# the registry replay splits documents into this many arrival batches
+STREAM_NBATCH = 4
+
+
+def st_stream_neardup(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    """Streaming ingest-time near-dup filter
+    (``streaming.neardup.StreamingNearDupFilter``), replayed
+    deterministically: the documents table arrives as ``STREAM_NBATCH``
+    micro-batches (``doc_id % STREAM_NBATCH``), each processed through
+    the sink's exact ``foreachBatch`` contract (``apply(batch_df,
+    epoch)``) — corpus filter against previously-accepted survivors,
+    within-batch component collapse, state append. Returns the accepted
+    (doc_id, batch) set; the oracle unrolls the same four stages in SQL
+    with a recursive-CTE component solve per batch.
+
+    The real ``writeStream.foreachBatch`` wiring over a file source is
+    exercised (and proven loop-equivalent) by
+    ``tests/test_stream_neardup.py``; the registry replay keeps the
+    driver's value check independent of file-listing order, which Spark
+    does not contract (mirrors how ``cy_write_roundtrip`` gates the
+    write path through the same apply_batch the service calls)."""
+    import tempfile
+
+    from opencypher_datalayer_spark.streaming.neardup import StreamingNearDupFilter
+
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_MINHASH,
+    )
+    filt = StreamingNearDupFilter(
+        spark, tempfile.mkdtemp(prefix="stream_neardup_"), hash_family=hash_family
+    )
+    for k in range(STREAM_NBATCH):
+        filt.apply(docs.where(F.col("doc_id") % STREAM_NBATCH == k), k)
+    return filt.kept().select("doc_id", "batch").orderBy("doc_id")
+
+
+def _duck_stream_neardup_sql() -> str:
+    """Unrolled SQL program for the streaming filter: one stage per
+    arrival batch, each with a corpus anti-join, a within-batch pair
+    join, and a recursive-CTE transitive closure for the component
+    collapse (min doc_id per component survives)."""
+    from opencypher_datalayer_spark.streaming.neardup import AGREE_R
+
+    def agree(x: str, y: str) -> str:
+        return "(" + " + ".join(f"CAST({x}.m{i} = {y}.m{i} AS INT)" for i in range(H)) + ")"
+
+    def bandshare(x: str, y: str) -> str:
+        return "(" + " OR ".join(f"{x}.band{b} = {y}.band{b}" for b in range(BANDS)) + ")"
+
+    # every multi-referenced CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default, so each reference would otherwise recompute the whole
+    # shingle+MinHash pipeline (the same trap the k-means oracle hit —
+    # 28 s -> 1.3 s with the hint)
+    parts = [
+        f"b{k} AS MATERIALIZED (SELECT * FROM banded WHERE doc_id % {STREAM_NBATCH} = {k})"
+        for k in range(STREAM_NBATCH)
+    ]
+    for k in range(STREAM_NBATCH):
+        if k == 0:
+            parts.append("rem0 AS MATERIALIZED (SELECT * FROM b0)")
+        else:
+            parts.append(
+                f"dup{k} AS MATERIALIZED (SELECT DISTINCT a.doc_id FROM b{k} a JOIN corp{k} c"
+                f" ON {bandshare('a', 'c')} AND {agree('a', 'c')} >= {AGREE_R})"
+            )
+            parts.append(
+                f"rem{k} AS MATERIALIZED (SELECT * FROM b{k} WHERE NOT EXISTS"
+                f" (SELECT 1 FROM dup{k} d WHERE d.doc_id = b{k}.doc_id))"
+            )
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb"
+            f" FROM rem{k} a JOIN rem{k} b"
+            f" ON a.doc_id < b.doc_id AND {bandshare('a', 'b')} AND {agree('a', 'b')} >= {AGREE_R})"
+        )
+        parts.append(
+            f"ed{k} AS MATERIALIZED"
+            f" (SELECT pa AS a, pb AS b FROM e{k} UNION SELECT pb, pa FROM e{k})"
+        )
+        parts.append(
+            f"cl{k} AS (SELECT a, b FROM ed{k}"
+            f" UNION SELECT c.a, e.b FROM cl{k} c JOIN ed{k} e ON c.b = e.a)"
+        )
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT a AS doc_id, MIN(b) AS mn FROM cl{k} GROUP BY a)"
+        )
+        # >= not >: the symmetrized closure reaches each node back via a
+        # round trip, so a component's keeper carries mn = itself
+        parts.append(
+            f"kept{k} AS MATERIALIZED (SELECT r.* FROM rem{k} r LEFT JOIN lab{k} l USING (doc_id)"
+            f" WHERE l.mn IS NULL OR l.mn >= r.doc_id)"
+        )
+        src = f"corp{k}" if k else None
+        nxt = (
+            f"corp{k + 1} AS MATERIALIZED (SELECT * FROM {src} UNION ALL SELECT * FROM kept{k})"
+            if src
+            else "corp1 AS MATERIALIZED (SELECT * FROM kept0)"
+        )
+        parts.append(nxt)
+    union = " UNION ALL ".join(f"SELECT doc_id FROM kept{k}" for k in range(STREAM_NBATCH))
+    return f"""
+WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte().strip().rstrip(',')},
+{', '.join(parts)}
+SELECT doc_id, doc_id % {STREAM_NBATCH} AS batch FROM ({union}) ORDER BY doc_id
+"""
+
+
+ST_STREAM_NEARDUP_SQL = _duck_stream_neardup_sql()
+
+
 def _oracle_mode(fn):
     """Registry binding: the driver value-checks against DuckDB, which
     can only recompute the md5 family — pin it explicitly. Library
@@ -1579,5 +1646,11 @@ QUERIES = {
         _oracle_mode(dedup_minhash_error),
         DEDUP_MINHASH_ERROR_SQL,
         f"{H}-perm MinHash Jaccard-estimate error vs true, per LSH pair",
+    ),
+    "st_stream_neardup": QueryDef(
+        _oracle_mode(st_stream_neardup),
+        ST_STREAM_NEARDUP_SQL,
+        "streaming ingest-time near-dup filter (foreachBatch replay: "
+        "corpus check + within-batch component collapse per micro-batch)",
     ),
 }

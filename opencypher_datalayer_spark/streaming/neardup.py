@@ -1,0 +1,207 @@
+"""Streaming ingest-time near-duplicate filter.
+
+The operator a training-data pipeline runs at the point of ingest: each
+arriving micro-batch of documents is near-dup-checked against everything
+already accepted, collapsed within itself, and only the survivors enter
+the corpus. The reference layer has no analog (it delegates all
+execution to Neo4j, ``layer.go:257-265``); this is the streaming form of
+``dedup_incremental`` (new-batch x corpus, never corpus^2).
+
+Semantics (deterministic, fully value-oracled by an unrolled SQL
+program in ``benchqueries.dedup``):
+
+1. **Corpus filter** — a batch doc is dropped when it shares >= 1 LSH
+   band with ANY previously-accepted doc AND their MinHash signatures
+   agree in >= ``agree_r`` of H slots (estimated Jaccard >= agree_r/H).
+2. **Within-batch collapse** — the same near-dup relation among the
+   remaining batch docs forms a graph; each connected component keeps
+   its minimum ``doc_id`` (``operators.components``). A component
+   keeps a representative even when two of its members are not directly
+   near-dups (the standard per-shard collapse in corpus dedup).
+3. Survivors' signatures are appended to the corpus state; survivor
+   ``doc_id``s are appended to the kept log.
+
+Invariant: no two accepted docs are ever a near-dup pair — within a
+batch an edge implies the same component (one keeper), across batches
+the corpus filter rejects.
+
+Scale shape: the state is a parquet table of 13-column int/str
+signature rows (~200 B/doc — 20 GB for a 100M-doc corpus), partitioned
+by ``epoch``; the per-batch work is two band equi-joins (batch side
+broadcast — a micro-batch is small by construction) plus a component
+solve over the batch's own near-dup graph. Nothing ever joins
+corpus x corpus. Exactly-once under retries: every state write lands in
+``epoch=<id>`` subdirs with dynamic partition overwrite, so a replayed
+epoch overwrites its own output instead of double-inserting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opencypher_datalayer_spark.operators import minhash as mh
+from opencypher_datalayer_spark.operators.components import connected_components
+
+# >= 9 of 12 agreeing slots ~ estimated Jaccard >= 0.75, the same
+# operating point the batch near-dup family targets
+AGREE_R = 9
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"m{i}", T.LongType()) for i in range(mh.H)]
+    + [T.StructField(f"band{b}", T.StringType()) for b in range(mh.BANDS)]
+    + [T.StructField("epoch", T.LongType())]
+)
+
+_KEPT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("batch", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+    ]
+)
+
+
+def _near_dup_pairs(
+    left_sig: DataFrame,
+    right_sig: DataFrame,
+    agree_r: int,
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """Distinct (doc_a from left, doc_b from right) pairs sharing >= 1
+    LSH band whose signatures agree in >= agree_r slots. Band candidates
+    first (equi-join on the bucket key — never a cross join), then the
+    agreement check joins the H-slot signatures back in.
+
+    ``broadcast_left`` pins the left side of BOTH joins as the build
+    side — the batch-vs-corpus shape, where the micro-batch is small by
+    construction and the corpus must never shuffle."""
+    hint = F.broadcast if broadcast_left else (lambda df: df)
+    cand = (
+        hint(mh.band_rows(left_sig).withColumnRenamed("doc_id", "doc_a"))
+        .join(
+            mh.band_rows(right_sig).withColumnRenamed("doc_id", "doc_b"),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    return (
+        hint(
+            cand.join(
+                left_sig.select("doc_id", *mh.SIG_COLS).alias("sa"),
+                cand.doc_a == F.col("sa.doc_id"),
+            )
+        )
+        .join(
+            right_sig.select("doc_id", *mh.SIG_COLS).alias("sb"),
+            cand.doc_b == F.col("sb.doc_id"),
+        )
+        .where(mh.agreement_count("sa", "sb") >= agree_r)
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_batch_against(
+    batch_sig: DataFrame, corpus_sig: DataFrame | None, agree_r: int = AGREE_R
+) -> DataFrame:
+    """One micro-batch step on already-computed signatures: corpus
+    filter, then within-batch component collapse. Returns the surviving
+    rows of ``batch_sig``. Pure frame -> frame (no I/O), shared by the
+    streaming sink and the registry query."""
+    remaining = batch_sig
+    if corpus_sig is not None:
+        dup_ids = (
+            _near_dup_pairs(batch_sig, corpus_sig, agree_r, broadcast_left=True)
+            .select(F.col("doc_a").alias("doc_id"))
+            .dropDuplicates()
+        )
+        remaining = batch_sig.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+
+    pairs = _near_dup_pairs(remaining, remaining, agree_r).where(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = labels.where(F.col("comp") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return remaining.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+
+class StreamingNearDupFilter:
+    """``foreachBatch`` sink: near-dup-filter each micro-batch of
+    ``(doc_id, text)`` rows against the accumulated survivor corpus.
+
+    State lives under ``state_dir``: ``sigs/`` (survivor signatures,
+    partitioned by epoch) and ``kept/`` (survivor doc_ids per epoch).
+    Use as ``stream.writeStream.foreachBatch(f.apply)``; after the query
+    finishes, ``kept()`` returns the accepted doc set.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        agree_r: int = AGREE_R,
+        hash_family: str = mh.ORACLE_HASH_FAMILY,
+    ):
+        mh.check_family(hash_family)
+        self.spark = spark
+        self.sigs_dir = os.path.join(state_dir, "sigs")
+        self.kept_dir = os.path.join(state_dir, "kept")
+        self.agree_r = agree_r
+        self.hash_family = hash_family
+
+    def _read_state(self, path: str, schema: T.StructType) -> DataFrame:
+        # explicit schema: an epoch that kept nothing writes a dir with
+        # no data files, which schema inference cannot read
+        return self.spark.read.schema(schema).parquet(path)
+
+    def corpus_sigs(self, before_epoch: int | None = None) -> DataFrame | None:
+        if not os.path.isdir(self.sigs_dir):
+            return None
+        df = self._read_state(self.sigs_dir, _STATE_SCHEMA)
+        if before_epoch is not None:
+            df = df.where(F.col("epoch") < before_epoch)
+        return df.drop("epoch")
+
+    def kept(self) -> DataFrame:
+        if not os.path.isdir(self.kept_dir):
+            return self.spark.createDataFrame([], _KEPT_SCHEMA)
+        return self._read_state(self.kept_dir, _KEPT_SCHEMA)
+
+    def apply(self, batch: DataFrame, epoch_id: int) -> None:
+        """Process one micro-batch (the ``foreachBatch`` contract).
+
+        A replayed epoch re-filters against strictly-earlier state and
+        overwrites its own ``epoch=<id>`` partitions — idempotent, so
+        at-least-once delivery still yields exactly-once state."""
+        sig = mh.signatures_for(
+            batch.select("doc_id", "text"), self.hash_family
+        ).localCheckpoint()
+        # materialize the survivors once: both writes consume them, and
+        # the second must not re-read state this epoch just overwrote
+        kept = dedup_batch_against(
+            sig, self.corpus_sigs(before_epoch=epoch_id), self.agree_r
+        ).localCheckpoint()
+        epoch = F.lit(int(epoch_id)).cast("long")
+        (
+            kept.withColumn("epoch", epoch)
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.sigs_dir)
+        )
+        (
+            kept.select("doc_id")
+            .withColumn("batch", epoch)
+            .withColumn("epoch", epoch)
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.kept_dir)
+        )

@@ -1,0 +1,121 @@
+"""Streaming ingest-time near-dup filter: the real writeStream wiring,
+its equivalence to the deterministic foreachBatch replay the registry
+value-oracles, the accepted-set invariant, and retry idempotence."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries.dedup import (
+    STREAM_NBATCH,
+    st_stream_neardup,
+)
+from opencypher_datalayer_spark.operators import minhash as mh
+from opencypher_datalayer_spark.sources.tables import load_table
+from opencypher_datalayer_spark.streaming.neardup import (
+    AGREE_R,
+    StreamingNearDupFilter,
+    _near_dup_pairs,
+)
+
+
+def _write_batch_files(spark, sf_dir, out_dir):
+    """Materialize documents as one parquet file per arrival batch with
+    strictly increasing mtimes, so the file stream source (which orders
+    by modification time) replays the registry's batch sequence."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    os.makedirs(out_dir)
+    for k in range(STREAM_NBATCH):
+        tmp = os.path.join(out_dir, f"_stage{k}")
+        docs.where(F.col("doc_id") % STREAM_NBATCH == k).coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out_dir, f"batch{k}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + 600 * k, 1_700_000_000 + 600 * k))
+    return docs
+
+
+def test_stream_equals_replay(spark, sf_dir, tmp_path):
+    """A REAL file-source stream (maxFilesPerTrigger=1, availableNow)
+    through writeStream.foreachBatch produces exactly the registry
+    replay's accepted set — the wiring the oracle cannot drive."""
+    docs = _write_batch_files(spark, sf_dir, str(tmp_path / "arrivals"))
+
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "arrivals"))
+        .writeStream.foreachBatch(filt.apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.doc_id, r.batch) for r in filt.kept().select("doc_id", "batch").collect()
+    }
+    replayed = {
+        (r.doc_id, r.batch)
+        for r in st_stream_neardup(spark, sf_dir, hash_family=mh.ORACLE_HASH_FAMILY).collect()
+    }
+    assert streamed == replayed
+    assert streamed  # non-degenerate: the corpus keeps something
+
+
+def test_accepted_set_is_pairwise_non_dup(spark, sf_dir):
+    """The operator's core invariant, independent of batch order: no two
+    accepted docs are a near-dup pair (share a band AND agree in >=
+    AGREE_R signature slots)."""
+    kept = st_stream_neardup(spark, sf_dir, hash_family=mh.ORACLE_HASH_FAMILY)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    kept_sigs = mh.signatures_for(
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi"), mh.ORACLE_HASH_FAMILY
+    ).localCheckpoint()
+    offending = (
+        _near_dup_pairs(kept_sigs, kept_sigs, AGREE_R)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .count()
+    )
+    assert offending == 0
+    # and it actually filtered: some doc was rejected
+    assert kept.count() < docs.count()
+
+
+def test_replayed_epoch_is_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once delivery: re-running an epoch (the foreachBatch
+    retry contract) leaves state identical — epoch partitions overwrite
+    instead of double-inserting."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % STREAM_NBATCH == k).localCheckpoint()
+        for k in range(STREAM_NBATCH)
+    ]
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    for k, b in enumerate(batches):
+        filt.apply(b, k)
+    before = sorted(tuple(r) for r in filt.kept().collect())
+    filt.apply(batches[2], 2)  # replay a mid-stream epoch
+    after = sorted(tuple(r) for r in filt.kept().collect())
+    assert before == after
+
+
+def test_empty_batch_and_empty_state(spark, tmp_path):
+    """An epoch that keeps nothing still commits (readable empty state),
+    and kept() on a never-run filter is an empty typed frame."""
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    assert filt.kept().count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    filt.apply(empty, 0)
+    assert filt.kept().count() == 0
+    assert filt.corpus_sigs() is not None  # state dir exists and reads
+
+
+def test_rejects_unknown_hash_family(spark, tmp_path):
+    with pytest.raises(ValueError):
+        StreamingNearDupFilter(spark, str(tmp_path), hash_family="sha1")

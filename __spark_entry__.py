@@ -7,14 +7,15 @@ operator family, interleaved across families — spanning
 relational/TPC-H shapes, the graph read+write Cypher surface
 (including variable-length paths, WITH stages, UNWIND, and the write
 templates end-to-end), graph analytics (triangles, fixed-point
-PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding +
-connected-components clustering), similarity (brute-force/LSH/IVF),
+PageRank), dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding/exact-substring +
+connected-components clustering, incremental and streaming ingest-time
+variants), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. A further 61 shape-twin queries (same operator family as a
+plumbing. A further 64 shape-twin queries (same operator family as a
 primary entry — see ``benchqueries.EXTENDED``) stay oracle-checked
 locally via ``scripts/selfcheck.py``. Every query — all 50 primaries
-and all 61 twins, including the pandas-UDF multimodal pipelines and
+and all 64 twins, including the pandas-UDF multimodal pipelines and
 the iterative graph algorithms — carries a full DuckDB value oracle
 with identical column names and driver-canonical output types (no raw
 DECIMAL/HUGEINT/array in final projections).

@@ -118,6 +118,9 @@ def _near_dup_pairs(
 SIG_ROW_BYTES = 200
 BATCH_BROADCAST_MAX_BYTES = 512 << 20
 
+# max near-dup pairs solved by the driver union-find in the fused path
+PAIR_COLLECT_BUDGET = 2_000_000
+
 
 def _fits_broadcast(n_rows: int) -> bool:
     return n_rows * SIG_ROW_BYTES <= BATCH_BROADCAST_MAX_BYTES
@@ -199,18 +202,23 @@ def dedup_batch_against(
         .select("doc_a", "doc_b", "is_corpus")
     )
 
-    budget = driver_edge_budget()
-    rows = pairs.limit(budget + 1).collect()
-    if len(rows) > budget:
+    # Arrow-collect the pair list; the budget caps the PYTHON-loop
+    # union-find (2M edges ~ a few driver seconds, far above any real
+    # micro-batch), not the CC operator's numpy budget — past it the
+    # distributed two-pass shape takes over
+    budget = min(driver_edge_budget(), PAIR_COLLECT_BUDGET)
+    pdf = pairs.limit(budget + 1).toPandas()
+    if len(pdf) > budget:
         return _dedup_batch_two_pass(batch_sig, corpus_sig, agree_r, small)
 
-    corpus_dropped = {r.doc_a for r in rows if r.is_corpus}
+    is_corp = pdf["is_corpus"].to_numpy()
+    a = pdf["doc_a"].to_numpy()
+    b = pdf["doc_b"].to_numpy()
+    corpus_dropped = set(a[is_corp].tolist())
     within = {
-        (r.doc_a, r.doc_b)
-        for r in rows
-        if not r.is_corpus
-        and r.doc_a not in corpus_dropped
-        and r.doc_b not in corpus_dropped
+        (x, y)
+        for x, y in zip(a[~is_corp].tolist(), b[~is_corp].tolist())
+        if x not in corpus_dropped and y not in corpus_dropped
     }
     labels = _union_find_min(list(within))
     dropped = sorted(corpus_dropped | {x for x, mn in labels.items() if mn < x})

@@ -1489,6 +1489,9 @@ def st_stream_neardup(
     driver's value check independent of file-listing order, which Spark
     does not contract (mirrors how ``cy_write_roundtrip`` gates the
     write path through the same apply_batch the service calls)."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from opencypher_datalayer_spark.streaming.neardup import StreamingNearDupFilter
@@ -1497,9 +1500,15 @@ def st_stream_neardup(
         load_table(spark, "documents", sf_dir).select("doc_id", "text"),
         work_per_row=WORK_MINHASH,
     )
-    filt = StreamingNearDupFilter(
-        spark, tempfile.mkdtemp(prefix="stream_neardup_"), hash_family=hash_family
+    # the replay must start from EMPTY state every call, but a fresh
+    # mkdtemp per call leaks one state dir per bench repeat — reuse a
+    # content-addressed per-process dir and wipe it at entry
+    digest = hashlib.md5(repr((_docs_fingerprint(sf_dir), hash_family)).encode()).hexdigest()[:10]
+    state = os.path.join(
+        tempfile.gettempdir(), f"stream_neardup_{digest}_p{os.getpid()}"
     )
+    shutil.rmtree(state, ignore_errors=True)
+    filt = StreamingNearDupFilter(spark, state, hash_family=hash_family)
     # signatures are a pure per-doc function: compute once for the whole
     # arrival sequence, slice per epoch (one explode+groupBy job instead
     # of one per epoch; the live-stream path computes per batch and is

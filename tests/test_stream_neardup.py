@@ -151,3 +151,52 @@ def test_broadcast_gate_math():
 
     assert _fits_broadcast(1000)
     assert not _fits_broadcast(BATCH_BROADCAST_MAX_BYTES // SIG_ROW_BYTES + 1)
+
+
+def test_two_pass_fallback_matches_fused(spark, sf_dir, tmp_path, monkeypatch):
+    """The distributed fallback (the 100 TB path for a replayed
+    mega-batch) must produce exactly the fused path's survivors. Forced
+    by shrinking the pair-collect budget below the corpus' pair count."""
+    import opencypher_datalayer_spark.streaming.neardup as nd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint()
+    second = docs.where(F.col("doc_id") % 2 == 1).localCheckpoint()
+
+    def run(state):
+        filt = StreamingNearDupFilter(spark, str(tmp_path / state))
+        filt.apply(first, 0)
+        filt.apply(second, 1)
+        return sorted(tuple(r) for r in filt.kept().collect())
+
+    fused = run("fused")
+    monkeypatch.setattr(nd, "PAIR_COLLECT_BUDGET", 0)
+    fallback = run("fallback")
+    assert fallback == fused
+
+
+def test_corpus_join_broadcasts_batch_side(spark, sf_dir, tmp_path):
+    """Plan audit: in the batch-vs-corpus candidate join the BATCH side
+    is the broadcast build side — the corpus must never shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from opencypher_datalayer_spark.streaming.neardup import dedup_batch_against
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sig = mh.signatures_for(docs, mh.ORACLE_HASH_FAMILY).localCheckpoint()
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    filt.apply_sigs(sig.where(F.col("doc_id") % 2 == 0), 0)
+
+    kept = dedup_batch_against(
+        sig.where(F.col("doc_id") % 2 == 1),
+        filt.corpus_sigs(before_epoch=1),
+        batch_rows=1,  # force the small-batch hint
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kept.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the corpus (parquet state) side never sorts/exchanges for the join
+    assert "SortMergeJoin" not in plan

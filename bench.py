@@ -76,6 +76,7 @@ ENGINE_MODE = [
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_simhash_pairs",
+    "st_stream_neardup",
 ]
 
 

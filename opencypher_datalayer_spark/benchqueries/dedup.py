@@ -1516,7 +1516,11 @@ def st_stream_neardup(
     sig_all = mh.signatures_for(docs, hash_family).localCheckpoint()
     for k in range(STREAM_NBATCH):
         filt.apply_sigs(sig_all.where(F.col("doc_id") % STREAM_NBATCH == k), k)
-    return filt.kept().select("doc_id", "batch").orderBy("doc_id")
+    # checkpoint decouples the result from the state dir, which the NEXT
+    # invocation wipes — a frame returned earlier must stay collectable
+    return (
+        filt.kept().select("doc_id", "batch").localCheckpoint().orderBy("doc_id")
+    )
 
 
 def _duck_stream_neardup_sql() -> str:
@@ -1574,13 +1578,13 @@ def _duck_stream_neardup_sql() -> str:
             f"kept{k} AS MATERIALIZED (SELECT r.* FROM rem{k} r LEFT JOIN lab{k} l USING (doc_id)"
             f" WHERE l.mn IS NULL OR l.mn >= r.doc_id)"
         )
-        src = f"corp{k}" if k else None
-        nxt = (
-            f"corp{k + 1} AS MATERIALIZED (SELECT * FROM {src} UNION ALL SELECT * FROM kept{k})"
-            if src
-            else "corp1 AS MATERIALIZED (SELECT * FROM kept0)"
-        )
-        parts.append(nxt)
+        if k + 1 < STREAM_NBATCH:  # the last batch's corpus has no consumer
+            parts.append(
+                f"corp{k + 1} AS MATERIALIZED (SELECT * FROM corp{k} UNION ALL"
+                f" SELECT * FROM kept{k})"
+                if k
+                else "corp1 AS MATERIALIZED (SELECT * FROM kept0)"
+            )
     union = " UNION ALL ".join(f"SELECT doc_id FROM kept{k}" for k in range(STREAM_NBATCH))
     return f"""
 WITH RECURSIVE s AS ({_DUCK_SHINGLES}),

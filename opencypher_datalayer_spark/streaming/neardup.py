@@ -110,20 +110,26 @@ def _near_dup_pairs(
     )
 
 
-# a signature row is ~200 B (12 int64 slots + 4 hash strings); pin the
-# batch as the broadcast build side only while the estimate stays well
-# under executor broadcast headroom — above it (a replayed mega-batch,
-# not a micro-batch) the hint is withheld and the band join degrades to
-# a shuffle join instead of aborting on the broadcast limit
-SIG_ROW_BYTES = 200
+# What the fused path actually broadcasts is the batch's BAND ROWS
+# CARRYING THEIR SIGNATURES (BANDS rows/doc x (id + band key + H int64
+# slots) ~ 4 x 200 B = 800 B/doc), so the gate is sized on that — and
+# because the broadcast frame is a pure per-doc explode, its size IS
+# bounded by batch rows (unlike a candidate-pair frame, whose volume is
+# collision-dependent and must never be hinted). Above the gate (a
+# replayed mega-batch, not a micro-batch) the hint is withheld and the
+# band join degrades to a shuffle join instead of aborting on the
+# broadcast limit.
+BATCH_BROADCAST_BYTES_PER_DOC = 800
 BATCH_BROADCAST_MAX_BYTES = 512 << 20
 
-# max near-dup pairs solved by the driver union-find in the fused path
+# max collected pair rows solved by the driver union-find in the fused
+# path (rows, not distinct pairs: a pair sharing k bands arrives k times
+# and is set-deduped on the driver)
 PAIR_COLLECT_BUDGET = 2_000_000
 
 
 def _fits_broadcast(n_rows: int) -> bool:
-    return n_rows * SIG_ROW_BYTES <= BATCH_BROADCAST_MAX_BYTES
+    return n_rows * BATCH_BROADCAST_BYTES_PER_DOC <= BATCH_BROADCAST_MAX_BYTES
 
 
 def _union_find_min(edges: list[tuple]) -> dict:
@@ -149,6 +155,52 @@ def _union_find_min(edges: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
+def _band_rows_with_sigs(
+    sig: DataFrame, prefix: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode to one row per (doc, band) CARRYING the H signature slots
+    (plus ``extra`` passthrough columns) — the fused join's input shape,
+    so agreement is computed on the band join's own output row with no
+    follow-up signature joins."""
+    cols = [F.col(c).alias(f"{prefix}{c}") for c in ("doc_id", *mh.SIG_COLS)]
+    return sig.select(
+        *cols,
+        *extra,
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(mh.BANDS)]),
+                F.array(*[F.col(f"band{b}") for b in range(mh.BANDS)]),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _fused_pairs(
+    batch_sig: DataFrame,
+    flagged: DataFrame,
+    agree_r: int,
+    hint,
+) -> DataFrame:
+    """The fused path's single join: batch band rows (with signatures,
+    hinted build side) against (corpus UNION batch) band rows, agreement
+    and ordering filters applied directly on the joined row. No
+    candidate-pair frame is ever a broadcast input — only the per-doc
+    bounded batch explode is."""
+    left = hint(_band_rows_with_sigs(batch_sig, "a_").withColumnRenamed("a_doc_id", "doc_a"))
+    right = _band_rows_with_sigs(flagged, "b_", extra=("is_corpus",)).withColumnRenamed(
+        "b_doc_id", "doc_b"
+    )
+    agree = sum(
+        (F.col(f"a_m{i}") == F.col(f"b_m{i}")).cast("int") for i in range(mh.H)
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(agree >= agree_r)
+        .where(F.col("is_corpus") | (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "is_corpus")
+    )
+
+
 def dedup_batch_against(
     batch_sig: DataFrame,
     corpus_sig: DataFrame | None,
@@ -158,17 +210,19 @@ def dedup_batch_against(
     """One micro-batch step on already-computed signatures: corpus
     filter, then within-batch component collapse. Returns the surviving
     rows of ``batch_sig``. Shared by the streaming sink and the registry
-    query. ``batch_rows`` (when the caller knows it) gates the
-    batch-side broadcast hint.
+    query. ``batch_rows`` gates the batch-side broadcast hint; when the
+    caller does not know it, the hint is WITHHELD (the safe default —
+    AQE still broadcasts a genuinely small side at runtime).
 
     Hot path: ONE fused band join of the batch against (corpus UNION
-    batch), one agreement join, one collect of the near-dup pair list
-    (micro-batch pair sets are tiny), and a driver union-find — 3 Spark
-    jobs per epoch instead of the ~10 the unfused two-pass shape costs
-    (measured 2.4 s -> 0.9 s per epoch at sf0.1, all fixed job
-    overhead). Falls back to the distributed two-pass shape when the
-    pair list exceeds the CC driver budget (a replayed mega-batch)."""
-    small = _fits_broadcast(batch_rows) if batch_rows is not None else True
+    batch) with the signatures carried on the band rows, one collect of
+    the near-dup pair list (micro-batch pair sets are tiny), and a
+    driver union-find — 3 Spark jobs per epoch instead of the ~10 the
+    unfused two-pass shape costs (measured 2.4 s -> 0.9 s per epoch at
+    sf0.1, all fixed job overhead). Falls back to the distributed
+    two-pass shape when the pair list exceeds the driver budget (a
+    replayed mega-batch)."""
+    small = _fits_broadcast(batch_rows) if batch_rows is not None else False
     hint = F.broadcast if small else (lambda df: df)
 
     flagged = batch_sig.select("doc_id", *mh.SIG_COLS, *mh.BAND_COLS).withColumn(
@@ -180,30 +234,10 @@ def dedup_batch_against(
                 "is_corpus", F.lit(True)
             )
         )
-    cand = (
-        hint(mh.band_rows(batch_sig).withColumnRenamed("doc_id", "doc_a"))
-        .join(mh.band_rows(flagged), ["band_idx", "band_hash"])
-        .withColumnRenamed("doc_id", "doc_b")
-        .select("doc_a", "doc_b")
-    )
-    pairs = (
-        hint(
-            cand.join(
-                batch_sig.select("doc_id", *mh.SIG_COLS).alias("sa"),
-                cand.doc_a == F.col("sa.doc_id"),
-            )
-        )
-        .join(
-            flagged.select("doc_id", "is_corpus", *mh.SIG_COLS).alias("sb"),
-            cand.doc_b == F.col("sb.doc_id"),
-        )
-        .where(mh.agreement_count("sa", "sb") >= agree_r)
-        .where(F.col("is_corpus") | (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "is_corpus")
-    )
+    pairs = _fused_pairs(batch_sig, flagged, agree_r, hint)
 
     # Arrow-collect the pair list; the budget caps the PYTHON-loop
-    # union-find (2M edges ~ a few driver seconds, far above any real
+    # union-find (2M rows ~ a few driver seconds, far above any real
     # micro-batch), not the CC operator's numpy budget — past it the
     # distributed two-pass shape takes over
     budget = min(driver_edge_budget(), PAIR_COLLECT_BUDGET)
@@ -236,7 +270,10 @@ def _dedup_batch_two_pass(
     small: bool,
 ) -> DataFrame:
     """Distributed fallback for over-budget pair volumes: corpus filter
-    join, then within-batch pairs, then the adaptive CC operator."""
+    join, then within-batch pairs, then the adaptive CC operator. This
+    path exists precisely for mega-batches, so the dup/dropped id frames
+    are NOT force-broadcast — they can be arbitrarily large here, and
+    AQE still broadcasts them at runtime when they turn out small."""
     remaining = batch_sig
     if corpus_sig is not None:
         dup_ids = (
@@ -244,7 +281,7 @@ def _dedup_batch_two_pass(
             .select(F.col("doc_a").alias("doc_id"))
             .dropDuplicates()
         )
-        remaining = batch_sig.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+        remaining = batch_sig.join(dup_ids, "doc_id", "left_anti")
 
     pairs = _near_dup_pairs(remaining, remaining, agree_r).where(
         F.col("doc_a") < F.col("doc_b")
@@ -253,7 +290,7 @@ def _dedup_batch_two_pass(
     dropped = labels.where(F.col("comp") < F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    return remaining.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return remaining.join(dropped, "doc_id", "left_anti")
 
 
 class StreamingNearDupFilter:
@@ -285,7 +322,30 @@ class StreamingNearDupFilter:
         # no data files, which schema inference cannot read
         return self.spark.read.schema(schema).parquet(path)
 
+    def _recover_compaction(self) -> None:
+        """Finish or roll back a compaction interrupted between renames.
+        Cases: (a) ``sigs`` missing but ``.old`` present — the crash hit
+        after the swap-out; restore the pre-compaction state (compaction
+        simply didn't happen). (b) both present — the crash hit before
+        cleanup; the swap completed, drop the leftover. Called at every
+        state read and at compact() entry, so no crash leaves the filter
+        reading an empty corpus or a blocked next compaction."""
+        old = self.sigs_dir + ".old"
+        if os.path.isdir(old):
+            import shutil
+
+            if not os.path.isdir(self.sigs_dir):
+                os.rename(old, self.sigs_dir)
+            else:
+                shutil.rmtree(old)
+        tmp = self.sigs_dir + ".compacting"
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)  # incomplete fold output; state is intact
+
     def corpus_sigs(self, before_epoch: int | None = None) -> DataFrame | None:
+        self._recover_compaction()
         if not os.path.isdir(self.sigs_dir):
             return None
         df = self._read_state(self.sigs_dir, _STATE_SCHEMA)
@@ -306,7 +366,11 @@ class StreamingNearDupFilter:
         finalized — a foreachBatch retry below the compaction horizon
         is no longer idempotent (the standard retention trade; compact
         only past the checkpoint's committed offset). The kept log is
-        untouched."""
+        untouched. Crash-safe: an interruption between the renames is
+        healed by ``_recover_compaction`` at the next read or compact
+        (the fold either completed or rolls back; live state is never
+        the casualty)."""
+        self._recover_compaction()
         sigs = (
             self._read_state(self.sigs_dir, _STATE_SCHEMA)
             .drop("epoch")

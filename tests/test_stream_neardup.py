@@ -144,13 +144,15 @@ def test_compact_preserves_filtering(spark, sf_dir, tmp_path):
 
 def test_broadcast_gate_math():
     from opencypher_datalayer_spark.streaming.neardup import (
+        BATCH_BROADCAST_BYTES_PER_DOC,
         BATCH_BROADCAST_MAX_BYTES,
-        SIG_ROW_BYTES,
         _fits_broadcast,
     )
 
     assert _fits_broadcast(1000)
-    assert not _fits_broadcast(BATCH_BROADCAST_MAX_BYTES // SIG_ROW_BYTES + 1)
+    assert not _fits_broadcast(
+        BATCH_BROADCAST_MAX_BYTES // BATCH_BROADCAST_BYTES_PER_DOC + 1
+    )
 
 
 def test_two_pass_fallback_matches_fused(spark, sf_dir, tmp_path, monkeypatch):
@@ -176,27 +178,63 @@ def test_two_pass_fallback_matches_fused(spark, sf_dir, tmp_path, monkeypatch):
 
 
 def test_corpus_join_broadcasts_batch_side(spark, sf_dir, tmp_path):
-    """Plan audit: in the batch-vs-corpus candidate join the BATCH side
-    is the broadcast build side — the corpus must never shuffle."""
+    """Plan audit of the FUSED band join itself (dedup_batch_against
+    executes it eagerly, so its plan must be inspected pre-collect): the
+    batch side is the broadcast build side — the corpus never shuffles
+    or sorts for the join."""
     import io
     from contextlib import redirect_stdout
 
-    from opencypher_datalayer_spark.streaming.neardup import dedup_batch_against
+    from opencypher_datalayer_spark.streaming.neardup import AGREE_R, _fused_pairs
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     sig = mh.signatures_for(docs, mh.ORACLE_HASH_FAMILY).localCheckpoint()
     filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
     filt.apply_sigs(sig.where(F.col("doc_id") % 2 == 0), 0)
 
-    kept = dedup_batch_against(
-        sig.where(F.col("doc_id") % 2 == 1),
-        filt.corpus_sigs(before_epoch=1),
-        batch_rows=1,  # force the small-batch hint
+    batch = sig.where(F.col("doc_id") % 2 == 1)
+    flagged = batch.withColumn("is_corpus", F.lit(False)).unionByName(
+        filt.corpus_sigs(before_epoch=1).withColumn("is_corpus", F.lit(True))
     )
+    pairs = _fused_pairs(batch, flagged, AGREE_R, F.broadcast)
     buf = io.StringIO()
     with redirect_stdout(buf):
-        kept.explain("formatted")
+        pairs.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
-    # the corpus (parquet state) side never sorts/exchanges for the join
     assert "SortMergeJoin" not in plan
+    # and the end-to-end step still returns the right survivors when
+    # the hint is gated on the real batch size
+    from opencypher_datalayer_spark.streaming.neardup import dedup_batch_against
+
+    kept = dedup_batch_against(
+        batch, filt.corpus_sigs(before_epoch=1), batch_rows=batch.count()
+    )
+    assert 0 < kept.count() <= batch.count()
+
+
+def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """A compaction interrupted between renames must heal at the next
+    read: swap-out crash (sigs gone, .old present) rolls back; cleanup
+    crash (both present) completes. Live state is never the casualty."""
+    import os
+    import shutil as sh
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    filt.apply(docs.where(F.col("doc_id") % 2 == 0).localCheckpoint(), 0)
+    n = filt.corpus_sigs().count()
+
+    # simulate: crash AFTER rename(sigs -> old), BEFORE rename(tmp -> sigs)
+    os.rename(filt.sigs_dir, filt.sigs_dir + ".old")
+    os.makedirs(filt.sigs_dir + ".compacting")
+    assert filt.corpus_sigs().count() == n  # rolled back, nothing lost
+    assert not os.path.exists(filt.sigs_dir + ".old")
+    assert not os.path.exists(filt.sigs_dir + ".compacting")
+
+    # simulate: crash AFTER the swap, BEFORE rmtree(old)
+    sh.copytree(filt.sigs_dir, filt.sigs_dir + ".old")
+    assert filt.corpus_sigs().count() == n  # completed, leftover dropped
+    assert not os.path.exists(filt.sigs_dir + ".old")
+    filt.compact()  # and a fresh compact still works afterwards
+    assert filt.corpus_sigs().count() == n

@@ -1539,9 +1539,11 @@ def _duck_stream_neardup_sql() -> str:
     # every multi-referenced CTE is MATERIALIZED: DuckDB inlines CTEs by
     # default, so each reference would otherwise recompute the whole
     # shingle+MinHash pipeline (the same trap the k-means oracle hit —
-    # 28 s -> 1.3 s with the hint)
-    parts = [
-        f"b{k} AS MATERIALIZED (SELECT * FROM banded WHERE doc_id % {STREAM_NBATCH} = {k})"
+    # 28 s -> 1.3 s with the hint). That includes ``banded`` itself: the
+    # STREAM_NBATCH b{k} CTEs all read it, so it gets a materialized
+    # alias to keep the upstream s/hashed/sig chain computed once.
+    parts = [f"banded_m AS MATERIALIZED (SELECT * FROM banded)"] + [
+        f"b{k} AS MATERIALIZED (SELECT * FROM banded_m WHERE doc_id % {STREAM_NBATCH} = {k})"
         for k in range(STREAM_NBATCH)
     ]
     for k in range(STREAM_NBATCH):

@@ -81,9 +81,13 @@ def _near_dup_pairs(
     first (equi-join on the bucket key — never a cross join), then the
     agreement check joins the H-slot signatures back in.
 
-    ``broadcast_left`` pins the left side of BOTH joins as the build
-    side — the batch-vs-corpus shape, where the micro-batch is small by
-    construction and the corpus must never shuffle."""
+    ``broadcast_left`` pins the left side's BAND ROWS as the band
+    join's build side — the batch-vs-corpus shape, where the
+    micro-batch is small by construction and the corpus must never
+    shuffle. The hint is applied ONLY to that per-doc-bounded explode;
+    the candidate-pair frame's row count is collision-dependent (not
+    bounded by batch rows), so it is never force-broadcast — AQE still
+    broadcasts it at runtime when it turns out small."""
     hint = F.broadcast if broadcast_left else (lambda df: df)
     cand = (
         hint(mh.band_rows(left_sig).withColumnRenamed("doc_id", "doc_a"))
@@ -95,11 +99,9 @@ def _near_dup_pairs(
         .dropDuplicates()
     )
     return (
-        hint(
-            cand.join(
-                left_sig.select("doc_id", *mh.SIG_COLS).alias("sa"),
-                cand.doc_a == F.col("sa.doc_id"),
-            )
+        cand.join(
+            left_sig.select("doc_id", *mh.SIG_COLS).alias("sa"),
+            cand.doc_a == F.col("sa.doc_id"),
         )
         .join(
             right_sig.select("doc_id", *mh.SIG_COLS).alias("sb"),
@@ -358,23 +360,27 @@ class StreamingNearDupFilter:
             return self.spark.createDataFrame([], _KEPT_SCHEMA)
         return self._read_state(self.kept_dir, _KEPT_SCHEMA)
 
-    def compact(self) -> None:
-        """Fold every signature epoch into a single base partition
-        (``epoch=-1``, visible to all future epochs), bounding the
-        partition/file count a long-running stream accumulates. The
-        trade is the replay window: epochs folded into the base are
-        finalized — a foreachBatch retry below the compaction horizon
-        is no longer idempotent (the standard retention trade; compact
-        only past the checkpoint's committed offset). The kept log is
-        untouched. Crash-safe: an interruption between the renames is
-        healed by ``_recover_compaction`` at the next read or compact
-        (the fold either completed or rolls back; live state is never
-        the casualty)."""
+    def compact(self, below_epoch: int) -> None:
+        """Fold signature epochs ``< below_epoch`` into a single base
+        partition (``epoch=-1``, visible to all future epochs), bounding
+        the partition/file count a long-running stream accumulates.
+        Epochs ``>= below_epoch`` keep their own partitions, so a
+        foreachBatch retry of any epoch at or above the bound stays
+        idempotent — its ``before_epoch`` filter still excludes that
+        epoch's own survivors, and its dynamic overwrite still targets
+        an intact partition. Pass the checkpoint's committed offset as
+        ``below_epoch``; the bound is ENFORCED here rather than left to
+        the caller (epochs folded into the base are finalized — the
+        standard retention trade). The kept log is untouched.
+        Crash-safe: an interruption between the renames is healed by
+        ``_recover_compaction`` at the next read or compact (the fold
+        either completed or rolls back; live state is never the
+        casualty)."""
         self._recover_compaction()
-        sigs = (
-            self._read_state(self.sigs_dir, _STATE_SCHEMA)
-            .drop("epoch")
-            .withColumn("epoch", F.lit(-1).cast("long"))
+        epoch = F.col("epoch")
+        sigs = self._read_state(self.sigs_dir, _STATE_SCHEMA).withColumn(
+            "epoch",
+            F.when(epoch < int(below_epoch), F.lit(-1).cast("long")).otherwise(epoch),
         )
         tmp = self.sigs_dir + ".compacting"
         sigs.write.mode("overwrite").partitionBy("epoch").parquet(tmp)

@@ -132,7 +132,7 @@ def test_compact_preserves_filtering(spark, sf_dir, tmp_path):
     kept_before = sorted(r.doc_id for r in filt.kept().collect())
     corpus_before = filt.corpus_sigs().count()
 
-    filt.compact()
+    filt.compact(below_epoch=1)
     assert sorted(r.doc_id for r in filt.kept().collect()) == kept_before
     assert filt.corpus_sigs().count() == corpus_before
 
@@ -236,5 +236,35 @@ def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
     sh.copytree(filt.sigs_dir, filt.sigs_dir + ".old")
     assert filt.corpus_sigs().count() == n  # completed, leftover dropped
     assert not os.path.exists(filt.sigs_dir + ".old")
-    filt.compact()  # and a fresh compact still works afterwards
+    filt.compact(below_epoch=1)  # and a fresh compact still works afterwards
     assert filt.corpus_sigs().count() == n
+
+
+def test_compact_respects_retry_window(spark, sf_dir, tmp_path):
+    """compact(below_epoch) must fold ONLY finalized epochs: an epoch at
+    or above the bound keeps its own partition, so a foreachBatch retry
+    of that epoch after compaction is still idempotent (its
+    before_epoch filter excludes its own survivors). Folding everything
+    would make the retried batch match itself and keep nothing."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % STREAM_NBATCH == k).localCheckpoint()
+        for k in range(STREAM_NBATCH)
+    ]
+    filt = StreamingNearDupFilter(spark, str(tmp_path / "state"))
+    for k, b in enumerate(batches):
+        filt.apply(b, k)
+    before = sorted(tuple(r) for r in filt.kept().collect())
+
+    # checkpoint has committed through epoch 2; epoch 3 may still replay
+    last = STREAM_NBATCH - 1
+    filt.compact(below_epoch=last)
+    epochs = {
+        r.epoch
+        for r in spark.read.parquet(filt.sigs_dir).select("epoch").distinct().collect()
+    }
+    assert epochs == {-1, last}  # old epochs folded, retry window intact
+
+    filt.apply(batches[last], last)  # the retry the bound protects
+    after = sorted(tuple(r) for r in filt.kept().collect())
+    assert before == after

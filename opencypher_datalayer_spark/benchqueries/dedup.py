@@ -33,6 +33,8 @@ sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,88 +177,21 @@ def _maybe_broadcast_slim(df: DataFrame, sf_dir: str) -> DataFrame:
 def _staged_verify(
     sets: DataFrame, cand: DataFrame, sf_dir: str, gate
 ) -> DataFrame:
-    """Exact overlap for the candidate pairs that survive a SOUND
-    slim-payload bound — the shared verify engine of
-    :func:`dedup_ngram_jaccard` and :func:`dedup_ngram_containment`.
+    """Registry adapter over :func:`operators.staged_verify.staged_verify`
+    (the engine itself — stage-A slim bound with the ``dq`` collision
+    slack, stage-B exact intersect for the ~0.1% survivors — lives in
+    ``operators/`` so library callers get it as a pure frame->frame
+    function; see its module docstring for the soundness argument and
+    the measured history). This adapter binds the registry's
+    corpus-size broadcast gates."""
+    from opencypher_datalayer_spark.operators.staged_verify import staged_verify
 
-    STAGE A streams every candidate through two joins against frames
-    carrying only ``(lo32, n, nh, dq)``: the below-``VERIFY_SPLIT``
-    quarter of each set truncated to int32 (distinct), plus sizes and
-    the per-doc truncation-collapse count. Because lo/hi partition the
-    sets BY VALUE, ``|A . B| = |A_lo . B_lo| + |A_hi . B_hi|`` exactly,
-    so ``i_lo + min(|A_hi|,|B_hi|)`` bounds the true overlap. Truncation
-    needs care in BOTH directions: unshared 60-bit values may collide
-    into the int32 intersection (bound grows — harmless), but two
-    distinct SHARED 60-bit values may also collapse to one int32
-    element, shrinking ``size(array_intersect)`` below the true
-    ``i_lo`` (ADVICE r7 #1 — the round-6/7 shape was unsound here).
-    Every such collapse among shared values is a collapse within each
-    doc's own lo array, so ``i_lo <= |T(A) . T(B)| + min(dq_a, dq_b)``
-    where ``dq = |lo| - |distinct(lo32)|`` — adding ``least(dq_a,
-    dq_b)`` restores a true upper bound at two ints/doc of extra
-    payload. The per-doc payload still drops ~8x vs the full 64-bit
-    arrays (the r6 shape shipped both docs' full arrays per candidate;
-    at sf10's 117.8M candidates that intermediate filled the disk).
-    ``gate(ub, na, nb)`` decides feasibility and must never be stricter
-    than the caller's emit predicate.
-
-    STAGE B joins only the survivors (measured ~0.1%: 256 of 199k at
-    sf0.1) against the full 64-bit ``hs`` arrays — one exact
-    ``array_intersect`` per surviving pair, so truncation never touches
-    an emitted value. Both stage-B sides come from the bucketed sets
-    scan (no exchange, hash-build per bucket); the survivor side is the
-    only thing exchanged, and it is tiny."""
-    lo32 = F.transform(
-        F.filter("hs", lambda x: x < F.lit(VERIFY_SPLIT)),
-        lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
-    )
-    nh = F.size(F.filter("hs", lambda x: x >= F.lit(VERIFY_SPLIT)))
-    slim = (
-        sets.select("doc_id", lo32.alias("lo32raw"), F.col("n"), nh.alias("nh"))
-        .select(
-            "doc_id",
-            F.array_distinct("lo32raw").alias("lo32"),
-            (F.size("lo32raw") - F.size(F.array_distinct("lo32raw"))).alias("dq"),
-            "n",
-            "nh",
-        )
-    )
-    slim_a = slim.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lo32").alias("lo_a"),
-        F.col("dq").alias("dqa"),
-        F.col("n").alias("na"),
-        F.col("nh").alias("nha"),
-    )
-    slim_b = slim.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lo32").alias("lo_b"),
-        F.col("dq").alias("dqb"),
-        F.col("n").alias("nb"),
-        F.col("nh").alias("nhb"),
-    )
-    ub = (
-        F.size(F.array_intersect("lo_a", "lo_b"))
-        + F.least("dqa", "dqb")
-        + F.least("nha", "nhb")
-    )
-    feasible = (
-        cand.join(_maybe_broadcast_slim(slim_a, sf_dir), "doc_a")
-        .join(_maybe_broadcast_slim(slim_b, sf_dir), "doc_b")
-        .where(gate(ub, F.col("na"), F.col("nb")))
-        .select("doc_a", "doc_b")
-    )
-    ea = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
-    )
-    eb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
-    )
-    return (
-        feasible.join(_maybe_broadcast_sets(ea, sf_dir), "doc_a")
-        .join(_maybe_broadcast_sets(eb, sf_dir), "doc_b")
-        .withColumn("i", F.size(F.array_intersect("hs_a", "hs_b")))
-        .select("doc_a", "doc_b", "na", "nb", "i")
+    return staged_verify(
+        cand,
+        sets,
+        gate,
+        hint_slim=lambda df: _maybe_broadcast_slim(df, sf_dir),
+        hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir),
     )
 
 
@@ -453,11 +388,11 @@ FROM documents GROUP BY md5(text) ORDER BY fp
 
 JACCARD_T = 0.8
 
-# Hash-value split point for the staged Jaccard verify: the first
-# quarter of the 60-bit hash space. Uniform hashing puts ~25% of each
-# set below it; the quarter-size lo-intersect refutes nearly all false
-# candidates before the hi arrays are touched.
-VERIFY_SPLIT = 1 << 58
+# Hash-value split point for the staged verify (canonical home:
+# operators.staged_verify; re-exported for existing callers/tests).
+from opencypher_datalayer_spark.operators.staged_verify import (  # noqa: E402
+    VERIFY_SPLIT,
+)
 
 
 def dedup_ngram_jaccard(
@@ -916,25 +851,41 @@ def _minhash_sigs(
     cached = _SIG_CACHE.get(key)
     if cached is not None and cached[0] == fprint:
         return cached[1]
-    # Shape: NON-distinct shingle explode -> portable md5 hash -> 12
-    # affine min-aggs with map-side partial MIN before the one groupBy
-    # shuffle. MIN is duplicate-insensitive, so the shingle dedup
-    # shuffle is skipped. Two rejected alternatives, measured at sf1
-    # (15M shingles): a per-doc array ``aggregate`` fold (zero shuffle,
-    # but higher-order lambdas evaluate interpreted, 40s vs 34s) and a
-    # distinct-vocabulary md5 + broadcast join-back (the vocab distinct
-    # shuffles the same 15M strings it tried to avoid hashing, 39s).
-    # In md5 (oracle) mode roughly half the remaining cost is the
-    # md5+conv itself — the tax for a hash DuckDB can recompute, i.e.
-    # for full value-level oracles; xxhash64 mode (the engine default
+    # STANDING ARTIFACT (r9): signatures are a pure per-doc function of
+    # the corpus, shared by the whole LSH family — the canonical case
+    # for the corpus-versioned artifact store. On a session-memo miss,
+    # a committed signature table is read back as a parquet scan
+    # (exact: int64 mins + hex band strings round-trip bit-for-bit);
+    # only a truly cold corpus computes, and the computed frame is
+    # committed so every later session starts warm.
+    #
+    # Compute shape (the builder): NON-distinct shingle explode ->
+    # portable md5 hash -> 12 affine min-aggs with map-side partial MIN
+    # before the one groupBy shuffle. MIN is duplicate-insensitive, so
+    # the shingle dedup shuffle is skipped. Two rejected alternatives,
+    # measured at sf1 (15M shingles): a per-doc array ``aggregate``
+    # fold (zero shuffle, but higher-order lambdas evaluate
+    # interpreted, 40s vs 34s) and a distinct-vocabulary md5 +
+    # broadcast join-back (the vocab distinct shuffles the same 15M
+    # strings it tried to avoid hashing, 39s). In md5 (oracle) mode
+    # roughly half the remaining cost is the md5+conv itself — the tax
+    # for a hash DuckDB can recompute; xxhash64 (the engine default
     # for library callers) halves the stage without touching the plan.
-    out = mh.signatures_for(
-        rebalance_for_inflation(
-            load_table(spark, "documents", sf_dir).select("doc_id", "text"),
-            work_per_row=WORK_MINHASH,
-        ),
-        hash_family,
-    ).localCheckpoint(eager=False)
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+
+    def build(tmp: str) -> None:
+        mh.signatures_for(
+            rebalance_for_inflation(
+                load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+                work_per_row=WORK_MINHASH,
+            ),
+            hash_family,
+        ).write.parquet(os.path.join(tmp, "sigs"))
+
+    adir = default_store().get_or_build(
+        "minhash_sigs", ("v1", fprint, hash_family, mh.H, SHINGLE_K), build
+    )
+    out = spark.read.parquet(os.path.join(adir, "sigs"))
     _SIG_CACHE[key] = (fprint, out)
     return out
 
@@ -1302,6 +1253,43 @@ ORDER BY doc_a, doc_b
 INCR_NEW_MOD = 20
 
 
+# artifact identity: layout version + everything that shapes the
+# persisted frames. Bump the version string when the layout changes.
+_INCR_ARTIFACT_KIND = "ngram_corpus"
+_INCR_LAYOUT = "v1"
+
+
+def _incr_artifact_key(sf_dir: str, hash_family: str) -> tuple:
+    return (
+        _INCR_LAYOUT,
+        _docs_fingerprint(sf_dir),
+        hash_family,
+        INCR_NEW_MOD,
+        SHINGLE_K,
+    )
+
+
+def build_incremental_artifacts(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> str:
+    """Build (if absent) the STANDING-corpus n-gram artifact
+    (``operators.ngram_corpus``) for :func:`dedup_incremental` and
+    return its committed version dir. Exposed separately so the bench
+    can time build and probe as first-class phases."""
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+    from opencypher_datalayer_spark.operators.ngram_corpus import write_ngram_corpus
+
+    def build(tmp: str) -> None:
+        sh = _shingle_hashes(spark, sf_dir, hash_family).where(
+            F.col("doc_id") % INCR_NEW_MOD != 0
+        )
+        write_ngram_corpus(spark, sh, tmp)
+
+    return default_store().get_or_build(
+        _INCR_ARTIFACT_KIND, _incr_artifact_key(sf_dir, hash_family), build
+    )
+
+
 def dedup_incremental(
     spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
 ) -> DataFrame:
@@ -1312,50 +1300,76 @@ def dedup_incremental(
     candidate volume is new x corpus-df, never corpus^2 — at 100 TB
     the standing corpus is only ever probed, not self-joined.
 
+    ARTIFACT-BACKED (r9): the corpus-side frames (shingles, df, ranked
+    sets, stage-A slim payloads) come from a standing
+    ``operators.ngram_corpus`` artifact keyed by the corpus content
+    fingerprint — built once per corpus version
+    (:func:`build_incremental_artifacts`), then every invocation pays
+    only the NEW batch's shingle/rank cost plus probe joins against
+    artifact parquet scans. The r8 shape recomputed and re-shuffled
+    the whole standing corpus per call (207.8 s at sf10 — VERDICT r8
+    'what's missing' #1); the corpus is now touched only by scans.
+
     Prefix soundness (one-sided): Jaccard >= t implies |B| >= t|A| and
     overlap >= t/(1+t)(|A|+|B|) >= t|A|, so at most (1-t)|A| of A's
-    rarest-first shingles are unshared — a shared token must land in
-    A's first floor((1-t)|A|)+1. Verification reuses the shared staged
-    engine (:func:`_staged_verify`). Oracle: the naive new x corpus
-    shared-shingle join."""
-    t = JACCARD_T
-    sh = _shingle_hashes(spark, sf_dir, hash_family)
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    sets = (
-        sh.join(_maybe_broadcast_freq(freq, sf_dir), "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.expr("transform(ranked, x -> x.h)").alias("hs"),
-            F.size("ranked").alias("n"),
-        )
+    shingles are unshared — a shared token must land in A's first
+    floor((1-t)|A|)+1 in ANY order (corpus-df ranking is a pure
+    heuristic; see ``operators.ngram_corpus``). Verification is the
+    shared staged engine (``operators.staged_verify``) in its
+    asymmetric form: batch side computed live, corpus side from the
+    artifact. Oracle: the naive new x corpus shared-shingle join."""
+    from opencypher_datalayer_spark.operators.ngram_corpus import (
+        FREQ as FREQ_DIR,
+        SETS as SETS_DIR,
+        SHINGLES as SHINGLES_DIR,
+        SLIM as SLIM_DIR,
+        rank_sets,
+        read_ngram_corpus,
     )
-    sets = _stage_sets(spark, sets, sf_dir, hash_family)
-    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
-    new_prefix = sets.where(is_new).select(
+    from opencypher_datalayer_spark.operators.staged_verify import (
+        slim_payload,
+        staged_verify,
+    )
+
+    t = JACCARD_T
+    art = read_ngram_corpus(
+        spark, build_incremental_artifacts(spark, sf_dir, hash_family)
+    )
+    # NEW side only — ~1/INCR_NEW_MOD of the corpus — computed live,
+    # ranked by the artifact's corpus df (broadcast under the freq gate)
+    sh_new = _shingle_hashes(spark, sf_dir, hash_family).where(
+        F.col("doc_id") % INCR_NEW_MOD == 0
+    )
+    sets_new = rank_sets(sh_new, _maybe_broadcast_freq(art[FREQ_DIR], sf_dir))
+    new_prefix = sets_new.select(
         "doc_id",
         F.explode(
             F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
         ).alias("h"),
     )
-    corpus_sh = sh.where(F.col("doc_id") % INCR_NEW_MOD != 0)
     # the build side MUST be pinned explicitly: Catalyst's size estimate
-    # for the corpus shingle aggregate is optimistic (post-distinct
-    # stats are guesses) and at sf10 it auto-broadcast the 150M-row
-    # corpus side — a >2 GB collect that hit driver.maxResultSize.
-    # The new-batch prefix is the genuinely small side; broadcast it
-    # while the batch estimate fits, else force a shuffle join.
+    # for the corpus shingle scan is optimistic and at sf10 it
+    # auto-broadcast the 150M-row corpus side — a >2 GB collect that
+    # hit driver.maxResultSize. The new-batch prefix is the genuinely
+    # small side; broadcast it while the batch estimate fits, else
+    # force a shuffle join.
     new_small = _docs_bytes(sf_dir) * 4 // INCR_NEW_MOD <= PREFIX_BROADCAST_MAX_BYTES
     probe = F.broadcast(new_prefix) if new_small else new_prefix.hint("shuffle_hash")
     cand = (
         probe.alias("a")
-        .join(corpus_sh.alias("b"), F.col("a.h") == F.col("b.h"))
+        .join(art[SHINGLES_DIR].alias("b"), F.col("a.h") == F.col("b.h"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    exact = _staged_verify(
-        sets, cand, sf_dir, lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t)
+    exact = staged_verify(
+        cand,
+        sets_new,
+        lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
+        sets_b=art[SETS_DIR],
+        slim_a=slim_payload(sets_new),
+        slim_b=art[SLIM_DIR],
+        hint_slim=lambda df: _maybe_broadcast_slim(df, sf_dir),
+        hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir),
     )
     return (
         exact.withColumn(

@@ -32,9 +32,9 @@ LANG_MARKERS = {
 }
 _WORD_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"  # BPE-ish token classes
 
-
-def _tokens(col) -> F.Column:  # type: ignore[name-defined]
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+# shared tokenizer — canonical home: operators.textkit (r9 kernel
+# promotion; benchqueries adapts, never the reverse)
+from opencypher_datalayer_spark.operators.textkit import tokens as _tokens  # noqa: E402
 
 
 # -- quality stats ------------------------------------------------------
@@ -280,40 +280,17 @@ TFIDF_TOPK = 3
 
 
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOPK} characteristic terms per document by TF-IDF.
+    """Top-{TFIDF_TOPK} characteristic terms per document by TF-IDF —
+    adapter over :func:`operators.textkit.tfidf_topk` (see its
+    docstring for the exact-arithmetic and scale-shape rationale)."""
+    from opencypher_datalayer_spark.operators.textkit import tfidf_topk
 
-    The score is ``tf * (N + 1) / (df + 1)`` computed as ONE double
-    division of exact int64 operands — IEEE division is correctly
-    rounded, so both engines get the identical double (a log-based IDF
-    would risk last-ulp libm drift between JVM and C++). Scale shape:
-    token explode -> per-(doc, term) counts (map-side combinable), a
-    document-frequency aggregate joined back on the term (the df side
-    is vocabulary-sized: broadcastable), corpus size N as a broadcast
-    1-row cross join, and one window per doc for the top-k."""
-    from pyspark.sql import Window
-
-    docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
-        work_per_row=WORK_TOKENIZE,
-    )
-    n_docs = docs.agg(F.count("*").alias("n_corpus"))
-    pairs = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_side = pairs.groupBy("tok").agg(F.count("*").alias("df"))
-    score = (F.col("tf") * (F.col("n_corpus") + 1)).cast("double") / (F.col("df") + 1)
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
-    return (
-        pairs.join(df_side, "tok")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", score)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TFIDF_TOPK)
-        .select("doc_id", "tok", F.col("tf").cast("bigint").alias("tf"),
-                F.col("df").cast("bigint").alias("df"), "tfidf", "rk")
-        .orderBy("doc_id", "rk")
+    return tfidf_topk(
+        rebalance_for_inflation(
+            load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+            work_per_row=WORK_TOKENIZE,
+        ),
+        TFIDF_TOPK,
     )
 
 
@@ -348,21 +325,12 @@ CHUNK_STRIDE = 12  # chunk start spacing (overlap = W - stride)
 
 
 def chunk_transform(docs: DataFrame) -> DataFrame:
-    """The chunking expression pipeline on any (doc_id, text) frame —
-    stateless pure column expressions, so the SAME transform runs on a
-    stream unchanged (tests/test_streaming.py pins stream == batch)."""
-    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).where(F.size("toks") > 0)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
-    )
-    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
-    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
-    return d.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(chunk).alias("chunk_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"),
-    )
+    """The chunking pipeline at the registry's pinned (W, stride) point
+    — adapter over :func:`operators.textkit.chunk_windows` (stateless
+    column expressions; tests/test_streaming.py pins stream == batch)."""
+    from opencypher_datalayer_spark.operators.textkit import chunk_windows
+
+    return chunk_windows(docs, CHUNK_W, CHUNK_STRIDE)
 
 
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,45 +486,18 @@ PACK_SHARDS = 8  # parallel packing shards
 
 
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next-fit sequence packing: assign docs (in doc_id order) to
-    training sequences of at most PACK_BUDGET tokens; a doc that would
-    overflow starts the next sequence (an over-budget doc gets one to
-    itself). Packing is a sequential scan, so it shards: docs hash to
-    PACK_SHARDS independent streams (doc_id % shards here — a numeric
-    id; hash a string id the same way), each packed by one Arrow-batched
-    applyInPandas pass. At 100 TB shard count scales with the cluster —
-    state per task is two integers, and the single shuffle is the
-    groupBy(shard) exchange. The oracle replays the same scan as a
+    """Next-fit sequence packing at the registry's pinned
+    (budget, shards) point — adapter over
+    :func:`operators.textkit.pack_sequences` (see its docstring for
+    the sharding argument). The oracle replays the same scan as a
     recursive CTE per shard."""
-    import pandas as pd
+    from opencypher_datalayer_spark.operators.textkit import pack_sequences
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(_tokens(F.col("text"))).alias("n_tokens"),
-    )
-    out_schema = (
-        "doc_id bigint, shard bigint, n_tokens int, seq_id bigint, seq_tokens bigint"
-    )
-
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq, acc = 0, 0
-        seq_ids, fills = [], []
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if acc and acc + t > PACK_BUDGET:
-                seq += 1
-                acc = 0
-            acc += t
-            seq_ids.append(seq)
-            fills.append(acc)
-        pdf["seq_id"] = seq_ids
-        # running fill of the sequence after this doc was placed
-        pdf["seq_tokens"] = fills
-        return pdf[["doc_id", "shard", "n_tokens", "seq_id", "seq_tokens"]]
-
-    return docs.groupBy("shard").applyInPandas(pack, out_schema).orderBy("doc_id")
+    return pack_sequences(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        PACK_BUDGET,
+        PACK_SHARDS,
+    ).orderBy("doc_id")
 
 
 TEXT_PACK_SQL = f"""

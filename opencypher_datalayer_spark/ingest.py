@@ -246,6 +246,33 @@ class DataLayer:
         self._commit(run_cypher_write(self._store, statement, params))
         return None
 
+    def explain(self, statement: str, params: dict | None = None, mode: str = "formatted") -> str:
+        """The physical plan a statement would execute, as a string —
+        the public form of the plan audits ``tests/test_plan_audit.py``
+        runs (verify broadcast shapes, pushed filters, pruned read
+        schemas before paying for a query). Read statements explain the
+        result DataFrame; write statements explain the post-write node
+        frame WITHOUT committing anything. ``mode`` is any
+        ``DataFrame.explain`` mode (``formatted`` shows exchange and
+        join strategies; ``cost`` adds Catalyst's size estimates)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from opencypher_datalayer_spark.plans import run_cypher, run_cypher_write
+        from opencypher_datalayer_spark.plans.cypher import tokenize
+
+        toks = tokenize(statement)
+        is_read = any(t.kind == "kw" and t.value == "return" for t in toks)
+        df = (
+            run_cypher(self._store, statement, params)
+            if is_read
+            else run_cypher_write(self._store, statement, params).nodes
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
     # -- read side (S8/S9 — unsupported in the reference) --------------
 
     def entities(self, from_gid: str = "", limit: int = 100) -> DataFrame:

@@ -1,0 +1,137 @@
+"""Text-pipeline kernels as pure frame->frame operators.
+
+The registry's text family grew inside ``benchqueries/`` behind
+``(spark, sf_dir)`` signatures; the kernels a pipeline author actually
+composes — TF-IDF term ranking, overlapping token-window chunking,
+next-fit sequence packing — belong in ``operators/`` as functions of
+DataFrames (VERDICT r8 'what's missing' #3, the ``operators.minhash``
+precedent). ``benchqueries/text.py`` is now a thin adapter over this
+module; importing the other direction is forbidden.
+
+All kernels take a ``(doc_id, text)``-shaped frame (plus parameters)
+and return a DataFrame; everything except packing is pure column
+expressions (JVM-side, codegen'd). Packing is the one genuinely
+sequential scan and shards via Arrow-batched ``applyInPandas``.
+
+Reference anchor: the reference delegates all execution to Neo4j
+(``layer.go:257-265``) and has no text surface; this family is part of
+the engine's training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col) -> F.Column:  # type: ignore[name-defined]
+    """Whitespace tokens, empties dropped — the family's shared
+    tokenizer (kept trivially portable so every oracle can reproduce
+    it: ``list_filter(regexp_split_to_array(...))`` in DuckDB)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def tfidf_topk(docs: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    The score is ``tf * (N + 1) / (df + 1)`` computed as ONE double
+    division of exact int64 operands — IEEE division is correctly
+    rounded, so any engine gets the identical double (a log-based IDF
+    would risk last-ulp libm drift). Scale shape: token explode ->
+    per-(doc, term) counts (map-side combinable), a document-frequency
+    aggregate joined back on the term (the df side is
+    vocabulary-sized: broadcastable), corpus size N as a broadcast
+    1-row cross join, and one window per doc for the top-k."""
+    from pyspark.sql import Window
+
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_side = pairs.groupBy("tok").agg(F.count("*").alias("df"))
+    score = (F.col("tf") * (F.col("n_corpus") + 1)).cast("double") / (F.col("df") + 1)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        pairs.join(df_side, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            "rk",
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+def chunk_windows(docs: DataFrame, width: int, stride: int) -> DataFrame:
+    """Overlapping token-window chunking (the context-window prep step
+    of a training pipeline): each doc explodes into windows of
+    ``width`` whitespace tokens every ``stride`` tokens; the last
+    window may be short. Stateless pure column expressions
+    (sequence/posexplode/slice — JVM-side, codegen'd), so the SAME
+    transform runs on a stream unchanged
+    (``tests/test_streaming.py`` pins stream == batch); chunking is
+    embarrassingly parallel, no shuffle."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, width)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int, shards: int) -> DataFrame:
+    """Next-fit sequence packing: assign docs (in doc_id order) to
+    training sequences of at most ``budget`` tokens; a doc that would
+    overflow starts the next sequence (an over-budget doc gets one to
+    itself). Packing is a sequential scan, so it shards: docs hash to
+    ``shards`` independent streams (``doc_id % shards`` — a numeric id;
+    hash a string id the same way), each packed by one Arrow-batched
+    ``applyInPandas`` pass. At 100 TB shard count scales with the
+    cluster — state per task is two integers, and the single shuffle is
+    the groupBy(shard) exchange."""
+    import pandas as pd  # noqa: F401 - applyInPandas contract
+
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    out_schema = (
+        "doc_id bigint, shard bigint, n_tokens int, seq_id bigint, seq_tokens bigint"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, acc = 0, 0
+        seq_ids, fills = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if acc and acc + t > budget:
+                seq += 1
+                acc = 0
+            acc += t
+            seq_ids.append(seq)
+            fills.append(acc)
+        pdf["seq_id"] = seq_ids
+        # running fill of the sequence after this doc was placed
+        pdf["seq_tokens"] = fills
+        return pdf[["doc_id", "shard", "n_tokens", "seq_id", "seq_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(pack, out_schema)

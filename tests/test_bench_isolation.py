@@ -34,6 +34,35 @@ def test_isolation_trigger_logic():
         bench.retime_in_fresh_session = orig
 
 
+def test_divergent_repeats_trigger():
+    """Intra-run repeat divergence (VERDICT r8 'what's wrong' #2): warm
+    repeats (run #2 onward) swinging >2x AND >0.5s flag the query; the
+    first run (planning/JIT/artifact build) never participates."""
+    runs = {
+        "flat": [3.0, 1.0, 1.1],          # slow run1 is fine
+        "diverge": [1.0, 1.0, 2.6],       # warm swing 2.6x, +1.6s -> flagged
+        "small_abs": [0.2, 0.1, 0.3],     # 3x but only +0.2s -> not flagged
+        "ratio_ok": [5.0, 4.0, 6.0],      # +2s but 1.5x -> not flagged
+        "two_runs": [9.0, 1.0],           # only one warm repeat -> skip
+    }
+    assert bench.divergent_repeats(runs) == ["diverge"]
+
+
+def test_artifact_backed_names_resolve():
+    """Every ARTIFACT_BACKED query must exist in the registry and every
+    kind must have a builder in time_artifact_builds' mapping — a
+    renamed query or kind should fail here, not silently stop being
+    timed."""
+    from opencypher_datalayer_spark.benchqueries import all_queries
+
+    registry = all_queries(extended=True)
+    kinds = set()
+    for name, ks in bench.ARTIFACT_BACKED.items():
+        assert name in registry, name
+        kinds.update(ks)
+    assert kinds == {"ngram_corpus", "ivf", "minhash_sigs"}
+
+
 def test_forced_isolation_subprocess_retime(monkeypatch):
     """End-to-end: a deflated synthetic prior flags a real (cheap) query
     and the fresh-JVM subprocess returns a real positive timing."""

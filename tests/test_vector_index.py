@@ -97,18 +97,47 @@ def test_pruned_topk_matches_inline_ivf(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
-def test_index_cache_clears_disk(spark, sf_dir):
+def test_index_is_standing_artifact(spark, sf_dir):
+    """r9: the index is a STANDING artifact (operators.artifacts) — it
+    survives memo clears (the amortization the r8 verdict asked for),
+    the codebook reloaded from it is bit-identical to the trained one,
+    and dropping the store forces a genuine rebuild."""
     import os
 
-    from opencypher_datalayer_spark.benchqueries.similarity import _IVF_INDEX_DIRS
+    import numpy as np
 
-    sim_ivf_pruned_topk(spark, sf_dir).count()
-    dirs = list(_IVF_INDEX_DIRS.values())
-    assert dirs and all(os.path.isdir(d) for d in dirs)
     from opencypher_datalayer_spark.benchqueries.memo import clear_memo_caches
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        _codebook_from_artifact,
+        _ivf_codebook,
+        _IVF_ARTIFACT_KIND,
+        _ivf_artifact_key,
+        _ivf_index_dir,
+    )
+    from opencypher_datalayer_spark.operators.artifacts import default_store
 
+    rows = [tuple(r) for r in sim_ivf_pruned_topk(spark, sf_dir).collect()]
+    trained = _ivf_codebook(spark, sf_dir)
+    d1 = _ivf_index_dir(spark, sf_dir)
     clear_memo_caches()
-    assert not _IVF_INDEX_DIRS and all(not os.path.isdir(d) for d in dirs)
+    assert os.path.isdir(d1)  # artifact survived the clear
+    assert _ivf_index_dir(spark, sf_dir) == d1  # no rebuild
+    # a cold session's codebook load reproduces training bit-for-bit
+    loaded = _codebook_from_artifact(spark, sf_dir)
+    assert loaded[0] == trained[0]
+    assert np.array_equal(np.asarray(loaded[1]), np.asarray(trained[1]))
+    assert np.array_equal(np.asarray(loaded[2]), np.asarray(trained[2]))
+    # and the warm probe answers are unchanged
+    assert [tuple(r) for r in sim_ivf_pruned_topk(spark, sf_dir).collect()] == rows
+
+    store = default_store()
+    store.drop(kind=_IVF_ARTIFACT_KIND)
+    clear_memo_caches()
+    assert store.current_dir(_IVF_ARTIFACT_KIND, _ivf_artifact_key(sf_dir)) is None
+    assert not os.path.isdir(d1)
+    d2 = _ivf_index_dir(spark, sf_dir)  # genuine rebuild (version numbering restarts)
+    assert os.path.isdir(d2)
+    assert [tuple(r) for r in sim_ivf_pruned_topk(spark, sf_dir).collect()] == rows
 
 
 def test_spark_trainer_matches_driver_trainer(spark):

@@ -1256,7 +1256,7 @@ INCR_NEW_MOD = 20
 # artifact identity: layout version + everything that shapes the
 # persisted frames. Bump the version string when the layout changes.
 _INCR_ARTIFACT_KIND = "ngram_corpus"
-_INCR_LAYOUT = "v1"
+_INCR_LAYOUT = "v2"  # v2: shingle rows carry the per-doc set size n
 
 
 def _incr_artifact_key(sf_dir: str, hash_family: str) -> tuple:
@@ -1341,11 +1341,21 @@ def dedup_incremental(
         F.col("doc_id") % INCR_NEW_MOD == 0
     )
     sets_new = rank_sets(sh_new, _maybe_broadcast_freq(art[FREQ_DIR], sf_dir))
+    # prefix rows carry the 0-based rank position pa and the batch
+    # doc's set size na, for the one-sided AllPairs position filter AT
+    # the join: a qualifying pair's FIRST shared prefix token (position
+    # pa*) has every earlier a-token unshared, so overlap <=
+    # least(na - pa*, nb) — that row survives the per-row gate, hence
+    # the pair does (same soundness argument as dedup_ngram_jaccard's
+    # two-sided filter; tested by the naive-vs-staged property suite).
+    # Measured at sf10: pre-dedup candidate rows 281.7M -> 42.4M,
+    # distinct candidates 99.7M -> 17.3M (5.8x), dedup shuffle 33 -> 10 s.
     new_prefix = sets_new.select(
         "doc_id",
-        F.explode(
+        F.col("n").alias("na"),
+        F.posexplode(
             F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
-        ).alias("h"),
+        ).alias("pa", "h"),
     )
     # the build side MUST be pinned explicitly: Catalyst's size estimate
     # for the corpus shingle scan is optimistic and at sf10 it
@@ -1355,10 +1365,17 @@ def dedup_incremental(
     # force a shuffle join.
     new_small = _docs_bytes(sf_dir) * 4 // INCR_NEW_MOD <= PREFIX_BROADCAST_MAX_BYTES
     probe = F.broadcast(new_prefix) if new_small else new_prefix.hint("shuffle_hash")
+    pos_bound = F.least(F.col("na") - F.col("pa"), F.col("nb"))
     cand = (
         probe.alias("a")
-        .join(art[SHINGLES_DIR].alias("b"), F.col("a.h") == F.col("b.h"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .join(
+            art[SHINGLES_DIR].select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "h"
+            ),
+            "h",
+        )
+        .where(_jaccard_feasible(pos_bound, F.col("na") + F.col("nb"), t))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .dropDuplicates()
     )
     exact = staged_verify(

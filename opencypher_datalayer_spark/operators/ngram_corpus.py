@@ -10,9 +10,13 @@ accounted for a small fraction. This module materializes those frames
 ONCE per corpus version into an ``operators.artifacts`` store entry;
 the probe then touches the corpus only through parquet scans.
 
-Layout under the artifact version dir::
+Layout under the artifact version dir (v2)::
 
-    shingles/   (doc_id, h)            distinct 60-bit shingle hashes
+    shingles/   (doc_id, h, n)         distinct 60-bit shingle hashes,
+                                        each row carrying the doc's set
+                                        size so probe-side feasibility
+                                        filters run ON the candidate
+                                        join row (no size join)
     freq/       (h, df)                corpus document frequency
     sets/       (doc_id, hs, n)        df-ranked (rarest-first) arrays
     slim/       (doc_id, lo32, dq, n, nh)  stage-A payload
@@ -70,16 +74,26 @@ def write_ngram_corpus(spark: SparkSession, sh: DataFrame, out_dir: str) -> None
     reads the previous one back from parquet, so the shingle explode
     runs ONCE (the one-shot path recomputed it per consumer until the
     r6 checkpoint/bucketing work; here the artifact IS the
-    materialization)."""
-    sh.write.parquet(os.path.join(out_dir, SHINGLES))
-    sh2 = spark.read.parquet(os.path.join(out_dir, SHINGLES))
+    materialization). The published shingle table is re-derived from
+    the ranked sets so each row carries the doc's set size ``n`` — the
+    probe's positional feasibility filter then needs zero extra joins
+    (measured 5.8x candidate cut at sf10)."""
+    import shutil
+
+    raw = os.path.join(out_dir, "_shingles_raw")
+    sh.write.parquet(raw)
+    sh2 = spark.read.parquet(raw)
     sh2.groupBy("h").agg(F.count("*").alias("df")).write.parquet(
         os.path.join(out_dir, FREQ)
     )
     freq = spark.read.parquet(os.path.join(out_dir, FREQ))
     rank_sets(sh2, freq).write.parquet(os.path.join(out_dir, SETS))
     sets = spark.read.parquet(os.path.join(out_dir, SETS))
+    sets.select("doc_id", "n", F.explode("hs").alias("h")).write.parquet(
+        os.path.join(out_dir, SHINGLES)
+    )
     slim_payload(sets).write.parquet(os.path.join(out_dir, SLIM))
+    shutil.rmtree(raw, ignore_errors=True)
 
 
 def read_ngram_corpus(spark: SparkSession, adir: str) -> dict[str, DataFrame]:

@@ -71,7 +71,7 @@ from opencypher_datalayer_spark.sources.tables import load_table
 # ~64 tokens through 64-bit counters. Both already clear the gate at
 # every tested scale.
 WORK_SHINGLE = 12_000
-WORK_MINHASH = 600 * H
+WORK_MINHASH = mh.SIGNATURE_WORK_PER_DOC
 WORK_SIMHASH = 4_000
 
 # SimHash: 60-bit fingerprint over word tokens, banded into 4 chunks of

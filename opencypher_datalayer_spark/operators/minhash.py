@@ -77,6 +77,13 @@ def shingle_hashes(docs: DataFrame, family: str = ORACLE_HASH_FAMILY) -> DataFra
     ).withColumn("h", spark_hash64(F.col("sh"), family))
 
 
+# Per-doc inflated-work estimate of the signature stage for
+# ``operators.scale.rebalance_for_inflation``'s gate (~300 shingles x H
+# permutation folds at ~2 units each; the same calibration as the
+# registry's WORK_MINHASH, which aliases this).
+SIGNATURE_WORK_PER_DOC = 600 * H
+
+
 def signatures_for(docs: DataFrame, family: str = ORACLE_HASH_FAMILY) -> DataFrame:
     """(doc_id, text) -> (doc_id, m0..m{H-1}, band0..band{BANDS-1}).
 

@@ -90,6 +90,25 @@ def rebalance_for_inflation(
     return df.repartition(cores * factor)
 
 
+def rebalance_rows(df: DataFrame, n_rows: int, work_per_row: int = 1) -> DataFrame:
+    """:func:`rebalance_for_inflation` for frames that are NOT plain
+    file scans (a ``foreachBatch`` micro-batch, a post-shuffle frame)
+    where the parquet-footer probe cannot see the split count — the
+    caller supplies the row count it already knows (streaming sinks
+    count the batch anyway for their broadcast gates). Same work gate,
+    same output partitioning. The streaming near-dup filter's sf10
+    rehearsal motivated this: a file-source micro-batch arrives as ONE
+    file, and the 30x shingle explode then ran 125k docs on a single
+    core (73.3 s vs 7.0 s re-split, measured)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_REBALANCE", "1") == "0":  # A/B kill switch
+        return df
+    if n_rows * work_per_row < _min_inflated_work():
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # Below this many estimated inflated work units (rows x per-row
 # inflation), a single core finishes the stage faster than an exchange
 # round-trip costs. 8M units ~ a few hundred ms of vectorized JVM work.

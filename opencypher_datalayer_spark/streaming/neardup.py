@@ -396,9 +396,24 @@ class StreamingNearDupFilter:
 
         A replayed epoch re-filters against strictly-earlier state and
         overwrites its own ``epoch=<id>`` partitions — idempotent, so
-        at-least-once delivery still yields exactly-once state."""
+        at-least-once delivery still yields exactly-once state.
+
+        The batch is re-split ahead of the signature stage: a file
+        stream hands each micro-batch over as however few files the
+        source admitted (often ONE), and the 30x shingle explode would
+        then run on one core while the rest idle — measured 73.3 s for
+        a single-file 125k-doc epoch at the sf10 rehearsal vs 7.0 s
+        re-split. A streaming frame is not a plain file scan, so the
+        footer-probing rebalance cannot see its splits; the row-count
+        form gates on the count the sink needs anyway (a small batch
+        stays un-shuffled)."""
+        from opencypher_datalayer_spark.operators.scale import rebalance_rows
+
+        b = batch.select("doc_id", "text")
+        n = b.count()
         sig = mh.signatures_for(
-            batch.select("doc_id", "text"), self.hash_family
+            rebalance_rows(b, n, work_per_row=mh.SIGNATURE_WORK_PER_DOC),
+            self.hash_family,
         ).localCheckpoint()
         self.apply_sigs(sig, epoch_id)
 

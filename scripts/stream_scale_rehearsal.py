@@ -45,29 +45,21 @@ def main() -> int:
     arrivals = os.path.join(root, "arrivals")
     os.makedirs(arrivals)
 
+    # one parquet FILE per arrival batch with strictly increasing
+    # mtimes + maxFilesPerTrigger=1: the file source (ordering by
+    # modification time) replays the batch sequence one epoch per file
+    # — the same wiring tests/test_stream_neardup.py pins at sf0.001
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     n_docs = docs.count()
     for k in range(nbatch):
         tmp = os.path.join(arrivals, f"_stage{k}")
-        docs.where(F.col("doc_id") % nbatch == k).coalesce(4).write.parquet(tmp)
-        os.makedirs(os.path.join(arrivals, f"b{k}"))
-        for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
-            dst = os.path.join(arrivals, f"b{k}", f"part{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_700_000_000 + 600 * k + i,) * 2)
+        docs.where(F.col("doc_id") % nbatch == k).coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(arrivals, f"batch{k}.parquet")
+        shutil.move(part, dst)
         shutil.rmtree(tmp)
-    # one file per trigger, 4 files per arrival batch -> doc batches
-    # split across triggers; the filter is batch-size agnostic, but to
-    # keep the replay comparable we feed ONE arrival batch per trigger
-    # by globbing per-batch dirs in mtime order via a single dir listing
-    # (maxFilesPerTrigger=4 == one arrival batch per epoch).
-    flat = os.path.join(root, "flat")
-    os.makedirs(flat)
-    for k in range(nbatch):
-        for i, p in enumerate(sorted(glob.glob(os.path.join(arrivals, f"b{k}", "*.parquet")))):
-            dst = os.path.join(flat, f"batch{k}_{i}.parquet")
-            shutil.move(p, dst)
-            os.utime(dst, (1_700_000_000 + 600 * k + i,) * 2)
+        os.utime(dst, (1_700_000_000 + 600 * k,) * 2)
+    flat = arrivals
 
     filt = StreamingNearDupFilter(spark, os.path.join(root, "state"))
     log = {"sf_dir": sf_dir, "n_docs": n_docs, "epochs": [], "compactions": []}
@@ -78,9 +70,12 @@ def main() -> int:
         dt = round(time.perf_counter() - t0, 2)
         log["epochs"].append({"epoch": int(epoch_id), "sec": dt})
         if epoch_id % 2 == 1:  # compact mid-stream, under arrivals
+            # fold only STRICTLY earlier epochs: the current epoch's
+            # checkpoint commit happens after this function returns, so
+            # it stays replayable (the bound compact() enforces)
             before = count_state_files(filt.sigs_dir)
             t0 = time.perf_counter()
-            filt.compact(below_epoch=int(epoch_id) + 1)
+            filt.compact(below_epoch=int(epoch_id))
             log["compactions"].append(
                 {
                     "after_epoch": int(epoch_id),
@@ -93,7 +88,7 @@ def main() -> int:
     t0 = time.perf_counter()
     q = (
         spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 1)
         .parquet(flat)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", os.path.join(root, "ckpt"))

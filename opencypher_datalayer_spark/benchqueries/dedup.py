@@ -305,18 +305,12 @@ def _sweep_stale_sets_tables(spark: SparkSession, keep: str) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
-def _jaccard_feasible(bound, s, t: float):
-    """True iff an overlap upper-bounded by ``bound`` (integer column)
-    could still satisfy the final emit predicate
-    ``round(i/(s-i),6) >= t`` for a pair with total size ``s``. This is
-    the SAME rounded predicate the emit uses, applied to the bound —
-    x/(s-x) is increasing in x, so it can never be stricter than emit.
-    Deliberately NOT ``bound >= ceil(t/(1+t)*s)``: the IEEE double
-    0.8/1.8 rounds above 4/9, so that ceil overshoots by 1 whenever
-    s % 9 == 0 and drops threshold-exact pairs the oracle emits
-    (ADVICE r6 #1). Shared by the AllPairs candidate filter and the
-    staged-verify skip gate in :func:`dedup_ngram_jaccard`."""
-    return F.round(bound / (s - bound), 6) >= F.lit(t)
+# Promoted to the library in r9 (operators.staged_verify) so the
+# incremental probe operator shares the exact emit-aligned gate; the
+# local name is kept for the registry's own call sites and tests.
+from opencypher_datalayer_spark.operators.staged_verify import (  # noqa: E402
+    jaccard_feasible as _jaccard_feasible,
+)
 
 
 def _containment_feasible(bound, na, t: float):
@@ -872,20 +866,25 @@ def _minhash_sigs(
     # for a hash DuckDB can recompute; xxhash64 (the engine default
     # for library callers) halves the stage without touching the plan.
     from opencypher_datalayer_spark.operators.artifacts import default_store
+    from opencypher_datalayer_spark.operators.minhash_corpus import (
+        read_minhash_sigs,
+        write_minhash_sigs,
+    )
 
     def build(tmp: str) -> None:
-        mh.signatures_for(
+        write_minhash_sigs(
             rebalance_for_inflation(
                 load_table(spark, "documents", sf_dir).select("doc_id", "text"),
                 work_per_row=WORK_MINHASH,
             ),
+            tmp,
             hash_family,
-        ).write.parquet(os.path.join(tmp, "sigs"))
+        )
 
     adir = default_store().get_or_build(
         "minhash_sigs", ("v1", fprint, hash_family, mh.H, SHINGLE_K), build
     )
-    out = spark.read.parquet(os.path.join(adir, "sigs"))
+    out = read_minhash_sigs(spark, adir)
     _SIG_CACHE[key] = (fprint, out)
     return out
 
@@ -1317,84 +1316,35 @@ def dedup_incremental(
     heuristic; see ``operators.ngram_corpus``). Verification is the
     shared staged engine (``operators.staged_verify``) in its
     asymmetric form: batch side computed live, corpus side from the
-    artifact. Oracle: the naive new x corpus shared-shingle join."""
-    from opencypher_datalayer_spark.operators.ngram_corpus import (
-        FREQ as FREQ_DIR,
-        SETS as SETS_DIR,
-        SHINGLES as SHINGLES_DIR,
-        SLIM as SLIM_DIR,
-        rank_sets,
-        read_ngram_corpus,
-    )
-    from opencypher_datalayer_spark.operators.staged_verify import (
-        slim_payload,
-        staged_verify,
-    )
+    artifact. Oracle: the naive new x corpus shared-shingle join.
 
-    t = JACCARD_T
-    art = read_ngram_corpus(
-        spark, build_incremental_artifacts(spark, sf_dir, hash_family)
-    )
-    # NEW side only — ~1/INCR_NEW_MOD of the corpus — computed live,
-    # ranked by the artifact's corpus df (broadcast under the freq gate)
+    Thin adapter (r9 kernel promotion): the probe body is the library
+    operator ``operators.ngram_corpus.probe_near_dups``; this entry
+    only simulates the batch split and wires the sf-scaled broadcast
+    gates."""
+    from opencypher_datalayer_spark.operators.ngram_corpus import probe_near_dups
+
+    # NEW side only — ~1/INCR_NEW_MOD of the corpus — computed live;
+    # everything corpus-side comes from the artifact's parquet scans.
     sh_new = _shingle_hashes(spark, sf_dir, hash_family).where(
         F.col("doc_id") % INCR_NEW_MOD == 0
     )
-    sets_new = rank_sets(sh_new, _maybe_broadcast_freq(art[FREQ_DIR], sf_dir))
-    # prefix rows carry the 0-based rank position pa and the batch
-    # doc's set size na, for the one-sided AllPairs position filter AT
-    # the join: a qualifying pair's FIRST shared prefix token (position
-    # pa*) has every earlier a-token unshared, so overlap <=
-    # least(na - pa*, nb) — that row survives the per-row gate, hence
-    # the pair does (same soundness argument as dedup_ngram_jaccard's
-    # two-sided filter; tested by the naive-vs-staged property suite).
-    # Measured at sf10: pre-dedup candidate rows 281.7M -> 42.4M,
-    # distinct candidates 99.7M -> 17.3M (5.8x), dedup shuffle 33 -> 10 s.
-    new_prefix = sets_new.select(
-        "doc_id",
-        F.col("n").alias("na"),
-        F.posexplode(
-            F.expr(f"slice(hs, 1, cast(floor((1.0 - {t}) * n) + 1 as int))")
-        ).alias("pa", "h"),
-    )
-    # the build side MUST be pinned explicitly: Catalyst's size estimate
-    # for the corpus shingle scan is optimistic and at sf10 it
-    # auto-broadcast the 150M-row corpus side — a >2 GB collect that
-    # hit driver.maxResultSize. The new-batch prefix is the genuinely
-    # small side; broadcast it while the batch estimate fits, else
-    # force a shuffle join.
+    # The probe join's build side MUST be pinned explicitly: Catalyst's
+    # size estimate for the corpus shingle scan is optimistic and at
+    # sf10 it auto-broadcast the 150M-row corpus side — a >2 GB collect
+    # that hit driver.maxResultSize. The new-batch prefix is the
+    # genuinely small side; broadcast it while the batch estimate fits,
+    # else force a shuffle join.
     new_small = _docs_bytes(sf_dir) * 4 // INCR_NEW_MOD <= PREFIX_BROADCAST_MAX_BYTES
-    probe = F.broadcast(new_prefix) if new_small else new_prefix.hint("shuffle_hash")
-    pos_bound = F.least(F.col("na") - F.col("pa"), F.col("nb"))
-    cand = (
-        probe.alias("a")
-        .join(
-            art[SHINGLES_DIR].select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "h"
-            ),
-            "h",
-        )
-        .where(_jaccard_feasible(pos_bound, F.col("na") + F.col("nb"), t))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .dropDuplicates()
-    )
-    exact = staged_verify(
-        cand,
-        sets_new,
-        lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
-        sets_b=art[SETS_DIR],
-        slim_a=slim_payload(sets_new),
-        slim_b=art[SLIM_DIR],
+    return probe_near_dups(
+        spark,
+        build_incremental_artifacts(spark, sf_dir, hash_family),
+        sh_new,
+        JACCARD_T,
+        hint_prefix=F.broadcast if new_small else lambda df: df.hint("shuffle_hash"),
+        hint_freq=lambda df: _maybe_broadcast_freq(df, sf_dir),
         hint_slim=lambda df: _maybe_broadcast_slim(df, sf_dir),
         hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir),
-    )
-    return (
-        exact.withColumn(
-            "jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
-        )
-        .where(F.col("jaccard") >= t)
-        .select(F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("dup_of"), "jaccard")
-        .orderBy("new_doc", "dup_of")
     )
 
 

@@ -125,6 +125,25 @@ class ArtifactStore:
             return cur
         return self.commit(kind, key, builder)
 
+    def commit_extension(
+        self, kind: str, key: tuple, builder: Callable[[str], None]
+    ) -> str:
+        """Commit a new version that EXTENDS the current one: the tmp
+        dir handed to ``builder`` starts as a hard-linked copy of the
+        current version's tree (zero data copied — the storage.py
+        pruned-MERGE idiom), so the builder only appends delta files.
+        The prior version stays intact until ``sweep`` reclaims it;
+        readers of either version always see a complete tree."""
+        cur = self.current_dir(kind, key)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version to extend: {kind} {key!r}")
+
+        def extended(tmp: str) -> None:
+            _link_tree(cur, tmp)
+            builder(tmp)
+
+        return self.commit(kind, key, extended)
+
     def _write_key(self, adir: str, kind: str, key: tuple) -> None:
         p = os.path.join(adir, _KEY_FILE)
         if not os.path.exists(p):
@@ -189,6 +208,18 @@ class ArtifactStore:
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(p)
         return removed
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Replicate ``src``'s tree under ``dst`` with hard links (same
+    filesystem; parquet files are immutable once committed, so shared
+    inodes are safe)."""
+    for dirpath, _, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(dirpath, f), os.path.join(out, f))
 
 
 def _tmp_pid(name: str) -> int:

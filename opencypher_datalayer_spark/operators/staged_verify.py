@@ -54,6 +54,20 @@ VERIFY_SPLIT = 1 << 58
 _identity: Callable[[DataFrame], DataFrame] = lambda df: df  # noqa: E731
 
 
+def jaccard_feasible(bound, s, t: float):
+    """True iff an overlap upper-bounded by ``bound`` (integer column)
+    could still satisfy the final emit predicate
+    ``round(i/(s-i),6) >= t`` for a pair with total size ``s``. This is
+    the SAME rounded predicate the emit uses, applied to the bound —
+    x/(s-x) is increasing in x, so it can never be stricter than emit.
+    Deliberately NOT ``bound >= ceil(t/(1+t)*s)``: the IEEE double
+    0.8/1.8 rounds above 4/9, so that ceil overshoots by 1 whenever
+    s % 9 == 0 and drops threshold-exact pairs the oracle emits
+    (ADVICE r6 #1). Shared by the AllPairs candidate filters (batch
+    self-join and incremental probe) and the staged-verify skip gate."""
+    return F.round(bound / (s - bound), 6) >= F.lit(t)
+
+
 def slim_payload(sets: DataFrame) -> DataFrame:
     """Stage-A payload ``(doc_id, lo32, dq, n, nh)`` from a
     ``(doc_id, hs, n)`` sets frame. Persisted as-is by the incremental

@@ -89,6 +89,19 @@ def build_ivf_index(
     from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
     emb = embeddings.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    _write_ivf_vnrm(spark, emb, index_dir, codebook)
+
+
+def _write_ivf_vnrm(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    codebook: tuple | None = None,
+) -> None:
+    """Index-write body over a pre-shaped ``(vec_id, v, nrm)`` frame —
+    shared by :func:`build_ivf_index` (fresh corpus) and
+    :func:`compact_ivf_index` (re-derives the frame from the standing
+    index's own vectors, so the stored doubles round-trip untouched)."""
     if codebook is not None:
         # reuse a codebook trained by the caller (e.g. similarity's
         # memoized _ivf_codebook) — training twice per build was the
@@ -125,6 +138,106 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "vectors"))
     )
+
+
+def read_codebook(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """``(cell_ids, centroids)`` of a committed index. The centroids
+    are EXACT integers (stored ``array<long>``), so loading reproduces
+    the trained int-valued float64 arrays bit-for-bit — assignment and
+    probe ranking decisions are identical to the training session's."""
+    cents = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    ids = np.array([r.cell for r in cents], dtype=np.int64)
+    cq = np.array([r.cq for r in cents], dtype=np.float64)
+    return ids, cq
+
+
+def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddings_new: DataFrame) -> str:
+    """Append NEW vectors (``vec_id`` disjoint from the standing index
+    — the caller's contract) as a new committed artifact version
+    WITHOUT retraining — FAISS ``add()`` semantics: the standing
+    codebook assigns each new vector to its ``ASSIGN_A`` nearest
+    existing cells, the prior version's files are hard-linked
+    (``ArtifactStore.commit_extension``), and only the delta parquet is
+    appended into the touched ``cell=`` partition directories. Probe
+    results over the extended index are bit-identical to an index
+    built fresh over the full corpus WITH THE SAME CODEBOOK
+    (assignment is a deterministic function of (vector, codebook);
+    pinned by ``tests/test_standing_artifacts.py``).
+
+    What extension deliberately does NOT do is re-center: as the
+    extended fraction grows, cell populations drift from the trained
+    balance and the measured nprobe/recall operating points
+    (``ivf_codebook.NPROBE_STEPS``) slowly lose calibration —
+    :func:`compact_ivf_index` is the periodic retrain, the same
+    maintenance cadence as the n-gram corpus artifact's compact."""
+    import json
+
+    cur = store.current_dir(kind, key)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version to extend: {kind} {key!r}")
+    from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
+
+    ids, cq = read_codebook(spark, cur)
+    emb = embeddings_new.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    nb = emb.count()
+    assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A)
+    cores = spark.sparkContext.defaultParallelism
+    tasks = max(1, min(cores, (nb * ASSIGN_A) // 50_000 + 1))
+
+    def build(tmp: str) -> None:
+        (
+            assign.repartition(tasks, "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, "vectors"))
+        )
+        meta_p = os.path.join(tmp, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            # REMOVE before rewriting: the path is a hard link into the
+            # prior committed version — opening it 'w' would truncate
+            # the shared inode and corrupt the old version in place.
+            os.remove(meta_p)
+            meta["n_corpus"] = int(meta.get("n_corpus", 0)) + int(nb)
+            with open(meta_p, "w") as f:
+                json.dump(meta, f)
+
+    return store.commit_extension(kind, key, build)
+
+
+def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
+    """Retrain the codebook over the CURRENT corpus (standing + every
+    extension) and rebuild the index as a new committed version —
+    restores the cell balance and nprobe calibration that extensions
+    let drift. One pass over the stored vectors; the boundary replicas
+    collapse to one row per ``vec_id`` first (replicas are identical
+    payloads), and the stored ``(v, nrm)`` doubles round-trip untouched
+    so re-assignment sees exactly the original arithmetic. Old versions
+    are reclaimed by ``store.sweep``."""
+    import json
+
+    cur = store.current_dir(kind, key)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
+    vec = (
+        spark.read.parquet(os.path.join(cur, "vectors"))
+        .select("vec_id", "v", "nrm")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint()  # decouple from the files sweep may reclaim
+    )
+    n = vec.count()
+
+    def build(tmp: str) -> None:
+        _write_ivf_vnrm(spark, vec, tmp, codebook=None)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"n_corpus": int(n)}, f)
+
+    return store.commit(kind, key, build)
 
 
 def ivf_pruned_topk(
@@ -167,13 +280,7 @@ def ivf_pruned_topk(
         ids = np.asarray(ids, dtype=np.int64)
         cq = np.asarray(cq, dtype=np.float64)
     else:
-        cents = (
-            spark.read.parquet(os.path.join(index_dir, "centroids"))
-            .orderBy("cell")
-            .collect()
-        )
-        ids = np.array([r.cell for r in cents], dtype=np.int64)
-        cq = np.array([r.cq for r in cents], dtype=np.float64)
+        ids, cq = read_codebook(spark, index_dir)
 
     # quantize the queries engine-side (same vq expression as the index
     # build), rank cells driver-side: bounded by the query-set size

@@ -75,6 +75,22 @@ def test_rebalance_for_inflation(spark, tmp_path):
     assert rebalance_for_inflation(in_memory) is in_memory
 
 
+def test_rebalance_rows(spark):
+    """The row-count form for frames the footer probe cannot see (a
+    foreachBatch micro-batch): re-splits when rows x work clears the
+    gate, no-op below it (r9: the streaming filter's single-file-batch
+    trap — 73.3 s vs 7.0 s per sf10 epoch)."""
+    from opencypher_datalayer_spark.operators.scale import rebalance_rows
+
+    df = spark.range(0, 10_000, 1, 1)  # one partition, no input files
+    cores = spark.sparkContext.defaultParallelism
+    fixed = rebalance_rows(df, 10_000, work_per_row=10_000)  # 100M units
+    assert fixed.rdd.getNumPartitions() >= cores
+    assert fixed.count() == 10_000
+    assert rebalance_rows(df, 10_000, work_per_row=100) is df  # 1M < gate
+    assert rebalance_rows(df, 10, work_per_row=10_000) is df  # tiny batch
+
+
 def test_rebalance_gate_matches_bench_intent(spark):
     """The work gate must keep the two decisions the bench depends on:
     the MinHash shingle stage at sf0.1 (5k docs x ~7k work units — a

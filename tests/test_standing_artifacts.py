@@ -58,6 +58,75 @@ def test_minhash_sigs_artifact_round_trip(spark, sf_dir):
     assert via_artifact == direct and direct
 
 
+def test_extend_then_compact_matches_full_build(spark, sf_dir, tmp_path):
+    """The standing-index lifecycle (commit -> extend -> compact ->
+    sweep): building on half the corpus and EXTENDING with the other
+    half must probe identically to one full build — ranking drift from
+    the stale freq is a heuristic, never a result change — and compact
+    re-derives the ranked layout without changing results either."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.benchqueries.dedup import _shingle_hashes
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.ngram_corpus import (
+        SHINGLES,
+        compact_ngram_corpus,
+        extend_ngram_corpus,
+        read_ngram_corpus,
+        write_ngram_corpus,
+    )
+
+    store = ArtifactStore(str(tmp_path / "store"))
+    sh = _shingle_hashes(spark, sf_dir, "md5").localCheckpoint()
+    half_a = sh.where(F.col("doc_id") % 2 == 0)
+    half_b = sh.where(F.col("doc_id") % 2 == 1)
+    kind, key = "ngram_corpus", ("t",)
+
+    store.get_or_build(kind, key, lambda d: write_ngram_corpus(spark, half_a, d))
+    v2 = extend_ngram_corpus(spark, store, kind, key, half_b)
+    assert store.current_dir(kind, key) == v2
+
+    def snapshot(adir):
+        art = read_ngram_corpus(spark, adir)
+        sets = sorted(
+            (r.doc_id, tuple(sorted(r.hs)), r.n) for r in art["sets"].collect()
+        )
+        slim = sorted(
+            (r.doc_id, tuple(sorted(r.lo32)), r.dq, r.n, r.nh)
+            for r in art["slim"].collect()
+        )
+        shingles = sorted(tuple(r) for r in art[SHINGLES].collect())
+        return sets, slim, shingles
+
+    full = ArtifactStore(str(tmp_path / "full"))
+    vf = full.get_or_build(kind, key, lambda d: write_ngram_corpus(spark, sh, d))
+    # content equality modulo ranking order (hs compared as sets)
+    assert snapshot(v2) == snapshot(vf)
+
+    v3 = compact_ngram_corpus(spark, store, kind, key)
+    assert snapshot(v3) == snapshot(vf)
+    # compacted ranking == full-build ranking EXACTLY (fresh freq)
+    exact = sorted((r.doc_id, tuple(r.hs)) for r in read_ngram_corpus(spark, v3)["sets"].collect())
+    exact_f = sorted((r.doc_id, tuple(r.hs)) for r in read_ngram_corpus(spark, vf)["sets"].collect())
+    assert exact == exact_f
+
+    removed = store.sweep(keep_versions=1)
+    import os
+
+    assert not os.path.isdir(v2) and os.path.isdir(v3)
+    assert any(p.endswith("v00000002") for p in removed)
+
+
+def test_commit_extension_requires_base(tmp_path):
+    import pytest
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+
+    store = ArtifactStore(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        store.commit_extension("x", ("k",), lambda d: None)
+
+
 def test_artifact_key_includes_corpus_fingerprint(tmp_path, spark):
     """Two different corpora under different paths never share an
     artifact (the key embeds the documents-parquet file fingerprint)."""
@@ -77,3 +146,154 @@ def test_artifact_key_includes_corpus_fingerprint(tmp_path, spark):
     da = store._adir(dedup._INCR_ARTIFACT_KIND, ka)
     db = store._adir(dedup._INCR_ARTIFACT_KIND, kb)
     assert da != db
+
+
+def test_extend_ivf_index_matches_full_build_same_codebook(spark, sf_dir, tmp_path):
+    """FAISS add() semantics, pinned exactly: extending the standing
+    index with new vectors (standing codebook assigns, delta appended
+    into hard-linked partitions) probes bit-identically to an index
+    built fresh over the full corpus WITH THE SAME CODEBOOK — and the
+    prior version's meta.json survives the extension untouched (the
+    hard-link rewrite trap)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.vector_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        ivf_pruned_topk,
+        read_codebook,
+    )
+    from opencypher_datalayer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    n_base = base.count()
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "ivf", ("t",)
+
+    def build_base(d):
+        build_ivf_index(spark, base, d)
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"n_corpus": int(n_base)}, f)
+
+    v1 = store.get_or_build(kind, key, build_base)
+    v2 = extend_ivf_index(spark, store, kind, key, delta)
+    assert store.current_dir(kind, key) == v2
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), _vec().alias("qv"), _norm(_vec()).alias("qn")
+    )
+
+    def probe(idx_dir):
+        return [
+            tuple(r)
+            for r in ivf_pruned_topk(spark, idx_dir, queries, topk=5, nprobe=7).collect()
+        ]
+
+    got = probe(v2)
+    # full rebuild with the SAME codebook (trained on the base half)
+    full = ArtifactStore(str(tmp_path / "full"))
+    cbk = (n_base, *read_codebook(spark, v1))
+    vfull = full.get_or_build(
+        kind, key, lambda d: build_ivf_index(spark, emb, d, codebook=cbk)
+    )
+    assert got == probe(vfull) and got
+
+    # meta bookkeeping: v2 counts the delta; v1's linked file untouched
+    with open(os.path.join(v2, "meta.json")) as f:
+        assert json.load(f)["n_corpus"] == emb.count()
+    with open(os.path.join(v1, "meta.json")) as f:
+        assert json.load(f)["n_corpus"] == n_base
+
+    # compact retrains on the grown corpus: probe == a fresh full build
+    v3 = compact_ivf_index(spark, store, kind, key)
+    fresh = ArtifactStore(str(tmp_path / "fresh"))
+    vfr = fresh.get_or_build(kind, key, lambda d: build_ivf_index(spark, emb, d))
+    assert probe(v3) == probe(vfr)
+    with open(os.path.join(v3, "meta.json")) as f:
+        assert json.load(f)["n_corpus"] == emb.count()
+
+
+def test_extend_minhash_sigs_exact(spark, sf_dir, tmp_path):
+    """Signatures are a pure per-doc function: base + extension is
+    byte-identical to one full build over the grown corpus — the
+    standing table never needs recomputation."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.minhash import signatures_for
+    from opencypher_datalayer_spark.operators.minhash_corpus import (
+        extend_minhash_sigs,
+        read_minhash_sigs,
+        write_minhash_sigs,
+    )
+    from opencypher_datalayer_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "minhash_sigs", ("t",)
+    store.get_or_build(kind, key, lambda d: write_minhash_sigs(base, d, "md5"))
+    v2 = extend_minhash_sigs(spark, store, kind, key, delta, "md5")
+    got = sorted(tuple(r) for r in read_minhash_sigs(spark, v2).collect())
+    want = sorted(tuple(r) for r in signatures_for(docs, "md5").collect())
+    assert got == want and got
+
+
+def test_ingest_loop_probe_accept_extend(spark, sf_dir, tmp_path):
+    """The full standing-pipeline lifecycle a daily ingest runs:
+    probe batch 1 -> accept its non-dups -> EXTEND the corpus with the
+    accepted docs -> probe batch 2 against the extended corpus. Batch
+    2's answer must equal a naive full recompute over
+    (corpus + accepted) — i.e. extension is semantically invisible."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.ngram_corpus import (
+        extend_ngram_corpus,
+        probe_near_dups,
+        write_ngram_corpus,
+    )
+
+    t = 0.8
+    sh = dedup._shingle_hashes(spark, sf_dir, "md5").localCheckpoint()
+    corpus = sh.where(F.col("doc_id") % 5 <= 2)
+    b1 = sh.where(F.col("doc_id") % 5 == 3)
+    b2 = sh.where(F.col("doc_id") % 5 == 4)
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "ngram_corpus", ("t",)
+    v1 = store.get_or_build(kind, key, lambda d: write_ngram_corpus(spark, corpus, d))
+
+    dup_ids = [r.new_doc for r in probe_near_dups(spark, v1, b1, t).collect()]
+    accepted = b1.where(~F.col("doc_id").isin(dup_ids)) if dup_ids else b1
+    v2 = extend_ngram_corpus(spark, store, kind, key, accepted)
+
+    got = sorted(tuple(r) for r in probe_near_dups(spark, v2, b2, t).collect())
+
+    # naive recompute over the grown corpus: shared-shingle join
+    standing = corpus.unionByName(accepted)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        b2.alias("a")
+        .join(standing.alias("b"), "h")
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    naive = (
+        inter.join(sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")), "new_doc")
+        .join(sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb")), "dup_of")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
+        .where(F.col("jaccard") >= t)
+        .select("new_doc", "dup_of", "jaccard")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want

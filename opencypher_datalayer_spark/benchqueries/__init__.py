@@ -107,6 +107,10 @@ EXTENDED = {
     # driver-gated primaries — mirror of the r5 IVF / r6 multiband
     # promotions.
     "dedup_simhash": "dedup_simhash_pairs",
+    # r9: the extend-lifecycle demonstration (probe -> accept -> extend
+    # -> probe) — same probe operator as the primary, plus artifact
+    # extension whose semantics the oracle's two-day recompute checks
+    "dedup_ingest_loop": "dedup_incremental",
     # demoted r8 when st_stream_neardup (the streaming ingest-time
     # near-dup filter) entered the primary tier: cy_temporal_filter is
     # cy_match_filter's scan+filter shape with a timestamp predicate,

@@ -151,6 +151,9 @@ EXTENDED = {
     # scale, so it is the primary the driver gates; the full-assignment
     # probe is its row-identical shape twin.
     "sim_ivf_topk": "sim_ivf_pruned_topk",
+    # r9: metadata-filtered ANN — same pruned index + a payload
+    # predicate and the measured probe widening
+    "sim_filtered_topk": "sim_ivf_pruned_topk",
     "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
     "sim_label_centroids": "sim_ivf_pruned_topk",  # centroid build is IVF's first stage
     # temporal

@@ -1415,16 +1415,22 @@ def dedup_ingest_loop(
     # accepted = day-1 docs with NO standing near-dup (bounded collect:
     # <= |day-1 batch| ids — the acceptance decision is driver-side by
     # nature, exactly like the streaming filter's per-epoch keep set)
+    # same build-side gate as dedup_incremental, at this query's 1/5
+    # batch fraction: broadcast the batch prefix while its estimate
+    # fits, else force a shuffle join (never let Catalyst pick the
+    # corpus side)
+    batch_small = _docs_bytes(sf_dir) * 4 // LOOP_MOD <= PREFIX_BROADCAST_MAX_BYTES
+    hint = F.broadcast if batch_small else (lambda df: df.hint("shuffle_hash"))
     dups = [
         r.new_doc
-        for r in probe_near_dups(spark, v1, day1, t)
+        for r in probe_near_dups(spark, v1, day1, t, hint_prefix=hint)
         .select("new_doc")
         .distinct()
         .collect()
     ]
     accepted = day1.where(~F.col("doc_id").isin(dups)) if dups else day1
     v2 = extend_ngram_corpus(spark, store, kind, key, accepted)
-    return probe_near_dups(spark, v2, day2, t)
+    return probe_near_dups(spark, v2, day2, t, hint_prefix=hint)
 
 
 DEDUP_INGEST_LOOP_SQL = f"""

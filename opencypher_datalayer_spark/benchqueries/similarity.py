@@ -481,6 +481,8 @@ from opencypher_datalayer_spark.operators.ivf_codebook import (
     SCALE_Q,
     TRAIN_CAP,
     assign_cells,
+    filtered_nprobe_sql_case,
+    ivf_filtered_nprobe,
     ivf_nprobe,
     k_cells_for,
     nprobe_sql_case,
@@ -565,10 +567,13 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     return emb, (n, ids, cq), assign
 
 
-def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+def _ivf_probe_pairs(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> list[tuple[int, int]]:
     """(q_id, cell) probe list for the {N_QUERY} query vectors — a
     bounded driver-side numpy ranking against the codebook (N_QUERY x
-    nprobe ints), exactly mirroring the oracle's probes CTE."""
+    nprobe ints), exactly mirroring the oracle's probes CTE. ``nprobe``
+    overrides the step table (the filtered probe widens it)."""
     import numpy as np
 
     emb = rebalance_for_inflation(
@@ -582,7 +587,7 @@ def _ivf_probe_pairs(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
         .toPandas()
     )
     qv = np.stack(qdf["vq"].to_numpy()).astype(np.float64)
-    cells = top_cells(qv, ids, cq, ivf_nprobe(n))
+    cells = top_cells(qv, ids, cq, ivf_nprobe(n) if nprobe is None else nprobe)
     return [
         (int(q), int(c)) for q, row in zip(qdf["vec_id"], cells) for c in row
     ]
@@ -600,7 +605,7 @@ _DUCK_INT_DOT = (
 _DUCK_INT_NORM = "sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
 
 
-def _duck_ivf_ctes() -> str:
+def _duck_ivf_ctes(probe_nprobe_sql: str | None = None) -> str:
     score_s = (
         f"(({_DUCK_INT_DOT.format(a='s.vq', b='c.cq')}) / s.vn) / c.cn"
     )
@@ -670,7 +675,7 @@ probes AS (
                               ORDER BY {score_t} DESC, c.cell ASC) AS rk
     FROM vqn t CROSS JOIN centsn{IVF_ITERS} c
     WHERE t.vec_id < {N_QUERY}) z
-  WHERE rk <= (SELECT {nprobe_sql_case('n')} FROM params))"""
+  WHERE rk <= (SELECT {probe_nprobe_sql or nprobe_sql_case('n')} FROM params))"""
     )
     return ",\n".join(parts)
 
@@ -1142,7 +1147,7 @@ ORDER BY q_id, rk
 # layout version + embeddings content fingerprint. Bump the version
 # string when the index layout or training pipeline changes.
 _IVF_ARTIFACT_KIND = "ivf"
-_IVF_LAYOUT = "v1"
+_IVF_LAYOUT = "v2"  # v2: payload columns (label) stored per vector for filtered probes
 
 
 def _ivf_artifact_key(sf_dir: str) -> tuple:
@@ -1240,6 +1245,71 @@ def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN — for each query vector, the top-{TOPK}
+    cosine neighbors SHARING ITS LABEL ("nearest within my class"),
+    answered through the standing cell-partitioned index: the label is
+    an index PAYLOAD column (stored per vector at build/extend,
+    _IVF_LAYOUT v2), so the match evaluates on the scanned row at the
+    probe join — the corpus is never joined back to fetch metadata,
+    and a constant predicate would push into the pruned scan itself.
+    The probe is
+    WIDENED by the measured rule (``ivf_filtered_nprobe``: 8x at
+    n<=600, 2x beyond, capped at the cell count — smallest multiplier
+    holding mean recall@{TOPK} >= {RECALL_FLOOR} at every rehearsed
+    scale; unwidened probes measured 0.58-0.88): a filter keeping
+    ~1/10 of each cell starves top-k otherwise. At 100 TB this is the
+    filtered-search shape vector stores ship (FAISS IDSelector /
+    Milvus filtered search), expressed as partition pruning + a
+    pushed-down payload predicate.
+
+    Oracle: the same unrolled-Lloyd CTE chain with the probes CTE
+    widened by the identical SQL rule and the label equi-join applied
+    in ``scored`` — engine and oracle share every training and probe
+    decision bit-for-bit."""
+    from opencypher_datalayer_spark.operators.vector_index import ivf_pruned_topk
+
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", "label", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        "label",
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cbk = _ivf_codebook(spark, sf_dir)
+    return ivf_pruned_topk(
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        queries,
+        topk=TOPK,
+        nprobe=ivf_filtered_nprobe(cbk[0]),
+        codebook=cbk,
+        match_cols=("label",),
+    )
+
+
+SIM_FILTERED_TOPK_SQL = f"""
+WITH {_duck_ivf_ctes(filtered_nprobe_sql_case('n'))},
+scored AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS c_id,
+         ROUND({_DUCK_DOT.format(a='q.v', b='x.v')} / (q.nrm * x.nrm), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+  JOIN e q ON q.vec_id = p.q_id
+  JOIN e x ON x.vec_id = a.vec_id
+  JOIN embeddings lq ON lq.vec_id = p.q_id
+  JOIN embeddings lx ON lx.vec_id = a.vec_id AND lx.label = lq.label)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector norm + count — element-wise vector aggregate
     reduced to a scalar so it hashes portably; the full centroid array is
@@ -1316,6 +1386,11 @@ QUERIES = {
         sim_ivf_pruned_topk,
         SIM_IVF_TOPK_SQL,
         f"cell-partitioned IVF index, partition-pruned probe scan, top-{TOPK}",
+    ),
+    "sim_filtered_topk": QueryDef(
+        sim_filtered_topk,
+        SIM_FILTERED_TOPK_SQL,
+        f"metadata-filtered ANN: same-label top-{TOPK} via widened pruned probe",
     ),
     "sim_sq8_topk": QueryDef(
         sim_sq8_topk,

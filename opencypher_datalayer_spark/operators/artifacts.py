@@ -133,7 +133,14 @@ class ArtifactStore:
         current version's tree (zero data copied — the storage.py
         pruned-MERGE idiom), so the builder only appends delta files.
         The prior version stays intact until ``sweep`` reclaims it;
-        readers of either version always see a complete tree."""
+        readers of either version always see a complete tree.
+
+        Concurrency contract: extensions must be SERIALIZED by the
+        caller (single-writer ingest, the same discipline as the graph
+        store's merge commits). Two concurrent extenders would each
+        link from the SAME base version and the later pointer swap
+        would silently drop the earlier delta — unlike plain
+        ``commit`` races, where either full rebuild is correct."""
         cur = self.current_dir(kind, key)
         if cur is None:
             raise FileNotFoundError(f"no committed version to extend: {kind} {key!r}")

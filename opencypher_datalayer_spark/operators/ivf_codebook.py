@@ -97,6 +97,37 @@ def nprobe_sql_case(n_expr: str) -> str:
     )
 
 
+# Filtered (metadata-constrained) probe widening: a predicate that keeps
+# a fraction sel of each cell's candidates starves the top-k unless more
+# cells are probed. Measured operating points at selectivity ~0.1 (the
+# 10-label corpus), smallest multiplier whose same-label recall@5 meets
+# RECALL_FLOOR: n=500 -> 8x (4x gave 0.82), n=2000 -> 2x (0.98),
+# n=20000 -> 2x (0.98; 1x was 0.88). The multiplier FALLS with n, same
+# shape as the probe fraction itself. For materially different
+# selectivities, rehearse before trusting these steps.
+FILTER_WIDEN_STEPS: list[tuple[int, int]] = [(600, 8), (2_000_000_000, 2)]
+
+
+def ivf_filtered_nprobe(n: int) -> int:
+    """nprobe for a filtered probe: the measured widening multiplier
+    applied to the unfiltered step table, capped at the cell count."""
+    for bound, mult in FILTER_WIDEN_STEPS:
+        if n <= bound:
+            return min(k_cells_for(n), mult * ivf_nprobe(n))
+    return min(k_cells_for(n), 2 * ivf_nprobe(n))  # pragma: no cover
+
+
+def filtered_nprobe_sql_case(n_expr: str) -> str:
+    """SQL mirror of :func:`ivf_filtered_nprobe` (same steps + cap)."""
+    clauses = " ".join(
+        f"WHEN {n_expr} <= {bound} THEN {mult}" for bound, mult in FILTER_WIDEN_STEPS
+    )
+    k_expr = (
+        f"GREATEST(8, {IVF_K_MULT} * CAST(FLOOR(SQRT({n_expr})) AS BIGINT))"
+    )
+    return f"LEAST({k_expr}, (CASE {clauses} ELSE 2 END) * ({nprobe_sql_case(n_expr)}))"
+
+
 def vq_expr(v="v", nrm="nrm") -> F.Column:
     """int64 quantization of a unit-normalized vector — EXACTLY
     ``floor(abs(x / nrm) * 1e6 + 0.5) * sign(x)``, the same op chain the

@@ -88,7 +88,14 @@ def build_ivf_index(
     """
     from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
-    emb = embeddings.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    # every column besides vec_id/embedding rides along as PAYLOAD
+    # (e.g. a label/lang column): stored inside each cell partition so
+    # a FILTERED probe (ivf_pruned_topk's match_cols) pushes its
+    # predicate into the pruned scan instead of joining the corpus back
+    extras = [c for c in embeddings.columns if c not in ("vec_id", "embedding")]
+    emb = embeddings.select(
+        "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
     _write_ivf_vnrm(spark, emb, index_dir, codebook)
 
 
@@ -121,7 +128,7 @@ def _write_ivf_vnrm(
         n_slices=1,
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
-    vq_df = emb.select("vec_id", "v", "nrm", vq_expr().alias("vq"))
+    vq_df = emb.withColumn("vq", vq_expr())  # payload columns ride along
     assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
     # Task count for the dynamic-partition write: each reducer opens one
     # parquet writer per cell it owns, and writer open/close (~5-15 ms)
@@ -182,7 +189,10 @@ def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddin
     from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
     ids, cq = read_codebook(spark, cur)
-    emb = embeddings_new.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    extras = [c for c in embeddings_new.columns if c not in ("vec_id", "embedding")]
+    emb = embeddings_new.select(
+        "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
     nb = emb.count()
     assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A)
     cores = spark.sparkContext.defaultParallelism
@@ -226,7 +236,7 @@ def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
         raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
     vec = (
         spark.read.parquet(os.path.join(cur, "vectors"))
-        .select("vec_id", "v", "nrm")
+        .drop("cell")  # payload columns (if any) ride along
         .dropDuplicates(["vec_id"])
         .localCheckpoint()  # decouple from the files sweep may reclaim
     )
@@ -247,10 +257,24 @@ def ivf_pruned_topk(
     topk: int = 5,
     nprobe: int | None = None,
     codebook: tuple | None = None,
+    match_cols: tuple = (),
 ) -> DataFrame:
     """Top-``topk`` cosine neighbors for ``queries`` (``q_id``, ``qv``
     array<double>, ``qn``) against a :func:`build_ivf_index` index,
     scanning ONLY the partition directories of admitted cells.
+
+    FILTERED probe: ``match_cols`` names index payload columns (stored
+    per-vector at build/extend time) that must EQUAL the query's column
+    of the same name — e.g. ``match_cols=("label",)`` answers "nearest
+    neighbors within my class". The payload rides the pruned scan, so
+    the match evaluates on the scanned row at the probe join — the
+    corpus is never joined back to fetch metadata (a CONSTANT
+    predicate, e.g. ``lang='en'``, can instead be applied by the
+    caller on ``vectors`` and pushes into the scan). Callers should
+    WIDEN ``nprobe`` for filtered probes — a
+    predicate keeping a fraction of each cell starves top-k otherwise;
+    ``ivf_codebook.ivf_filtered_nprobe`` is the measured rule at ~0.1
+    selectivity (recall floor held at every rehearsed scale).
 
     Probe-cell ranking runs driver-side in numpy against the collected
     codebook (K x d ints — bounded, ~1 MB at K ~ 2000) with the exact
@@ -313,13 +337,14 @@ def ivf_pruned_topk(
         F.col("cell"),
         F.col("v").alias("cv2"),
         F.col("nrm").alias("cn2"),
+        *[F.col(c).alias(f"c_{c}") for c in match_cols],
     )
     cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
+    scored = F.broadcast(probes).join(cand, "cell").where(F.col("q_id") != F.col("c_id"))
+    for c in match_cols:
+        scored = scored.where(F.col(c) == F.col(f"c_{c}"))
     scored = (
-        F.broadcast(probes)
-        .join(cand, "cell")
-        .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", cos)
+        scored.withColumn("cosine", cos)
         .select("q_id", "c_id", "cosine")
         .dropDuplicates(["q_id", "c_id"])  # boundary-replicated candidates
     )

@@ -59,3 +59,45 @@ def test_multiband_recall_dominates_single_band(spark):
     assert set(multi) == set(single)
     for q_id, r in multi.items():
         assert r >= single[q_id] - 1e-9
+
+
+def _filtered_hits(spark, sf_dir) -> tuple[int, int]:
+    """(same-label true-neighbor hits, truth rows) for the FILTERED
+    probe (sim_filtered_topk) vs exact same-label brute-force."""
+    exact_rows = (
+        sim.load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "label", sim._vec().alias("v"))
+        .collect()
+    )
+    import numpy as np
+
+    by_id = {r.vec_id: (np.array(r.v, dtype=np.float64), r.label) for r in exact_rows}
+    truth = set()
+    for q in range(sim.N_QUERY):
+        qv, ql = by_id[q]
+        qn = np.sqrt((qv * qv).sum())
+        scored = sorted(
+            (
+                (-round(float(qv @ cv) / (qn * np.sqrt((cv * cv).sum())), 6), c)
+                for c, (cv, cl) in by_id.items()
+                if c != q and cl == ql
+            ),
+        )[: sim.TOPK]
+        truth |= {(q, c) for _, c in scored}
+    got = {
+        (r.q_id, r.c_id) for r in sim.sim_filtered_topk(spark, sf_dir).collect()
+    }
+    return len(truth & got), len(truth)
+
+
+def test_filtered_recall_floor_sf001(spark):
+    """The measured widening rule (ivf_filtered_nprobe) must hold the
+    same floor for the FILTERED probe that the unfiltered step table
+    holds for the plain one — unwidened probes measured 0.58 here."""
+    hits, n = _filtered_hits(spark, "/root/testdata/sf0.01")
+    assert hits >= sim.RECALL_FLOOR * n, f"filtered recall {hits/n:.3f} < floor"
+
+
+def test_filtered_recall_floor_sf01(spark):
+    hits, n = _filtered_hits(spark, "/root/testdata/sf0.1")
+    assert hits >= sim.RECALL_FLOOR * n, f"filtered recall {hits/n:.3f} < floor"

@@ -1412,23 +1412,24 @@ def dedup_ingest_loop(
     store = ArtifactStore(root)
     kind, key = "ngram_corpus", ("loop",)
     v1 = store.get_or_build(kind, key, lambda d: write_ngram_corpus(spark, corpus, d))
-    # accepted = day-1 docs with NO standing near-dup (bounded collect:
-    # <= |day-1 batch| ids — the acceptance decision is driver-side by
-    # nature, exactly like the streaming filter's per-epoch keep set)
     # same build-side gate as dedup_incremental, at this query's 1/5
     # batch fraction: broadcast the batch prefix while its estimate
     # fits, else force a shuffle join (never let Catalyst pick the
     # corpus side)
     batch_small = _docs_bytes(sf_dir) * 4 // LOOP_MOD <= PREFIX_BROADCAST_MAX_BYTES
     hint = F.broadcast if batch_small else (lambda df: df.hint("shuffle_hash"))
-    dups = [
-        r.new_doc
-        for r in probe_near_dups(spark, v1, day1, t, hint_prefix=hint)
-        .select("new_doc")
+    # acceptance is a distributed anti-join, never a collected id list
+    # (a dup set can be batch-sized; the one bounded driver round-trip
+    # in this family is the probe's cell/pair bookkeeping, not doc ids).
+    # localCheckpoint: the dup frame feeds the extension write and would
+    # otherwise re-run the whole day-1 probe inside it.
+    d1_dups = (
+        probe_near_dups(spark, v1, day1, t, hint_prefix=hint)
+        .select(F.col("new_doc").alias("doc_id"))
         .distinct()
-        .collect()
-    ]
-    accepted = day1.where(~F.col("doc_id").isin(dups)) if dups else day1
+        .localCheckpoint()
+    )
+    accepted = day1.join(d1_dups, "doc_id", "left_anti")
     v2 = extend_ngram_corpus(spark, store, kind, key, accepted)
     return probe_near_dups(spark, v2, day2, t, hint_prefix=hint)
 

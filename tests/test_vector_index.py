@@ -162,3 +162,44 @@ def test_spark_trainer_matches_driver_trainer(spark):
     ids_s, c_s = cb.train_codebook_spark(vq_df, n)
     assert np.array_equal(ids_d, ids_s)
     assert np.array_equal(c_d, c_s)
+
+
+def test_filtered_probe_keeps_partition_pruning_and_payload(spark, tmp_path):
+    """The filtered probe (match_cols) must not disturb the scan shape:
+    payload columns ride the cell partitions, the partition filter
+    stays on the scan, and every returned neighbor satisfies the
+    match — here parity(vec_id), with cluster 0 split across both
+    parities so the filter demonstrably removes half the candidates."""
+    emb = _mini_embeddings(spark).withColumn("par", F.col("vec_id") % 2)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx)
+
+    # payload stored per vector inside the partitions
+    cols = spark.read.parquet(f"{idx}/vectors").columns
+    assert "par" in cols, cols
+
+    queries = spark.createDataFrame(
+        [(999, 1, [1.0] + [0.0] * 7, 1.0)],
+        "q_id long, par int, qv array<double>, qn double",
+    )
+    # cluster 0 (the query's nearest cells) is ALL even vec_ids
+    # (j*4+0), so a narrow par=1 probe returns NOTHING — the in-miniature
+    # demonstration of why filtered probes must widen nprobe. At
+    # nprobe=4 the filtered result is empty:
+    narrow = ivf_pruned_topk(spark, idx, queries, nprobe=4, topk=3, match_cols=("par",))
+    assert narrow.collect() == []
+    # widened to all cells, every hit satisfies the match
+    out = ivf_pruned_topk(spark, idx, queries, nprobe=24, topk=3, match_cols=("par",))
+    rows = out.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(True)
+    import re
+
+    blocks = re.findall(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert any("cell" in b for b in blocks), blocks
+    assert rows and all(r.c_id % 2 == 1 for r in rows), rows
+
+    # unfiltered at the narrow nprobe returns the even cluster-0 ids
+    un = ivf_pruned_topk(spark, idx, queries.drop("par"), nprobe=4, topk=3)
+    assert any(r.c_id % 2 == 0 for r in un.collect())

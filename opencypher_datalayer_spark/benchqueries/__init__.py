@@ -154,6 +154,9 @@ EXTENDED = {
     # r9: metadata-filtered ANN — same pruned index + a payload
     # predicate and the measured probe widening
     "sim_filtered_topk": "sim_ivf_pruned_topk",
+    # r9: the vector twin of the streaming text filter — ANN dup gate
+    # per micro-batch + standing-index extension, same deployment shape
+    "st_stream_vector_ingest": "st_stream_neardup",
     "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
     "sim_label_centroids": "sim_ivf_pruned_topk",  # centroid build is IVF's first stage
     # temporal

@@ -605,7 +605,13 @@ _DUCK_INT_DOT = (
 _DUCK_INT_NORM = "sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
 
 
-def _duck_ivf_ctes(probe_nprobe_sql: str | None = None) -> str:
+def _duck_ivf_ctes(
+    probe_nprobe_sql: str | None = None, train_where: str | None = None
+) -> str:
+    """The trained pipeline as CTEs. ``train_where`` restricts the
+    TRAINING population (params count + sample) to a vec_id predicate —
+    the streaming ingest oracle trains on the bootstrap batch only,
+    exactly like the sink; assignment still covers every vector."""
     score_s = (
         f"(({_DUCK_INT_DOT.format(a='s.vq', b='c.cq')}) / s.vn) / c.cn"
     )
@@ -626,10 +632,10 @@ params AS (
   SELECT COUNT(*) AS n,
          GREATEST(8, {IVF_K_MULT} * CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k,
          CAST(CEIL(COUNT(*) / {TRAIN_CAP}.0) AS BIGINT) AS s
-  FROM vqn),
+  FROM vqn{f' WHERE {train_where}' if train_where else ''}),
 sample AS MATERIALIZED (
   SELECT vq, vn, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS srn
-  FROM vqn WHERE vec_id % (SELECT s FROM params) = 0),
+  FROM vqn WHERE vec_id % (SELECT s FROM params) = 0{f' AND {train_where}' if train_where else ''}),
 strideq AS (
   SELECT GREATEST(COUNT(*) // (SELECT k FROM params), 1) AS st FROM sample),
 centsn0 AS MATERIALIZED (
@@ -1310,6 +1316,136 @@ ORDER BY q_id, rk
 """
 
 
+# -- streaming embedding ingest (vector twin of st_stream_neardup) ------
+
+VSTREAM_NBATCH = 4
+# the family's synthetic corpus tops out near 0.6 cosine and has ZERO
+# pairs at DUP_COS=0.55 within one replica; COS_THRESHOLD (0.4) is the
+# operating point with real dup structure (66 pairs at sf0.001), so the
+# streaming gate demonstrably drops at both stages
+VSTREAM_COS = COS_THRESHOLD
+
+
+def st_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding ingest with ANN near-dup gating
+    (``streaming.vector_ingest.StreamingVectorIngest``), replayed
+    deterministically: the embeddings table arrives as
+    {VSTREAM_NBATCH} micro-batches (``vec_id % {VSTREAM_NBATCH}``),
+    each through the sink's exact ``foreachBatch`` contract — epoch 0
+    bootstraps (codebook trained on that batch, frozen thereafter),
+    later epochs are corpus-filtered against the standing index
+    (shared assigned cell + cosine >= {VSTREAM_COS}), collapsed
+    within themselves (component min), and survivors EXTEND the index
+    as a new committed artifact version. Returns the accepted
+    (vec_id, batch) set.
+
+    The oracle unrolls the same program in SQL: the k-means CTEs train
+    on the epoch-0 slice only (the sink's frozen codebook), then one
+    stage per epoch — cell-equi-join dup test, NOT EXISTS anti-join,
+    recursive-CTE component collapse — so every training, assignment,
+    cosine, and keep decision is recomputed bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.streaming.vector_ingest import (
+        StreamingVectorIngest,
+    )
+
+    digest = hashlib.md5(
+        repr((table_fingerprint(sf_dir, "embeddings"), VSTREAM_COS)).encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"stream_vec_{digest}_p{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # replay starts from empty state
+    sink = StreamingVectorIngest(
+        ArtifactStore(root), key=("replay",), dup_cos=VSTREAM_COS
+    )
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    )
+    for k in range(VSTREAM_NBATCH):
+        sink.apply(emb.where(F.col("vec_id") % VSTREAM_NBATCH == k), k)
+    return (
+        sink.accepted_ids(spark)
+        .withColumn("batch", F.col("vec_id") % VSTREAM_NBATCH)
+        .localCheckpoint()  # decouple from the state dir the NEXT call wipes
+        .orderBy("vec_id")
+    )
+
+
+def _duck_stream_vector_sql() -> str:
+    """Unrolled SQL program for the streaming vector ingest: k-means
+    CTEs trained on the epoch-0 slice, then per-epoch corpus filter /
+    within-batch recursive-CTE collapse / corpus extension — the same
+    stage structure as the text stream's oracle."""
+    nb, t = VSTREAM_NBATCH, VSTREAM_COS
+    cos = f"ROUND(({_DUCK_DOT.format(a='a.v', b='c.v')}) / (a.nrm * c.nrm), 6)"
+    cos_bb = f"ROUND(({_DUCK_DOT.format(a='a.v', b='b.v')}) / (a.nrm * b.nrm), 6)"
+    parts = [
+        # assignment rows carrying vectors: the join shape of both the
+        # corpus filter and the within-batch collapse
+        "av AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v, e.nrm"
+        " FROM assign a JOIN e USING (vec_id))",
+    ] + [
+        f"b{k} AS MATERIALIZED (SELECT * FROM av WHERE vec_id % {nb} = {k})"
+        for k in range(nb)
+    ]
+    for k in range(nb):
+        if k == 0:
+            parts.append("rem0 AS MATERIALIZED (SELECT * FROM b0)")
+        else:
+            parts.append(
+                f"dup{k} AS MATERIALIZED (SELECT DISTINCT a.vec_id FROM b{k} a"
+                f" JOIN corp{k} c ON a.cell = c.cell AND {cos} >= {t})"
+            )
+            parts.append(
+                f"rem{k} AS MATERIALIZED (SELECT * FROM b{k} WHERE NOT EXISTS"
+                f" (SELECT 1 FROM dup{k} d WHERE d.vec_id = b{k}.vec_id))"
+            )
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb"
+            f" FROM rem{k} a JOIN rem{k} b"
+            f" ON a.vec_id < b.vec_id AND a.cell = b.cell AND {cos_bb} >= {t})"
+        )
+        parts.append(
+            f"ed{k} AS MATERIALIZED"
+            f" (SELECT pa AS a, pb AS b FROM e{k} UNION SELECT pb, pa FROM e{k})"
+        )
+        parts.append(
+            f"cl{k} AS (SELECT a, b FROM ed{k}"
+            f" UNION SELECT c.a, x.b FROM cl{k} c JOIN ed{k} x ON c.b = x.a)"
+        )
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT a AS vec_id, MIN(b) AS mn FROM cl{k} GROUP BY a)"
+        )
+        parts.append(
+            f"kept{k} AS MATERIALIZED (SELECT r.* FROM rem{k} r LEFT JOIN lab{k} l USING (vec_id)"
+            f" WHERE l.mn IS NULL OR l.mn >= r.vec_id)"
+        )
+        if k + 1 < nb:
+            parts.append(
+                f"corp{k + 1} AS MATERIALIZED (SELECT * FROM corp{k} UNION ALL"
+                f" SELECT * FROM kept{k})"
+                if k
+                else "corp1 AS MATERIALIZED (SELECT * FROM kept0)"
+            )
+    union = " UNION ".join(
+        f"SELECT DISTINCT vec_id FROM kept{k}" for k in range(nb)
+    )
+    return f"""
+WITH RECURSIVE {_duck_ivf_ctes(train_where=f'vec_id % {nb} = 0')},
+{', '.join(parts)}
+SELECT vec_id, vec_id % {nb} AS batch FROM ({union}) ORDER BY vec_id
+"""
+
+
+ST_STREAM_VECTOR_SQL = _duck_stream_vector_sql()
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector norm + count — element-wise vector aggregate
     reduced to a scalar so it hashes portably; the full centroid array is
@@ -1391,6 +1527,11 @@ QUERIES = {
         sim_filtered_topk,
         SIM_FILTERED_TOPK_SQL,
         f"metadata-filtered ANN: same-label top-{TOPK} via widened pruned probe",
+    ),
+    "st_stream_vector_ingest": QueryDef(
+        st_stream_vector_ingest,
+        ST_STREAM_VECTOR_SQL,
+        f"streaming embedding ingest: ANN dup gate + index extension, {VSTREAM_NBATCH} epochs",
     ),
     "sim_sq8_topk": QueryDef(
         sim_sq8_topk,

@@ -162,7 +162,25 @@ def read_codebook(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.n
     return ids, cq
 
 
-def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddings_new: DataFrame) -> str:
+def index_meta(index_dir: str) -> dict:
+    """meta.json of a committed index version ({} if absent)."""
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def extend_ivf_index(
+    spark: SparkSession,
+    store,
+    kind: str,
+    key: tuple,
+    embeddings_new: DataFrame,
+    meta_extra: dict | None = None,
+) -> str:
     """Append NEW vectors (``vec_id`` disjoint from the standing index
     — the caller's contract) as a new committed artifact version
     WITHOUT retraining — FAISS ``add()`` semantics: the standing
@@ -180,7 +198,12 @@ def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddin
     balance and the measured nprobe/recall operating points
     (``ivf_codebook.NPROBE_STEPS``) slowly lose calibration —
     :func:`compact_ivf_index` is the periodic retrain, the same
-    maintenance cadence as the n-gram corpus artifact's compact."""
+    maintenance cadence as the n-gram corpus artifact's compact.
+
+    ``meta_extra`` merges extra keys into meta.json atomically with
+    the data commit — e.g. the streaming ingest sink's ``last_epoch``
+    replay marker, which must never be observable without the epoch's
+    vectors (or vice versa)."""
     import json
 
     cur = store.current_dir(kind, key)
@@ -206,6 +229,7 @@ def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddin
             .parquet(os.path.join(tmp, "vectors"))
         )
         meta_p = os.path.join(tmp, "meta.json")
+        meta = {}
         if os.path.exists(meta_p):
             with open(meta_p) as f:
                 meta = json.load(f)
@@ -213,7 +237,9 @@ def extend_ivf_index(spark: SparkSession, store, kind: str, key: tuple, embeddin
             # prior committed version — opening it 'w' would truncate
             # the shared inode and corrupt the old version in place.
             os.remove(meta_p)
+        if meta or meta_extra:
             meta["n_corpus"] = int(meta.get("n_corpus", 0)) + int(nb)
+            meta.update(meta_extra or {})
             with open(meta_p, "w") as f:
                 json.dump(meta, f)
 
@@ -241,11 +267,16 @@ def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
         .localCheckpoint()  # decouple from the files sweep may reclaim
     )
     n = vec.count()
+    # non-count meta keys carry over (e.g. the streaming sink's
+    # last_epoch replay marker — compacting mid-stream must not reopen
+    # the replay window)
+    meta = index_meta(cur)
+    meta["n_corpus"] = int(n)
 
     def build(tmp: str) -> None:
         _write_ivf_vnrm(spark, vec, tmp, codebook=None)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump({"n_corpus": int(n)}, f)
+            json.dump(meta, f)
 
     return store.commit(kind, key, build)
 

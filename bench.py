@@ -104,6 +104,11 @@ ENGINE_MODE = [
 # "artifact_builds".
 ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     "dedup_incremental": ("ngram_corpus",),
+    # r10: the batch self-join family probes the standing FULL-corpus
+    # artifact (own kind — different content from the incremental split)
+    "dedup_ngram_jaccard": ("ngram_corpus_full",),
+    "dedup_ngram_containment": ("ngram_corpus_full",),
+    "dedup_containment_collapsed": ("ngram_corpus_full", "minhash_sigs"),
     "sim_ivf_pruned_topk": ("ivf",),
     "dedup_minhash_lsh_pairs": ("minhash_sigs",),
     "dedup_clusters": ("minhash_sigs",),
@@ -129,6 +134,9 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
 
     builders = {
         "ngram_corpus": lambda: dd.build_incremental_artifacts(
+            spark, sf_dir, dd.ORACLE_HASH_FAMILY
+        ),
+        "ngram_corpus_full": lambda: dd.build_corpus_artifacts(
             spark, sf_dir, dd.ORACLE_HASH_FAMILY
         ),
         "minhash_sigs": lambda: dd._minhash_sigs(

@@ -175,7 +175,7 @@ def _maybe_broadcast_slim(df: DataFrame, sf_dir: str) -> DataFrame:
 
 
 def _staged_verify(
-    sets: DataFrame, cand: DataFrame, sf_dir: str, gate
+    sets: DataFrame, cand: DataFrame, sf_dir: str, gate, slim: DataFrame | None = None
 ) -> DataFrame:
     """Registry adapter over :func:`operators.staged_verify.staged_verify`
     (the engine itself — stage-A slim bound with the ``dq`` collision
@@ -183,13 +183,17 @@ def _staged_verify(
     ``operators/`` so library callers get it as a pure frame->frame
     function; see its module docstring for the soundness argument and
     the measured history). This adapter binds the registry's
-    corpus-size broadcast gates."""
+    corpus-size broadcast gates. ``slim`` supplies a pre-computed
+    stage-A payload (a standing artifact's persisted frame); None
+    derives it from ``sets``."""
     from opencypher_datalayer_spark.operators.staged_verify import staged_verify
 
     return staged_verify(
         cand,
         sets,
         gate,
+        slim_a=slim,
+        slim_b=slim,
         hint_slim=lambda df: _maybe_broadcast_slim(df, sf_dir),
         hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir),
     )
@@ -389,6 +393,50 @@ from opencypher_datalayer_spark.operators.staged_verify import (  # noqa: E402
 )
 
 
+# Standing FULL-corpus n-gram artifact for the batch self-join family
+# (VERDICT r9 'what's missing' #1): dedup_ngram_jaccard / _containment
+# re-shingled, re-ranked, and re-shuffled the whole corpus on EVERY call
+# (3.15 s of the sf0.1 bench, 162 s fresh at sf10) even when the same
+# derived frames already sat committed for the incremental path. This is
+# the same ``operators.ngram_corpus`` layout under its own kind (the
+# incremental artifact holds only the corpus SPLIT — doc_id % mod != 0 —
+# so the two are different content and drop independently in the bench).
+_FULL_ARTIFACT_KIND = "ngram_corpus_full"
+
+
+def build_corpus_artifacts(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> str:
+    """Build (if absent) the standing full-corpus n-gram artifact and
+    return its committed version dir. Exposed separately so the bench
+    times build and probe as first-class phases."""
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+    from opencypher_datalayer_spark.operators.ngram_corpus import write_ngram_corpus
+
+    key = ("v2", _docs_fingerprint(sf_dir), hash_family, SHINGLE_K)
+    return default_store().get_or_build(
+        _FULL_ARTIFACT_KIND,
+        key,
+        lambda tmp: write_ngram_corpus(
+            spark, _shingle_hashes(spark, sf_dir, hash_family), tmp
+        ),
+    )
+
+
+def _corpus_frames(
+    spark: SparkSession, sf_dir: str, hash_family: str
+) -> dict[str, DataFrame]:
+    """The standing full-corpus frames (shingles/freq/sets/slim) as
+    parquet scans of the committed artifact — identical values to the
+    live computation (same shingle hashes, same df ranking, same
+    deterministic (df, h) sort), so consumers stay hash-green while the
+    corpus-wide explode/agg/rank shuffles are paid once per corpus
+    version instead of per call."""
+    from opencypher_datalayer_spark.operators.ngram_corpus import read_ngram_corpus
+
+    return read_ngram_corpus(spark, build_corpus_artifacts(spark, sf_dir, hash_family))
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
 ) -> DataFrame:
@@ -433,19 +481,18 @@ def dedup_ngram_jaccard(
     # ~1e-10 over a 13k-shingle vocabulary). Family only affects which
     # hasher computes the set elements — the verified Jaccard output is
     # family-independent modulo those collisions.
-    sh = _shingle_hashes(spark, sf_dir, hash_family)
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    sets = (
-        sh.join(_maybe_broadcast_freq(freq, sf_dir), "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.expr("transform(ranked, x -> x.h)").alias("hs"),
-            F.size("ranked").alias("n"),
-        )
-    )
-    sets = _stage_sets(spark, sets, sf_dir, hash_family)
+    #
+    # ARTIFACT-BACKED (r10): the ranked sets and stage-A slim payloads
+    # come from the standing full-corpus artifact (parquet scans) —
+    # the per-call cost is the prefix self-join plus verify, never the
+    # corpus shingle explode/df-agg/rank shuffles (those are the
+    # once-per-corpus-version build). _stage_sets still buckets the
+    # sets by doc_id above the broadcast cap so the verify joins
+    # consume the scan's hash-partitioning without re-exchanging.
+    art = _corpus_frames(spark, sf_dir, hash_family)
+    from opencypher_datalayer_spark.operators.ngram_corpus import SETS, SLIM
+
+    sets = _stage_sets(spark, art[SETS], sf_dir, hash_family)
     prefix = sets.select(
         "doc_id",
         F.col("n"),
@@ -469,24 +516,31 @@ def dedup_ngram_jaccard(
     # emit predicate, never the float-ceil alpha (see its docstring).
     pos_bound = F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p"))
     s_ab = F.col("a.n") + F.col("b.n")
-    cand = (
+    from opencypher_datalayer_spark.operators.scale import parallel_dedup
+
+    # parallel_dedup, not plain dropDuplicates: the verify's per-row
+    # array_intersect work is ~1000x the candidate row's bytes, and
+    # AQE's bytes-based coalesce serialized stage A on one core
+    cand = parallel_dedup(
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & _jaccard_feasible(pos_bound, s_ab, t),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+        "doc_a",
+        "doc_b",
     )
     # staged verify (shared engine): the feasibility gate is the exact
     # emit predicate applied to the sound slim bound (_jaccard_feasible,
-    # ADVICE r6 #1), so no emittable pair is ever dropped
+    # ADVICE r6 #1), so no emittable pair is ever dropped; the stage-A
+    # slim payloads come pre-computed from the artifact
     exact = _staged_verify(
         sets,
         cand,
         sf_dir,
         lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
+        slim=art[SLIM],
     )
     return (
         exact.withColumn(
@@ -734,19 +788,16 @@ def dedup_ngram_containment(
     the prefix-filter bound stays sound because every doc's ranked
     array keeps the same corpus-global rarest-first order."""
     t = CONTAIN_T
-    sh = _shingle_hashes(spark, sf_dir, hash_family)
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    sets = (
-        sh.join(_maybe_broadcast_freq(freq, sf_dir), "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.expr("transform(ranked, x -> x.h)").alias("hs"),
-            F.size("ranked").alias("n"),
-        )
-    )
-    sets = _stage_sets(spark, sets, sf_dir, hash_family)
+    # ARTIFACT-BACKED (r10): ranked sets, the corpus shingle table
+    # (each row carrying the doc's set size — ignored here), and the
+    # stage-A slim payloads are parquet scans of the standing
+    # full-corpus artifact; see dedup_ngram_jaccard.
+    art = _corpus_frames(spark, sf_dir, hash_family)
+    from opencypher_datalayer_spark.operators.ngram_corpus import SETS, SHINGLES, SLIM
+
+    sh = art[SHINGLES].select("doc_id", "h")
+    slim = art[SLIM]
+    sets = _stage_sets(spark, art[SETS], sf_dir, hash_family)
     if collapse:
         keep = (
             dedup_clusters(spark, sf_dir, hash_family)
@@ -756,12 +807,13 @@ def dedup_ngram_containment(
         # keeper ids are 8 B/doc (~1/40 of text bytes): broadcastable far
         # beyond the sets gate; above it, degrade to a shuffled semi-join.
         # The filter lands AFTER _stage_sets so both modes reuse one
-        # bucketed sets table (and the memoized full-corpus ranked
+        # bucketed sets table (and the standing full-corpus ranked
         # arrays keep the corpus-global prefix order).
         if _docs_bytes(sf_dir) <= BROADCAST_SETS_MAX_BYTES * 8:
             keep = F.broadcast(keep)
         sets = sets.join(keep, "doc_id", "left_semi")
         sh = sh.join(keep, "doc_id", "left_semi")
+        slim = slim.join(keep, "doc_id", "left_semi")
     prefix = sets.select(
         "doc_id",
         F.explode(
@@ -776,11 +828,14 @@ def dedup_ngram_containment(
     # else force the shuffle join.
     prefix_small = _docs_bytes(sf_dir) * 4 <= PREFIX_BROADCAST_MAX_BYTES
     probe = F.broadcast(prefix) if prefix_small else prefix.hint("shuffle_hash")
-    cand = (
+    from opencypher_datalayer_spark.operators.scale import parallel_dedup
+
+    cand = parallel_dedup(
         probe.alias("a")
         .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
+        "doc_a",
+        "doc_b",
     )
     # staged verify (shared engine, _staged_verify): the feasibility
     # gate is the exact rounded emit predicate on the sound slim bound
@@ -791,6 +846,7 @@ def dedup_ngram_containment(
         cand,
         sf_dir,
         lambda ub, na, nb: _containment_feasible(ub, na, t),
+        slim=slim,
     )
     return (
         exact.withColumn(

@@ -200,7 +200,12 @@ def probe_near_dups(
     )
     probe = (F.broadcast if hint_prefix is None else hint_prefix)(new_prefix)
     pos_bound = F.least(F.col("na") - F.col("pa"), F.col("nb"))
-    cand = (
+    from opencypher_datalayer_spark.operators.scale import parallel_dedup
+
+    # parallel_dedup, not plain dropDuplicates: the verify's per-row
+    # work is ~1000x the candidate bytes and AQE's bytes-based coalesce
+    # would serialize it on a handful of cores (scale.parallel_dedup)
+    cand = parallel_dedup(
         probe.alias("a")
         .join(
             art[SHINGLES].select(
@@ -209,8 +214,9 @@ def probe_near_dups(
             "h",
         )
         .where(jaccard_feasible(pos_bound, F.col("na") + F.col("nb"), t))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .dropDuplicates()
+        .select(F.col("doc_id").alias("doc_a"), "doc_b"),
+        "doc_a",
+        "doc_b",
     )
     exact = staged_verify(
         cand,

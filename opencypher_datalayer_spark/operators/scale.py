@@ -109,6 +109,23 @@ def rebalance_rows(df: DataFrame, n_rows: int, work_per_row: int = 1) -> DataFra
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def parallel_dedup(df: DataFrame, *cols: str) -> DataFrame:
+    """``dropDuplicates`` for a candidate stream whose DOWNSTREAM
+    per-row work (the staged verify's boxed ``array_intersect`` per
+    candidate) dwarfs its bytes: an explicit fixed-width hash
+    repartition on the dedup key feeds the aggregate, so AQE's
+    bytes-based coalescing — which sized the sf0.1 199k-pair candidate
+    exchange at ONE ~3 MB partition and serialized the whole verify
+    stage on a single core (measured 3.9 -> 1.1 s end-to-end) — cannot
+    shrink the stage below the session's parallelism. Still a single
+    exchange: the aggregate consumes the repartition's clustering.
+    The trade is losing the map-side partial aggregation (pre-dedup
+    rows all shuffle), bounded because callers' join conditions
+    already carry the positional feasibility filters."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *cols).dropDuplicates()
+
+
 # Below this many estimated inflated work units (rows x per-row
 # inflation), a single core finishes the stage faster than an exchange
 # round-trip costs. 8M units ~ a few hundred ms of vectorized JVM work.

@@ -114,6 +114,10 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     "dedup_clusters": ("minhash_sigs",),
     "dedup_minhash_error": ("minhash_sigs",),
     "dedup_minhash_signatures": ("minhash_sigs",),
+    # r10: SimHash fingerprints are pure per-doc — standing artifact
+    # like the MinHash signatures (extension exact, no compact)
+    "dedup_simhash": ("simhash_fps",),
+    "dedup_simhash_pairs": ("simhash_fps",),
     "st_stream_neardup": (),  # own parquet state machinery, not the store
 }
 
@@ -143,6 +147,7 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
             spark, sf_dir, dd.ORACLE_HASH_FAMILY
         ),
         "ivf": lambda: sim.build_ivf_artifacts(spark, sf_dir),
+        "simhash_fps": lambda: dd._simhash(spark, sf_dir, dd.ORACLE_HASH_FAMILY),
     }
     out: dict[str, float] = {}
     for kind, fn in builders.items():

@@ -80,9 +80,13 @@ WORK_SIMHASH = 4_000
 # (a mod-P hash would cap the usable bits at ~30 and leave the high
 # fingerprint bits constant), and 15-bit bands give 32768 bucket values
 # — band-collision volume scales as n^2/2^15 instead of n^2/2^8.
-SIMHASH_BITS = 60
-SIMHASH_CHUNKS = 4
-HAMMING_MAX = 3
+# Canonical home since the r10 kernel promotion: operators.simhash
+# (re-exported here for the registry's oracle builders and tests).
+from opencypher_datalayer_spark.operators.simhash import (  # noqa: E402
+    HAMMING_MAX,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+)
 
 
 # hash families: "md5" (oracle mode — DuckDB-recomputable, what the
@@ -101,14 +105,10 @@ def _duck_hash64(expr: str) -> str:
     return f"(('0x'||substr(md5({expr}),1,15))::BIGINT % {P})"
 
 
-def _spark_hash60(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:  # type: ignore[name-defined]
-    """Unreduced 60-bit hash — full bit entropy for per-bit consumers
-    (SimHash needs independent bits, not a modular residue). xxhash64
-    mode masks the native 64-bit value down to the low 60 bits."""
-    _check_family(family)
-    if family == "xxhash64":
-        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+# Canonical home since the r10 kernel promotion: operators.minhash
+from opencypher_datalayer_spark.operators.minhash import (  # noqa: E402
+    spark_hash60 as _spark_hash60,
+)
 
 
 def _duck_hash60(expr: str) -> str:
@@ -878,6 +878,11 @@ ORDER BY doc_a, doc_b
 _SIG_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 register_memo_cache(_SIG_CACHE)
 
+# SimHash fingerprint frames (same discipline — artifact-backed scans
+# memoized per session under the documents fingerprint guard)
+_FP_CACHE: dict[tuple[str, str, str], tuple[tuple, DataFrame]] = {}
+register_memo_cache(_FP_CACHE)
+
 
 def clear_signature_cache() -> None:
     """Drop memoized signature frames. The bench clears ALL registered
@@ -1137,63 +1142,54 @@ DEDUP_CONTAINMENT_COLLAPSED_SQL = _duck_containment_collapsed_sql()
 # -- SimHash ------------------------------------------------------------
 
 
+def _simhash_artifact_key(sf_dir: str, hash_family: str) -> tuple:
+    return ("v1", _docs_fingerprint(sf_dir), hash_family, SIMHASH_BITS)
+
+
 def _simhash(
     spark: SparkSession, sf_dir: str, hash_family: str = ORACLE_HASH_FAMILY
 ) -> DataFrame:
-    """Per-doc {SIMHASH_BITS}-bit SimHash over word tokens: bit j is the
-    sign of the sum over tokens of +-1 depending on bit j of the token
-    hash (the UNREDUCED 60-bit hash — a modular residue would zero the
-    high bits)."""
-    docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
-        work_per_row=WORK_SIMHASH,
+    """Per-doc {SIMHASH_BITS}-bit SimHash fingerprints — the kernel is
+    ``operators.simhash.fingerprints_for`` (packed-counter build, one
+    groupBy shuffle; see its docstring).
+
+    STANDING ARTIFACT (r10): like MinHash signatures, fingerprints are
+    a pure per-doc function of the text — the canonical case for the
+    corpus-versioned artifact store (extension is exact, no compact
+    ever needed). A committed fingerprint table is read back as a
+    parquet scan (int64s round-trip bit-for-bit); only a truly cold
+    corpus computes (sf10 measured 16.5 s re-fingerprint per run before
+    this), and the computed frame is committed so every later session
+    starts warm. Memoized per (app, sf_dir, family) under the same
+    fingerprint guard as the MinHash cache."""
+    _check_family(hash_family)
+    key = (spark.sparkContext.applicationId, sf_dir, hash_family)
+    fprint = _docs_fingerprint(sf_dir)
+    cached = _FP_CACHE.get(key)
+    if cached is not None and cached[0] == fprint:
+        return cached[1]
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+    from opencypher_datalayer_spark.operators.simhash_corpus import (
+        read_simhash_fps,
+        write_simhash_fps,
     )
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
-    ).where(F.col("tok") != "")
-    tokens = tokens.withColumn("h", _spark_hash60(F.col("tok"), hash_family))
-    # pack 3 per-bit ONES-counters into each int64 aggregate (21 bits
-    # per counter => exact up to 2^21 tokens/doc): 20 packed sums + one
-    # count instead of 60 conditional sums. bit j of the fingerprint is
-    # sign(sum +-1) > 0  <=>  2*ones_j > n_tokens — identical result.
-    packed = [
-        F.sum(
-            sum(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), 3 * g + k).bitwiseAND(F.lit(1)).cast(
-                        "bigint"
-                    ),
-                    21 * k,
-                )
-                for k in range(3)
-            )
-        ).alias(f"p{g}")
-        for g in range(SIMHASH_BITS // 3)
-    ]
-    sums = tokens.groupBy("doc_id").agg(F.count("*").alias("n"), *packed)
-    mask = (1 << 21) - 1
-    fp = None
-    for j in range(SIMHASH_BITS):
-        g, k = divmod(j, 3)
-        ones = F.shiftright(F.col(f"p{g}"), 21 * k).bitwiseAND(F.lit(mask))
-        bit = F.when(ones * 2 > F.col("n"), F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+
+    def build(tmp: str) -> None:
+        write_simhash_fps(
+            rebalance_for_inflation(
+                load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+                work_per_row=WORK_SIMHASH,
+            ),
+            tmp,
+            hash_family,
         )
-        fp = bit if fp is None else (fp + bit)
-    # the 21-bit packed counters are exact only while every per-doc token
-    # count stays below 2^21 (~2M tokens); past that the packed sums
-    # carry into the neighboring counter and the fingerprint silently
-    # diverges from the oracle. Fail loudly instead of wrapping.
-    guarded = F.when(F.col("n") < F.lit(1 << 21), fp).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("simhash: document "),
-                F.col("doc_id").cast("string"),
-                F.lit(" exceeds 2^21 tokens; packed 21-bit counters would overflow"),
-            )
-        )
+
+    adir = default_store().get_or_build(
+        "simhash_fps", _simhash_artifact_key(sf_dir, hash_family), build
     )
-    return sums.select("doc_id", guarded.alias("simhash"))
+    out = read_simhash_fps(spark, adir)
+    _FP_CACHE[key] = (fprint, out)
+    return out
 
 
 def _duck_simhash_cte() -> str:
@@ -1241,54 +1237,17 @@ def dedup_simhash_pairs(
     Spark: pigeonhole banding — split the fingerprint into
     {SIMHASH_CHUNKS} chunks; any pair within radius {HAMMING_MAX} shares
     an identical chunk, so candidates come from a chunk equi-join and the
-    exact Hamming filter runs only on candidates. The oracle does the
-    naive pairwise filter — same result, different (non-scalable) plan.
+    exact Hamming filter runs only on candidates
+    (``operators.simhash.hamming_pairs``, promoted r10). The oracle does
+    the naive pairwise filter — same result, different (non-scalable)
+    plan. The fingerprint frame is the standing artifact's parquet scan
+    (referenced twice by the self-join — two cheap scans, no lineage
+    cut needed since r10's artifact backing).
     """
-    # the banding self-join references the fingerprint frame twice;
-    # a lazy lineage cut materializes the (tiny, one row per doc)
-    # aggregate once instead of re-running the token pipeline per side
-    fp = _simhash(spark, sf_dir, hash_family).localCheckpoint(eager=False)
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    mask = (1 << chunk_bits) - 1
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        (
-                            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
-                        ).alias("chunk_val"),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    # Hamming filter BEFORE the pair dedup: the chunk join fans out to
-    # millions of candidate rows on a clustered corpus (measured 5.8M at
-    # sf0.1), and the bitwise filter is a per-row codegen op — filtering
-    # first shrinks the dedup shuffle to just the true pairs.
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= HAMMING_MAX)
-        .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
-    )
+    from opencypher_datalayer_spark.operators.simhash import hamming_pairs
+
+    fp = _simhash(spark, sf_dir, hash_family)
+    return hamming_pairs(fp, HAMMING_MAX).orderBy("doc_a", "doc_b")
 
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""

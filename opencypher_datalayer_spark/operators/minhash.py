@@ -53,6 +53,16 @@ def spark_hash64(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
 
 
+def spark_hash60(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:
+    """Unreduced 60-bit hash — full bit entropy for per-bit consumers
+    (SimHash needs independent bits, not a modular residue). xxhash64
+    mode masks the native 64-bit value down to the low 60 bits."""
+    check_family(family)
+    if family == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def band_hash(col, family: str = ORACLE_HASH_FAMILY) -> F.Column:
     """Bucket key over a concatenated signature slice; any deterministic
     function works, so each family uses its own hasher (string-typed in

@@ -247,6 +247,50 @@ def test_extend_minhash_sigs_exact(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_extend_simhash_fps_exact(spark, sf_dir, tmp_path):
+    """Fingerprints are a pure per-doc function: base + extension is
+    content-identical to one full build over the grown corpus — the
+    standing table never needs recomputation (SimHash twin of the
+    MinHash pin above, VERDICT r9 next #3)."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.simhash import fingerprints_for
+    from opencypher_datalayer_spark.operators.simhash_corpus import (
+        extend_simhash_fps,
+        read_simhash_fps,
+        write_simhash_fps,
+    )
+    from opencypher_datalayer_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "simhash_fps", ("t",)
+    store.get_or_build(kind, key, lambda d: write_simhash_fps(base, d, "md5"))
+    v2 = extend_simhash_fps(spark, store, kind, key, delta, "md5")
+    got = sorted(tuple(r) for r in read_simhash_fps(spark, v2).collect())
+    want = sorted(tuple(r) for r in fingerprints_for(docs, "md5").collect())
+    assert got == want and got
+
+
+def test_simhash_artifact_survives_clear_and_matches(spark, sf_dir):
+    """dedup_simhash_pairs warm (artifact scan) == cold (fresh build),
+    and the memo clear does not force a rebuild."""
+    store = default_store()
+    store.drop(kind="simhash_fps")
+    clear_memo_caches()
+    cold = [tuple(r) for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()]
+    adir = store.current_dir(
+        "simhash_fps", dedup._simhash_artifact_key(sf_dir, dedup.DEFAULT_HASH_FAMILY)
+    )
+    assert adir is not None
+    clear_memo_caches()
+    warm = [tuple(r) for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()]
+    assert warm == cold and cold
+
+
 def test_ingest_loop_probe_accept_extend(spark, sf_dir, tmp_path):
     """The full standing-pipeline lifecycle a daily ingest runs:
     probe batch 1 -> accept its non-dups -> EXTEND the corpus with the

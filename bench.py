@@ -75,6 +75,13 @@ SECONDARY = [
     "ev_tumbling_window",
     "ev_funnel",
     "ev_gap_fill",
+    # demoted r10 (sim_filtered_topk promoted; sim_topk_bruteforce gates
+    # the full-scan top-k family) — timed here for cross-round diffs
+    "sim_sq8_topk",
+    # r9 registry entries value-oracled but unbenched until r10
+    # (VERDICT r9 next #7): timed so regressions trip the artifact diff
+    "dedup_ingest_loop",
+    "st_stream_vector_ingest",
 ]
 
 

@@ -151,13 +151,18 @@ EXTENDED = {
     # scale, so it is the primary the driver gates; the full-assignment
     # probe is its row-identical shape twin.
     "sim_ivf_topk": "sim_ivf_pruned_topk",
-    # r9: metadata-filtered ANN — same pruned index + a payload
-    # predicate and the measured probe widening
-    "sim_filtered_topk": "sim_ivf_pruned_topk",
     # r9: the vector twin of the streaming text filter — ANN dup gate
     # per micro-batch + standing-index extension, same deployment shape
     "st_stream_vector_ingest": "st_stream_neardup",
-    "sim_sq8_matmul_topk": "sim_sq8_topk",  # same quantized scan, vectorized-Python kernel
+    # r10 (VERDICT r9 next #8): sim_filtered_topk promoted to the
+    # driver-gated primaries — filtered search is the ANN shape real
+    # vector workloads hit most, now standing-index-backed with
+    # tri-scale oracle checks. The int8-quantized scan family is
+    # demoted to hold the tier at 50: both sq8 variants are the exact
+    # full-scan top-k's quantized twins (same output semantics, same
+    # scan shape + rerank), covered by sim_topk_bruteforce.
+    "sim_sq8_topk": "sim_topk_bruteforce",
+    "sim_sq8_matmul_topk": "sim_topk_bruteforce",
     "sim_label_centroids": "sim_ivf_pruned_topk",  # centroid build is IVF's first stage
     # temporal
     "ev_tumbling_window": "st_tumbling_window",  # batch twin of the streaming primary

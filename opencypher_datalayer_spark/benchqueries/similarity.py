@@ -1211,7 +1211,8 @@ def build_ivf_artifacts(spark: SparkSession, sf_dir: str) -> str:
             codebook=cbk,
         )
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            _json.dump({"n_corpus": cbk[0]}, f)
+            # n_trained feeds vector_index.needs_compact's growth signal
+            _json.dump({"n_corpus": cbk[0], "n_trained": cbk[0]}, f)
 
     return default_store().get_or_build(
         _IVF_ARTIFACT_KIND, _ivf_artifact_key(sf_dir), build

@@ -63,11 +63,16 @@ TRAIN_CAP = 262144  # sample stride s = ceil(n / TRAIN_CAP)
 # Measured nprobe operating points: smallest fixed probe count whose
 # mean recall@5 of the answer path meets RECALL_FLOOR (0.9) at each
 # rehearsed corpus size (numpy replica of the exact engine arithmetic,
-# verified by sim_ivf_recall / tests/test_ann_recall.py). Beyond the
-# largest rehearsed scale the committed rule keeps the sf10-measured
-# fraction of cells (57 / 3576), which the measured trend says is an
-# over-probe — rehearse before trusting a cheaper point.
-NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 21), (250_000, 57)]
+# verified by sim_ivf_recall / tests/test_ann_recall.py). The 250k
+# point was re-measured in r10 on a 100-query sample (the original
+# 10-query eval said 57, the wider sample scored that 0.844; 86 scores
+# 0.924, 114 -> 0.942 — scripts/recall_drift_rehearsal.py +
+# /tmp-sweep, SCALE.md §recall-drift). Beyond the largest rehearsed
+# scale the committed rule keeps the sf10-measured fraction of cells
+# (NPROBE_TAIL_NUM / NPROBE_TAIL_DEN), which the measured trend says
+# is an over-probe — rehearse before trusting a cheaper point.
+NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 21), (250_000, 86)]
+NPROBE_TAIL_NUM, NPROBE_TAIL_DEN = 86, 3576
 
 
 def k_cells_for(n: int) -> int:
@@ -82,18 +87,23 @@ def ivf_nprobe(n: int) -> int:
     for bound, nprobe in NPROBE_STEPS:
         if n <= bound:
             return nprobe
-    return max(57, (57 * k_cells_for(n) + 3575) // 3576)
+    return max(
+        NPROBE_TAIL_NUM,
+        (NPROBE_TAIL_NUM * k_cells_for(n) + NPROBE_TAIL_DEN - 1) // NPROBE_TAIL_DEN,
+    )
 
 
 def nprobe_sql_case(n_expr: str) -> str:
-    """The SQL mirror of :func:`ivf_nprobe` (same step table, generated
-    from the same constant so they cannot drift)."""
+    """The SQL mirror of :func:`ivf_nprobe` (same step table and tail
+    constants, generated from the same module values so they cannot
+    drift)."""
     clauses = " ".join(
         f"WHEN {n_expr} <= {bound} THEN {npb}" for bound, npb in NPROBE_STEPS
     )
     return (
-        f"CASE {clauses} ELSE GREATEST(57, (57 * GREATEST(8, {IVF_K_MULT} * "
-        f"CAST(FLOOR(SQRT({n_expr})) AS BIGINT)) + 3575) // 3576) END"
+        f"CASE {clauses} ELSE GREATEST({NPROBE_TAIL_NUM}, ({NPROBE_TAIL_NUM} * "
+        f"GREATEST(8, {IVF_K_MULT} * CAST(FLOOR(SQRT({n_expr})) AS BIGINT)) "
+        f"+ {NPROBE_TAIL_DEN - 1}) // {NPROBE_TAIL_DEN}) END"
     )
 
 

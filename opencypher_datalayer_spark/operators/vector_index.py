@@ -260,6 +260,54 @@ def extend_ivf_index(
     return store.commit_extension(kind, key, build)
 
 
+# Measured drift boundary (scripts/recall_drift_rehearsal.py; SCALE.md
+# §recall-drift): growth factor (corpus size / size the codebook was
+# trained on) past which the frozen-codebook probe's recall@5 can no
+# longer be trusted at the committed nprobe operating points.
+COMPACT_GROWTH_FACTOR = 3.0
+
+
+def needs_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Advisory compact signal for a standing IVF index version: how far
+    the frozen-codebook extension chain has grown the corpus past the
+    size the codebook was trained on, and whether that growth crossed
+    the measured recall-drift boundary (``COMPACT_GROWTH_FACTOR``).
+
+    Answering costs two bounded reads: ``meta.json`` and the K-row
+    centroids parquet (only when the meta lacks ``n_trained`` — indexes
+    built before r10 — where the trained corpus size is inverted from
+    ``k_cells_for``; and only when it lacks ``n_corpus``, a count over
+    the vectors' parquet footers). Returns ``{"growth", "cells_trained",
+    "cells_target", "compact_due"}`` — the streaming ingest sink
+    surfaces this per epoch so a deployment schedules the retrain
+    instead of discovering the drift in its recall metrics."""
+    from opencypher_datalayer_spark.operators.ivf_codebook import (
+        IVF_K_MULT,
+        k_cells_for,
+    )
+
+    meta = index_meta(index_dir)
+    k_trained = spark.read.parquet(os.path.join(index_dir, "centroids")).count()
+    n_corpus = meta.get("n_corpus")
+    if n_corpus is None:
+        n_corpus = (
+            spark.read.parquet(os.path.join(index_dir, "vectors")).count() // ASSIGN_A
+        )
+    n_trained = meta.get("n_trained")
+    if n_trained is None:
+        # pre-r10 meta: invert k_cells_for (K = IVF_K_MULT * isqrt(n)
+        # above the 8-cell floor; at the floor the index is toy-sized
+        # and the growth signal is moot)
+        n_trained = max(1, (k_trained // IVF_K_MULT) ** 2)
+    growth = n_corpus / max(int(n_trained), 1)
+    return {
+        "growth": round(growth, 3),
+        "cells_trained": int(k_trained),
+        "cells_target": k_cells_for(int(n_corpus)),
+        "compact_due": growth >= COMPACT_GROWTH_FACTOR,
+    }
+
+
 def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
     """Retrain the codebook over the CURRENT corpus (standing + every
     extension) and rebuild the index as a new committed version —
@@ -286,6 +334,7 @@ def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
     # the replay window)
     meta = index_meta(cur)
     meta["n_corpus"] = int(n)
+    meta["n_trained"] = int(n)  # retrained here — resets the drift clock
 
     def build(tmp: str) -> None:
         _write_ivf_vnrm(spark, vec, tmp, codebook=None)

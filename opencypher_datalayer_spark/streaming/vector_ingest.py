@@ -73,6 +73,7 @@ from opencypher_datalayer_spark.operators.vector_index import (
     _write_ivf_vnrm,
     extend_ivf_index,
     index_meta,
+    needs_compact,
     read_codebook,
 )
 
@@ -118,11 +119,24 @@ class StreamingVectorIngest:
         self.kind = kind
         self.key = key
         self.dup_cos = float(dup_cos)
+        # advisory drift signal of the LAST committed epoch
+        # (vector_index.needs_compact — growth of the corpus past the
+        # size the frozen codebook was trained on); a deployment polls
+        # this to schedule the offline compact_ivf_index retrain
+        # instead of discovering the drift in its recall metrics
+        self.last_compact_signal: dict | None = None
 
     # -- state ----------------------------------------------------------
 
     def index_dir(self) -> str | None:
         return self.store.current_dir(self.kind, self.key)
+
+    def compact_signal(self, spark: SparkSession) -> dict | None:
+        """``vector_index.needs_compact`` of the CURRENT index version
+        (None before bootstrap). Also refreshed automatically after
+        every committed epoch into ``last_compact_signal``."""
+        cur = self.index_dir()
+        return None if cur is None else needs_compact(spark, cur)
 
     def accepted_ids(self, spark: SparkSession) -> DataFrame:
         """Distinct accepted ``vec_id``s (empty frame before bootstrap)."""
@@ -202,7 +216,7 @@ class StreamingVectorIngest:
 
         keep_ids = self._collapse_within(surv)
         accepted = batch_df.join(keep_ids, "vec_id")
-        extend_ivf_index(
+        new_cur = extend_ivf_index(
             spark,
             self.store,
             self.kind,
@@ -210,6 +224,7 @@ class StreamingVectorIngest:
             accepted,
             meta_extra={"last_epoch": int(epoch_id)},
         )
+        self.last_compact_signal = needs_compact(spark, new_cur)
 
     # -- internals --------------------------------------------------------
 
@@ -234,11 +249,19 @@ class StreamingVectorIngest:
         def build(tmp: str) -> None:
             _write_ivf_vnrm(spark, survivors, tmp, codebook=(nb, ids, cq))
             with open(os.path.join(tmp, "meta.json"), "w") as f:
+                # n_trained = the batch the codebook saw (k_cells_for's
+                # input), the denominator of needs_compact's growth
                 json.dump(
-                    {"n_corpus": int(n_keep), "last_epoch": int(epoch_id)}, f
+                    {
+                        "n_corpus": int(n_keep),
+                        "n_trained": int(nb),
+                        "last_epoch": int(epoch_id),
+                    },
+                    f,
                 )
 
-        self.store.commit(self.kind, self.key, build)
+        new_cur = self.store.commit(self.kind, self.key, build)
+        self.last_compact_signal = needs_compact(spark, new_cur)
 
     def _collapse_within(self, assign: DataFrame) -> DataFrame:
         """Keep set of a batch assignment frame: shared-cell + cosine

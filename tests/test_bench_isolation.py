@@ -60,7 +60,19 @@ def test_artifact_backed_names_resolve():
     for name, ks in bench.ARTIFACT_BACKED.items():
         assert name in registry, name
         kinds.update(ks)
-    assert kinds == {"ngram_corpus", "ivf", "minhash_sigs"}
+    assert kinds == {
+        "ngram_corpus",
+        "ngram_corpus_full",
+        "ivf",
+        "minhash_sigs",
+        "simhash_fps",
+    }
+    # every kind the bench drops must also have a cold-build timer
+    import inspect
+
+    src = inspect.getsource(bench.time_artifact_builds)
+    for kind in kinds:
+        assert f'"{kind}"' in src, f"no builder timed for {kind}"
 
 
 def test_forced_isolation_subprocess_retime(monkeypatch):

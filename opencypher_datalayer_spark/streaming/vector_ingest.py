@@ -96,6 +96,151 @@ def _cos(av, an, bv, bn) -> F.Column:
     return F.round(dot / (an * bn), 6)
 
 
+# -- vectorized pair scoring for production dims ------------------------
+#
+# The emit rule everywhere in this family is round(fold_cos, 6) >= t,
+# where fold_cos left-folds the float64 dot (F.aggregate — the exact
+# arithmetic the DuckDB oracles recompute). Spark evaluates that
+# higher-order lambda INTERPRETED, per candidate pair: fine at d=32,
+# but at a production dimension (256-768) the per-pair cost is 8-24x
+# and the shared-cell candidate volume makes the join-then-fold shape
+# the whole epoch's runtime (measured at the d=256 rehearsal: the
+# bootstrap collapse alone ran minutes). Above VEC_KERNEL_MIN_DIM the
+# two dup-detection sites instead score per CELL with an Arrow-batched
+# blocked numpy matmul — rows move once (cell group -> Arrow), never
+# per pair — and keep the decision BIT-IDENTICAL by a margin rescue:
+# |np_cos - fold_cos| <= dim * eps <= ~6e-14 (both divide by the SAME
+# fold-computed norm columns, so only the dot's summation order
+# differs), so any pair whose half-up-rounded cosine is decided by
+# more than _COS_MARGIN on either side of t classifies identically;
+# the (empirically zero) pairs inside the margin are re-scored with
+# the exact python left fold inside the UDF. Differential tests pin
+# kernel == fold-join on planted boundary-heavy corpora.
+VEC_KERNEL_MIN_DIM = 64
+_COS_MARGIN = 1e-9
+_PAIR_BLOCK = 2048
+
+
+def _round6(x):
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _fold_cos_py(a, b, an, bn) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return round(s / (an * bn), 6)
+
+
+def _dup_hits_vs_standing(batch_assign: DataFrame, standing: DataFrame, t: float) -> DataFrame:
+    """``vec_id`` rows of batch vectors having ANY standing vector with
+    emit-cosine >= ``t`` in a shared cell — the corpus filter, scored
+    cell-cogrouped with the blocked matmul + margin rescue."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(t)
+
+    def fn(_key, bdf: pd.DataFrame, sdf: pd.DataFrame):
+        if not len(bdf) or not len(sdf):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        B = np.stack(bdf["v"].to_numpy()).astype(np.float64)
+        bn = bdf["nrm"].to_numpy(dtype=np.float64)
+        S = np.stack(sdf["v"].to_numpy()).astype(np.float64)
+        sn = sdf["nrm"].to_numpy(dtype=np.float64)
+        hit = np.zeros(len(B), dtype=bool)
+        for i0 in range(0, len(B), _PAIR_BLOCK):
+            i1 = min(i0 + _PAIR_BLOCK, len(B))
+            live = np.flatnonzero(~hit[i0:i1]) + i0
+            if not len(live):
+                continue
+            for j0 in range(0, len(S), _PAIR_BLOCK):
+                j1 = min(j0 + _PAIR_BLOCK, len(S))
+                cos = (B[live] @ S[j0:j1].T) / np.outer(bn[live], sn[j0:j1])
+                sure = _round6(cos - _COS_MARGIN) >= thr
+                hit[live[sure.any(axis=1)]] = True
+                border = (~sure) & (_round6(cos + _COS_MARGIN) >= thr)
+                for bi, sj in zip(*np.nonzero(border)):
+                    gi = live[bi]
+                    if not hit[gi] and (
+                        _fold_cos_py(B[gi], S[j0 + sj], bn[gi], sn[j0 + sj]) >= thr
+                    ):
+                        hit[gi] = True
+                live = live[~hit[live]]
+                if not len(live):
+                    break
+        return pd.DataFrame({"vec_id": bdf["vec_id"].to_numpy()[hit]})
+
+    # the index's hive partition column reads back as INT while the
+    # assignment side carries BIGINT; a join would coerce, but cogroup
+    # matches raw grouping keys — mismatched types silently pair
+    # nothing (found by the d=256 A/B differential), so pin both long
+    left = batch_assign.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "v", "nrm"
+    )
+    right = standing.select(F.col("cell").cast("long").alias("cell"), "v", "nrm")
+    return (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(fn, "vec_id long")
+        .dropDuplicates()
+    )
+
+
+def _dup_pairs_within(assign: DataFrame, t: float) -> DataFrame:
+    """Distinct ``(doc_a, doc_b)`` (ordered by vec_id) pairs of batch
+    vectors with emit-cosine >= ``t`` sharing a cell — the within-batch
+    relation, scored per cell group with the blocked matmul."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(t)
+
+    def fn(pdf: pd.DataFrame):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        out_a, out_b = [], []
+        for i0 in range(0, n, _PAIR_BLOCK):
+            i1 = min(i0 + _PAIR_BLOCK, n)
+            for j0 in range(i0, n, _PAIR_BLOCK):
+                j1 = min(j0 + _PAIR_BLOCK, n)
+                cos = (V[i0:i1] @ V[j0:j1].T) / np.outer(nr[i0:i1], nr[j0:j1])
+                qual = _round6(cos - _COS_MARGIN) >= thr
+                border = (~qual) & (_round6(cos + _COS_MARGIN) >= thr)
+                for bi, bj in zip(*np.nonzero(border)):
+                    gi, gj = i0 + bi, j0 + bj
+                    if ids[gi] != ids[gj] and (
+                        _fold_cos_py(V[gi], V[gj], nr[gi], nr[gj]) >= thr
+                    ):
+                        qual[bi, bj] = True
+                qi, qj = np.nonzero(qual)
+                gi, gj = qi + i0, qj + j0
+                keep = ids[gi] != ids[gj]
+                gi, gj = gi[keep], gj[keep]
+                lo = np.minimum(ids[gi], ids[gj])
+                hi = np.maximum(ids[gi], ids[gj])
+                out_a.append(lo)
+                out_b.append(hi)
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return (
+        assign.select("vec_id", "cell", "v", "nrm")
+        .groupBy("cell")
+        .applyInPandas(fn, "doc_a long, doc_b long")
+        .dropDuplicates()
+    )
+
+
 class StreamingVectorIngest:
     """``foreachBatch`` sink maintaining a standing, dedup-gated IVF
     index (see module docstring). Usage::
@@ -182,11 +327,7 @@ class StreamingVectorIngest:
         assign = assign_cells(
             emb_b.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
         ).localCheckpoint()
-        hint = (
-            F.broadcast
-            if nb * BATCH_BROADCAST_BYTES_PER_VEC <= BATCH_BROADCAST_MAX_BYTES
-            else (lambda df: df)
-        )
+        use_kernel = self._use_kernel(emb)
 
         # corpus filter: pruned scan of ONLY the batch's assigned cells
         admitted = sorted(
@@ -195,26 +336,38 @@ class StreamingVectorIngest:
         standing = (
             spark.read.parquet(os.path.join(cur, "vectors"))
             .where(F.col("cell").isin(admitted))
-            .select(
-                "cell",
-                F.col("v").alias("sv"),
-                F.col("nrm").alias("sn"),
-            )
+            .select("cell", "v", "nrm")
         )
         batch_slim = assign.select("vec_id", "cell", "v", "nrm")
-        dup_of_corpus = (
-            hint(batch_slim)
-            .join(standing, "cell")
-            .where(
-                _cos(F.col("v"), F.col("nrm"), F.col("sv"), F.col("sn"))
-                >= self.dup_cos
+        if use_kernel:
+            # production dims: blocked-matmul cogroup — rows shuffle by
+            # cell ONCE (never per pair), decisions bit-identical to the
+            # fold join via the margin rescue (see kernel docstring)
+            dup_of_corpus = _dup_hits_vs_standing(batch_slim, standing, self.dup_cos)
+        else:
+            hint = (
+                F.broadcast
+                if nb * BATCH_BROADCAST_BYTES_PER_VEC <= BATCH_BROADCAST_MAX_BYTES
+                else (lambda df: df)
             )
-            .select("vec_id")
-            .dropDuplicates()
-        )
+            dup_of_corpus = (
+                hint(batch_slim)
+                .join(
+                    standing.select(
+                        "cell", F.col("v").alias("sv"), F.col("nrm").alias("sn")
+                    ),
+                    "cell",
+                )
+                .where(
+                    _cos(F.col("v"), F.col("nrm"), F.col("sv"), F.col("sn"))
+                    >= self.dup_cos
+                )
+                .select("vec_id")
+                .dropDuplicates()
+            )
         surv = assign.join(dup_of_corpus, "vec_id", "left_anti").localCheckpoint()
 
-        keep_ids = self._collapse_within(surv)
+        keep_ids = self._collapse_within(surv, use_kernel)
         accepted = batch_df.join(keep_ids, "vec_id")
         new_cur = extend_ivf_index(
             spark,
@@ -227,6 +380,13 @@ class StreamingVectorIngest:
         self.last_compact_signal = needs_compact(spark, new_cur)
 
     # -- internals --------------------------------------------------------
+
+    @staticmethod
+    def _use_kernel(emb: DataFrame) -> bool:
+        """True when the batch's dimension warrants the blocked-matmul
+        scoring kernel (one bounded first() on the checkpointed frame)."""
+        row = emb.select("v").first()
+        return row is not None and len(row["v"]) >= VEC_KERNEL_MIN_DIM
 
     def _bootstrap(self, spark, emb, extras, nb, epoch_id) -> None:
         """Train on the first batch, collapse it within itself, commit
@@ -242,7 +402,7 @@ class StreamingVectorIngest:
         assign = assign_cells(
             emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
         ).localCheckpoint()
-        keep_ids = self._collapse_within(assign)
+        keep_ids = self._collapse_within(assign, self._use_kernel(emb))
         survivors = emb.join(keep_ids, "vec_id").localCheckpoint()
         n_keep = survivors.count()
 
@@ -263,32 +423,35 @@ class StreamingVectorIngest:
         new_cur = self.store.commit(self.kind, self.key, build)
         self.last_compact_signal = needs_compact(spark, new_cur)
 
-    def _collapse_within(self, assign: DataFrame) -> DataFrame:
+    def _collapse_within(self, assign: DataFrame, use_kernel: bool = False) -> DataFrame:
         """Keep set of a batch assignment frame: shared-cell + cosine
         edges -> connected components -> component minimum survives.
         Returns a ``vec_id`` frame."""
-        a = assign.select(
-            F.col("vec_id").alias("doc_a"),
-            "cell",
-            F.col("v").alias("av"),
-            F.col("nrm").alias("an"),
-        )
-        b = assign.select(
-            F.col("vec_id").alias("doc_b"),
-            "cell",
-            F.col("v").alias("bv"),
-            F.col("nrm").alias("bn"),
-        )
-        edges = (
-            a.join(b, "cell")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .where(
-                _cos(F.col("av"), F.col("an"), F.col("bv"), F.col("bn"))
-                >= self.dup_cos
+        if use_kernel:
+            edges = _dup_pairs_within(assign, self.dup_cos)
+        else:
+            a = assign.select(
+                F.col("vec_id").alias("doc_a"),
+                "cell",
+                F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
             )
-            .select("doc_a", "doc_b")
-            .dropDuplicates()
-        )
+            b = assign.select(
+                F.col("vec_id").alias("doc_b"),
+                "cell",
+                F.col("v").alias("bv"),
+                F.col("nrm").alias("bn"),
+            )
+            edges = (
+                a.join(b, "cell")
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .where(
+                    _cos(F.col("av"), F.col("an"), F.col("bv"), F.col("bn"))
+                    >= self.dup_cos
+                )
+                .select("doc_a", "doc_b")
+                .dropDuplicates()
+            )
         labels = connected_components(edges, src="doc_a", dst="doc_b")
         dropped = labels.where(F.col("comp") != F.col("id")).select(
             F.col("id").alias("vec_id")

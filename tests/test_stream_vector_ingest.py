@@ -316,3 +316,42 @@ def test_stream_vector_ingest_d256_at_family_threshold(spark, tmp_path):
     # (unlike d=32 at 0.4 where the noise floor connects the corpus)
     n_in = len(rows)
     assert n_in * 0.6 < len(got) < n_in * 0.98
+
+
+def test_kernel_and_fold_paths_identical(spark, tmp_path, monkeypatch):
+    """The blocked-matmul kernel (d >= VEC_KERNEL_MIN_DIM) must accept
+    EXACTLY the set the fold-join path accepts on the same corpus —
+    the margin rescue makes the vectorized scoring bit-identical in
+    decisions, not approximately equal."""
+    import os as _os
+    import sys as _sys
+
+    import opencypher_datalayer_spark.streaming.vector_ingest as vi
+
+    _sys.path.insert(
+        0,
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "scripts"),
+    )
+    from gen_scale import gen_vectors
+
+    d = str(tmp_path / "d128")
+    gen_vectors(d, n=300, dim=128, seed=23, dup_frac=0.35, fam=3)
+    emb = spark.read.parquet(d + "/embeddings.parquet")
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding], r.label)
+        for r in emb.orderBy("vec_id").collect()
+    ]
+    batches = {k: [r for r in rows if r[0] % 3 == k] for k in range(3)}
+
+    def run(min_dim, sub):
+        monkeypatch.setattr(vi, "VEC_KERNEL_MIN_DIM", min_dim)
+        store = ArtifactStore(str(tmp_path / sub))
+        sink = StreamingVectorIngest(store, key=("ab",), dup_cos=vi.DUP_COS)
+        for k in range(3):
+            sink.apply(_mk_df(spark, batches[k]), k)
+        return {r.vec_id for r in sink.accepted_ids(spark).collect()}
+
+    via_kernel = run(64, "k")  # 128 >= 64 -> matmul kernel
+    via_fold = run(10**9, "f")  # force the fold-join path
+    assert via_kernel == via_fold and via_kernel
+    assert len(via_kernel) < len(rows)  # the gate did real work

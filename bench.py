@@ -125,6 +125,7 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     # like the MinHash signatures (extension exact, no compact)
     "dedup_simhash": ("simhash_fps",),
     "dedup_simhash_pairs": ("simhash_fps",),
+    "dedup_substring_pairs": ("winnow_fps",),
     "st_stream_neardup": (),  # own parquet state machinery, not the store
 }
 
@@ -155,6 +156,7 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ivf": lambda: sim.build_ivf_artifacts(spark, sf_dir),
         "simhash_fps": lambda: dd._simhash(spark, sf_dir, dd.ORACLE_HASH_FAMILY),
+        "winnow_fps": lambda: dd._winnow_fps(spark, sf_dir),
     }
     out: dict[str, float] = {}
     for kind, fn in builders.items():

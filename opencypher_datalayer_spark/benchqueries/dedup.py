@@ -589,6 +589,29 @@ def _maybe_broadcast_texts(df: DataFrame, sf_dir: str) -> DataFrame:
     return df.hint("shuffle_hash")
 
 
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing winnowed-fingerprint table (``operators.winnow_corpus``),
+    built once per corpus version and read back as a parquet scan —
+    the substring family's twin of the MinHash/SimHash artifacts."""
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+    from opencypher_datalayer_spark.operators.winnow_corpus import (
+        read_winnow_fps,
+        write_winnow_fps,
+    )
+
+    def build(tmp: str) -> None:
+        docs = rebalance_for_inflation(
+            load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+            work_per_row=WORK_SHINGLE,
+        ).where(F.length("text") >= SUBSTR_L)
+        write_winnow_fps(docs, tmp, SUBSTR_L)
+
+    adir = default_store().get_or_build(
+        "winnow_fps", ("v1", _docs_fingerprint(sf_dir), SUBSTR_L), build
+    )
+    return read_winnow_fps(spark, adir)
+
+
 def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of documents sharing a VERBATIM character run of length >=
     {SUBSTR_L}, with the exact count of distinct shared {SUBSTR_L}-grams
@@ -629,14 +652,17 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family genuinely contains C(m,2) qualifying pairs); the documented
     policy is the same as containment's — run exact/near-dup collapse
     first (:func:`dedup_containment_collapsed`)."""
-    from opencypher_datalayer_spark.operators.winnowing import winnow_fingerprints
-
     L = SUBSTR_L
     docs = rebalance_for_inflation(
         load_table(spark, "documents", sf_dir).select("doc_id", "text"),
         work_per_row=WORK_SHINGLE,
     ).where(F.length("text") >= L)
-    fps = winnow_fingerprints(docs, min_len=L)
+    # STANDING ARTIFACT (r10): winnowed fingerprints are a pure per-doc
+    # function (like MinHash signatures / SimHash) — the candidate
+    # join reads the committed fingerprint table as a parquet scan;
+    # only a truly cold corpus runs the rolling-hash stage. Values
+    # never reach an emitted row, so no hash-family key is needed.
+    fps = _winnow_fps(spark, sf_dir)
     fa = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     fb = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     # SHUFFLED-HASH, not sort-merge: the fp exchange is still shared by

@@ -66,6 +66,7 @@ def test_artifact_backed_names_resolve():
         "ivf",
         "minhash_sigs",
         "simhash_fps",
+        "winnow_fps",
     }
     # every kind the bench drops must also have a cold-build timer
     import inspect

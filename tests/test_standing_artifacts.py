@@ -275,6 +275,36 @@ def test_extend_simhash_fps_exact(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_extend_winnow_fps_exact(spark, sf_dir, tmp_path):
+    """Winnowed fingerprints are a pure per-doc function: base +
+    extension is content-identical to one full build over the grown
+    corpus (substring-family twin of the MinHash/SimHash pins)."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.winnow_corpus import (
+        extend_winnow_fps,
+        read_winnow_fps,
+        write_winnow_fps,
+    )
+    from opencypher_datalayer_spark.operators.winnowing import winnow_fingerprints
+    from opencypher_datalayer_spark.sources.tables import load_table
+
+    L = dedup.SUBSTR_L
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").where(
+        F.length("text") >= L
+    )
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "winnow_fps", ("t",)
+    store.get_or_build(kind, key, lambda d: write_winnow_fps(base, d, L))
+    v2 = extend_winnow_fps(spark, store, kind, key, delta, L)
+    got = sorted(tuple(r) for r in read_winnow_fps(spark, v2).collect())
+    want = sorted(tuple(r) for r in winnow_fingerprints(docs, L).collect())
+    assert got == want and got
+
+
 def test_simhash_artifact_survives_clear_and_matches(spark, sf_dir):
     """dedup_simhash_pairs warm (artifact scan) == cold (fresh build),
     and the memo clear does not force a rebuild."""

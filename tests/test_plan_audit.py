@@ -199,3 +199,35 @@ def test_bruteforce_partial_topk_before_exchange(spark, sf_dir):
     assert re.search(
         r"Exchange\nInput \[3\]: \[q_id#\d+L?, c_id#\d+L?, cosine#\d+\]", plan
     )
+
+
+def test_parallel_dedup_holds_full_parallelism(spark):
+    """scale.parallel_dedup must leave the deduped candidate stream at
+    the session's full parallelism — AQE's bytes-based coalescing sized
+    the sf0.1 199k-pair exchange at ONE partition and serialized the
+    staged verify's per-row array_intersect on a single core (SCALE.md
+    §aqe-serialized-verify). Executed-plan pin: the output partition
+    count equals defaultParallelism, where the plain dropDuplicates
+    collapses to a handful."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.scale import parallel_dedup
+
+    pairs = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 5000).alias("doc_a"),
+            (F.col("id") % 7919).alias("doc_b"),
+        )
+    )
+    p = spark.sparkContext.defaultParallelism
+    deduped = parallel_dedup(pairs, "doc_a", "doc_b")
+    got = deduped.rdd.getNumPartitions()
+    assert got == p, f"parallel_dedup output {got} partitions, want {p}"
+    plain = pairs.dropDuplicates().rdd.getNumPartitions()
+    assert plain < p, (
+        f"expected AQE to coalesce the plain dropDuplicates below {p} "
+        f"(got {plain}) — if this stops holding, parallel_dedup may be droppable"
+    )
+    # same result set either way — the repartition is plan-only
+    assert deduped.count() == pairs.dropDuplicates().count()

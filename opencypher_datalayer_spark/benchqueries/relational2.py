@@ -440,14 +440,23 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ROUND-then-CAST, not a bare CAST: DuckDB's double->DECIMAL cast
+# rounds HALF-EVEN while Spark's rounds HALF-UP, and unit_price =
+# extendedprice / quantity lands EXACTLY on a .5e-6 tie whenever
+# quantity is a power of two (231.9825 / 8 = 28.9978125 — binary-exact,
+# so the tie is real, not float noise; caught at sf0.1 where one such
+# row exists). DuckDB ROUND() is half-up on positive doubles, and
+# casting an already-rounded double to DECIMAL(18,6) just snaps to the
+# nearest grid point — so round-then-cast matches Spark's cast for
+# every value, ties included.
 Q2_SQL = """
 SELECT l_partkey, p_name, s_name, CAST(unit_price AS DOUBLE) AS unit_price
 FROM (
   SELECT l_partkey, p_name, l_suppkey,
-         CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) AS unit_price,
+         CAST(ROUND(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6)) AS unit_price,
          ROW_NUMBER() OVER (
            PARTITION BY l_partkey
-           ORDER BY CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) ASC,
+           ORDER BY CAST(ROUND(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6)) ASC,
                     l_suppkey ASC) AS rk
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_size <= 5)

@@ -83,6 +83,8 @@ def write_ngram_corpus(spark: SparkSession, sh: DataFrame, out_dir: str) -> None
     (measured 5.8x candidate cut at sf10)."""
     import shutil
 
+    import json
+
     raw = os.path.join(out_dir, "_shingles_raw")
     sh.write.parquet(raw)
     sh2 = spark.read.parquet(raw)
@@ -97,6 +99,11 @@ def write_ngram_corpus(spark: SparkSession, sh: DataFrame, out_dir: str) -> None
     )
     slim_payload(sets).write.parquet(os.path.join(out_dir, SLIM))
     shutil.rmtree(raw, ignore_errors=True)
+    # drift bookkeeping for needs_compact: n_ranked = docs whose ranking
+    # saw the full corpus vocabulary (everything, at build time)
+    n_docs = sets.count()
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_docs": int(n_docs), "n_ranked": int(n_docs)}, f)
 
 
 def read_ngram_corpus(spark: SparkSession, adir: str) -> dict[str, DataFrame]:
@@ -124,6 +131,8 @@ def extend_ngram_corpus(spark: SparkSession, store, kind: str, key: tuple, sh_ne
     once-a-day maintenance action, like the graph store's
     ``compact()``)."""
     def build(tmp: str) -> None:
+        import json
+
         freq = spark.read.parquet(os.path.join(tmp, FREQ))
         # materialize once: three delta frames derive from it (writing
         # and re-deriving from the full dir would re-rank the standing
@@ -136,6 +145,20 @@ def extend_ngram_corpus(spark: SparkSession, store, kind: str, key: tuple, sh_ne
         slim_payload(sets_new).write.mode("append").parquet(
             os.path.join(tmp, SLIM)
         )
+        # drift bookkeeping: the batch ranked with a STALE freq — count
+        # it in n_docs but not n_ranked. REMOVE before rewriting: the
+        # path is a hard link into the prior committed version.
+        meta_p = os.path.join(tmp, "meta.json")
+        meta = {}
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            os.remove(meta_p)
+        nb = sets_new.count()
+        meta["n_docs"] = int(meta.get("n_docs", 0)) + int(nb)
+        meta.setdefault("n_ranked", 0)
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
 
     return store.commit_extension(kind, key, build)
 
@@ -238,6 +261,43 @@ def probe_near_dups(
         )
         .orderBy("new_doc", "dup_of")
     )
+
+
+# Advisory boundary for needs_compact: fraction of the corpus ranked
+# with a stale document-frequency table (extensions never re-rank).
+# The measured effect is PURELY candidate inflation in the prefix
+# probes — results stay exact at any staleness (module docstring), and
+# the sf1 rehearsal (scripts/ngram_drift_rehearsal.py, SCALE.md
+# §ngram-drift) puts numbers on how much inflation a given stale
+# fraction costs on a stationary corpus.
+COMPACT_STALE_FRACTION = 0.5
+
+
+def needs_compact(adir: str) -> dict:
+    """Advisory compact signal for a standing n-gram corpus version:
+    what fraction of its documents were ranked against a
+    document-frequency table that predates them (every extension batch
+    — ``extend_ngram_corpus`` deliberately leaves ``freq`` stale so
+    extension stays O(batch)). Costs one meta.json read. Returns
+    ``{"n_docs", "n_ranked", "stale_fraction", "compact_due"}``; a
+    pre-r10 version without meta reports ``stale_fraction`` None and
+    never fires (unknown is not actionable)."""
+    import json
+
+    try:
+        with open(os.path.join(adir, "meta.json")) as f:
+            meta = json.load(f)
+    except OSError:
+        return {"n_docs": None, "n_ranked": None, "stale_fraction": None, "compact_due": False}
+    n_docs = int(meta.get("n_docs", 0))
+    n_ranked = int(meta.get("n_ranked", 0))
+    stale = 1.0 - (n_ranked / n_docs) if n_docs else 0.0
+    return {
+        "n_docs": n_docs,
+        "n_ranked": n_ranked,
+        "stale_fraction": round(stale, 4),
+        "compact_due": stale >= COMPACT_STALE_FRACTION,
+    }
 
 
 def compact_ngram_corpus(spark: SparkSession, store, kind: str, key: tuple) -> str:

@@ -371,3 +371,44 @@ def test_ingest_loop_probe_accept_extend(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in naive.collect())
     assert got == want
+
+
+def test_ngram_needs_compact_tracks_stale_fraction(spark, sf_dir, tmp_path):
+    """The ngram drift advisory: build -> 0.0 stale, extension raises
+    the fraction (never re-ranked), compact resets it; the boundary is
+    COMPACT_STALE_FRACTION (SCALE.md §ngram-drift: a distribution-shift
+    guard — measured inflation on stationary corpora is ~1.6% at 0.44)."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.ngram_corpus import (
+        COMPACT_STALE_FRACTION,
+        compact_ngram_corpus,
+        extend_ngram_corpus,
+        needs_compact,
+        write_ngram_corpus,
+    )
+
+    sh = dedup._shingle_hashes(spark, sf_dir, "md5").localCheckpoint()
+    base = sh.where(F.col("doc_id") % 4 != 1).where(F.col("doc_id") % 4 != 3)
+    store = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "ngram_corpus", ("t",)
+    v1 = store.get_or_build(kind, key, lambda d: write_ngram_corpus(spark, base, d))
+    s1 = needs_compact(v1)
+    assert s1["stale_fraction"] == 0.0 and not s1["compact_due"]
+
+    # base = half the docs; +quarter -> stale 1/3 (below), +quarter
+    # more -> stale 1/2 (the inclusive boundary)
+    v2 = extend_ngram_corpus(spark, store, kind, key, sh.where(F.col("doc_id") % 4 == 1))
+    s2 = needs_compact(v2)
+    assert 0.0 < s2["stale_fraction"] < COMPACT_STALE_FRACTION
+    assert not s2["compact_due"]
+
+    v3 = extend_ngram_corpus(spark, store, kind, key, sh.where(F.col("doc_id") % 4 == 3))
+    s3 = needs_compact(v3)
+    assert s3["stale_fraction"] >= COMPACT_STALE_FRACTION and s3["compact_due"]
+
+    v4 = compact_ngram_corpus(spark, store, kind, key)
+    s4 = needs_compact(v4)
+    assert s4["stale_fraction"] == 0.0 and not s4["compact_due"]
+    assert s4["n_docs"] == s3["n_docs"]  # same corpus, fresh ranking

@@ -82,6 +82,12 @@ SECONDARY = [
     # (VERDICT r9 next #7): timed so regressions trip the artifact diff
     "dedup_ingest_loop",
     "st_stream_vector_ingest",
+    # r10: hybrid retrieval (text_bm25_topk is primary/headline; the
+    # fusion twin is timed here)
+    "sim_hybrid_rrf",
+    # demoted r10 (text_bm25_topk promoted; the window rank-pick family
+    # is gated by q_window_navigation) — timed for cross-round diffs
+    "q_top_customers_per_nation",
 ]
 
 
@@ -126,6 +132,10 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     "dedup_simhash": ("simhash_fps",),
     "dedup_simhash_pairs": ("simhash_fps",),
     "dedup_substring_pairs": ("winnow_fps",),
+    # r10: lexical retrieval probes the standing inverted index; the
+    # hybrid fusion shares it (plus the exact vector scan, unmemoized)
+    "text_bm25_topk": ("bm25_index",),
+    "sim_hybrid_rrf": ("bm25_index",),
     "st_stream_neardup": (),  # own parquet state machinery, not the store
 }
 
@@ -143,6 +153,7 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
     store (the once-per-corpus-version price a deployment pays)."""
     import opencypher_datalayer_spark.benchqueries.dedup as dd
     import opencypher_datalayer_spark.benchqueries.similarity as sim
+    import opencypher_datalayer_spark.benchqueries.text as tx
 
     builders = {
         "ngram_corpus": lambda: dd.build_incremental_artifacts(
@@ -157,6 +168,7 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
         "ivf": lambda: sim.build_ivf_artifacts(spark, sf_dir),
         "simhash_fps": lambda: dd._simhash(spark, sf_dir, dd.ORACLE_HASH_FAMILY),
         "winnow_fps": lambda: dd._winnow_fps(spark, sf_dir),
+        "bm25_index": lambda: tx.build_bm25_artifact(spark, sf_dir),
     }
     out: dict[str, float] = {}
     for kind, fn in builders.items():

@@ -81,7 +81,12 @@ EXTENDED = {
     "q14_promo_revenue": "q8_market_share",  # conditional-sum ratio
     "q15_top_supplier": "q_supplier_share",  # per-supplier agg vs global scalar
     "q18_large_orders": "cy_with_having",  # HAVING on aggregated keys
-    "q2_cheapest_supplier": "q_top_customers_per_nation",  # window rank argmin
+    "q2_cheapest_supplier": "q_window_navigation",  # window rank argmin
+    # demoted r10 to make primary room for text_bm25_topk (the retrieval
+    # family's driver gate): per-nation top-k is the window rank-pick
+    # shape q_window_navigation's family already gates (q_percentiles
+    # and q2_cheapest_supplier sit under the same cover)
+    "q_top_customers_per_nation": "q_window_navigation",
     # round-5 primary room for cy_path_functions / cy_temporal_filter:
     "cy_varlength_chains": "cy_path_functions",  # named-path superset of *1..k
     "q6_forecast_revenue": "q1_pricing_summary",  # filtered scan+agg family
@@ -164,12 +169,16 @@ EXTENDED = {
     "sim_sq8_topk": "sim_topk_bruteforce",
     "sim_sq8_matmul_topk": "sim_topk_bruteforce",
     "sim_label_centroids": "sim_ivf_pruned_topk",  # centroid build is IVF's first stage
+    # r10: hybrid fusion is the two retrieval primaries' composition —
+    # the lexical pool IS text_bm25_topk's ranking and the vector pool
+    # is sim_topk_bruteforce's scan at pool depth
+    "sim_hybrid_rrf": "text_bm25_topk",
     # temporal
     "ev_tumbling_window": "st_tumbling_window",  # batch twin of the streaming primary
     "ev_sliding_window": "st_tumbling_window",  # F.window, slide = width special case
     "ev_funnel": "ev_interval_join",  # time-banded equi-join chain family
     "ev_gap_fill": "ev_sessionize",  # per-user ordered-window family
-    "ev_first_touch": "q_top_customers_per_nation",  # dedup-by-rank
+    "ev_first_touch": "q_window_navigation",  # dedup-by-rank
     # multimodal
     "mm_binary_meta": "mm_typed_metadata",
     # demoted to make primary room for chunking/packing/BFS (round 3):

@@ -1475,7 +1475,127 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
+# -- hybrid retrieval: BM25 + vector fusion (reciprocal-rank) ------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 20  # per-system candidate pool depth fed into the fusion
+RRF_TOPK = 5
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25,
+    standing inverted-index artifact) and vector (exact cosine) top-
+    {RRF_POOL} pools per query: ``rrf = 1/({RRF_K}+rank_lex) +
+    1/({RRF_K}+rank_vec)`` with an absent system contributing 0. The
+    query set is the {RRF_POOL}-pool twin of ``text_bm25_topk``'s (the
+    lowest doc_ids; embeddings share the id space), self excluded on
+    both sides.
+
+    Scale shape: the lexical side probes the bucket-pruned standing
+    index (one int64-grid shuffle); the vector side is the exact
+    baseline scan with the map-side partial top-k, so the fusion join
+    sees only queries x {RRF_POOL} slim rows per system — the full-
+    outer join and final window are driver-tiny at any corpus size.
+    Fusion sums two fixed-order IEEE divisions of exact integers, so
+    the oracle hash-matches bit-for-bit; ranks tie-break on doc_id."""
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.benchqueries.text import BM25_NQ, bm25_rankings
+
+    lex = (
+        bm25_rankings(spark, sf_dir)
+        .where(F.col("rk") <= RRF_POOL)
+        .select("q_id", "doc_id", F.col("rk").alias("rk_lex"))
+    )
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    qids = (
+        load_table(spark, "documents", sf_dir)
+        .orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(F.col("doc_id").alias("q_id"))
+    )
+    qv = emb.join(F.broadcast(qids), F.col("vec_id") == F.col("q_id")).select(
+        "q_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        F.broadcast(qv)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    slim = scored.mapInPandas(
+        _partial_topk("cosine", RRF_POOL), "q_id bigint, c_id bigint, cosine double"
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    vec = (
+        slim.withColumn("rk_vec", F.row_number().over(wv))
+        .where(F.col("rk_vec") <= RRF_POOL)
+        .select("q_id", F.col("c_id").alias("doc_id"), "rk_vec")
+    )
+    fused = lex.join(vec, ["q_id", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_vec")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RRF_TOPK)
+        .withColumn("rrf", F.round("rrf", 6))
+        .select("q_id", "doc_id", "rrf", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    """Oracle: the BM25 CTE chain (shared with ``text_bm25_topk`` —
+    same pinned scoring) continued with the exact-cosine ranking and
+    the same fixed-order fusion arithmetic."""
+    from opencypher_datalayer_spark.benchqueries.text import _bm25_sql
+
+    return _bm25_sql(
+        f""", e AS (
+  SELECT vec_id, {_DUCK_VEC} AS v, {_DUCK_NORM.format(a=_DUCK_VEC)} AS nrm
+  FROM embeddings),
+vscored AS (
+  SELECT qe.vec_id AS q_id, c.vec_id AS doc_id,
+         {_DUCK_DOT.format(a='qe.v', b='c.v')} / (qe.nrm * c.nrm) AS cosine
+  FROM e qe JOIN e c ON qe.vec_id <> c.vec_id
+  WHERE qe.vec_id IN (SELECT q_id FROM q)),
+vranked AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id ASC) AS rk
+  FROM vscored),
+lex AS (SELECT q_id, doc_id, rk FROM ranked WHERE rk <= {RRF_POOL}),
+vec AS (SELECT q_id, doc_id, rk FROM vranked WHERE rk <= {RRF_POOL}),
+fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + l.rk), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + v.rk), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf, rk FROM (
+  SELECT q_id, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rk
+  FROM fused)
+WHERE rk <= {RRF_TOPK}
+ORDER BY q_id, rk"""
+    )
+
+
 QUERIES = {
+    "sim_hybrid_rrf": QueryDef(
+        sim_hybrid_rrf,
+        _hybrid_rrf_sql(),
+        f"BM25 + cosine reciprocal-rank fusion, top-{RRF_TOPK}",
+    ),
     "sim_cosine_pairs": QueryDef(
         sim_cosine_pairs, SIM_COSINE_PAIRS_SQL, f"exact cosine pairs >= {COS_THRESHOLD}"
     ),

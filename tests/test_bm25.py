@@ -1,0 +1,158 @@
+"""BM25 inverted-index artifact: probe correctness, O(batch) extension
+equivalence, compact neutrality, bucket pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+from opencypher_datalayer_spark.operators.bm25_index import (
+    COMPACT_GENERATIONS,
+    bm25_scores,
+    compact_bm25_index,
+    extend_bm25_index,
+    generations,
+    needs_compact,
+    read_bm25_index,
+    write_bm25_index,
+)
+
+KIND = "bm25_test"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps on the warm mat"),
+    (2, "a slow green turtle crawls under the old bridge"),
+    (3, "quick quick quick brown brown fox"),
+    (4, "entirely disjoint vocabulary zeta omega lambda"),
+    (5, ""),  # token-less doc still counts toward N
+]
+
+BATCH = [
+    (10, "the quick red fox runs past the brown dog"),
+    (11, "new unseen words arrive with this batch"),
+]
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(0, ["quick", "brown", "fox"]), (1, ["zeta", "bridge"])],
+        "q_id bigint, toks array<string>",
+    )
+
+
+def _probe(spark, adir):
+    return {
+        (r.q_id, r.doc_id): r.s_int
+        for r in bm25_scores(spark, adir, _queries(spark)).collect()
+    }
+
+
+def test_extension_equals_rebuild(spark, tmp_path):
+    """Extending the standing index with a disjoint batch is
+    content-equivalent to a full rebuild over the grown corpus — df,
+    N, and sum_dl deltas SUM to the exact grown-corpus values."""
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, BATCH))
+    store.commit(
+        KIND, ("full",), lambda t: write_bm25_index(_docs(spark, CORPUS + BATCH), t)
+    )
+    ext = _probe(spark, store.current_dir(KIND, ("a",)))
+    full = _probe(spark, store.current_dir(KIND, ("full",)))
+    assert ext == full and len(ext) > 0
+
+
+def test_compact_is_content_neutral(spark, tmp_path):
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    for i in range(3):
+        extend_bm25_index(
+            spark, store, KIND, ("a",), _docs(spark, [(100 + i, "quick extra doc")])
+        )
+    before = _probe(spark, store.current_dir(KIND, ("a",)))
+    assert generations(spark, store.current_dir(KIND, ("a",))) == 4
+    compact_bm25_index(spark, store, KIND, ("a",))
+    adir = store.current_dir(KIND, ("a",))
+    assert generations(spark, adir) == 1
+    assert _probe(spark, adir) == before
+
+
+def test_needs_compact_is_generation_advisory(spark, tmp_path):
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    adir = store.current_dir(KIND, ("a",))
+    assert not needs_compact(spark, adir)
+    for i in range(COMPACT_GENERATIONS - 1):
+        extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, [(200 + i, "x y")]))
+    assert needs_compact(spark, store.current_dir(KIND, ("a",)))
+
+
+def test_probe_scan_is_bucket_pruned(spark, tmp_path):
+    """The probe's postings/stats scans carry a partition filter on
+    ``bucket`` — the query terms' buckets, pruned at the source."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    adir = store.current_dir(KIND, ("a",))
+    post = read_bm25_index(spark, adir)["postings"]
+    assert post.select("bucket").distinct().count() > 1  # corpus spans buckets
+    out = bm25_scores(spark, adir, _queries(spark))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(True)
+    blocks = re.findall(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert blocks and all("bucket" in b for b in blocks), blocks
+
+
+def test_scores_match_reference_formula(spark, tmp_path):
+    """Pin the pinned scoring point against an independent pure-Python
+    computation (rational idf, floor onto the 1e-9 grid)."""
+    import math
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    got = _probe(spark, store.current_dir(KIND, ("a",)))
+
+    docs = {d: t.split() for d, t in CORPUS}
+    n = len(docs)
+    sumdl = sum(len(v) for v in docs.values())
+    avgdl = float(sumdl) / float(n)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for q_id, qtoks in [(0, ["quick", "brown", "fox"]), (1, ["zeta", "bridge"])]:
+        for d, toks in docs.items():
+            s = 0
+            for t in set(qtoks):
+                tf = toks.count(t)
+                if not tf:
+                    continue
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5) + 1.0
+                sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(toks) / avgdl)))
+                s += math.floor(idf * sat * 1e9)
+            if s:
+                want[(q_id, d)] = s
+    assert got == want
+
+
+def test_log_idf_variant_ranks(spark, tmp_path):
+    """The textbook log-idf variant runs and never emits a negative
+    term score (the +1 inside the log floors idf at 0)."""
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    rows = bm25_scores(
+        spark, store.current_dir(KIND, ("a",)), _queries(spark), idf="log"
+    ).collect()
+    assert rows and all(r.s_int >= 0 for r in rows)
+    with pytest.raises(ValueError):
+        bm25_scores(spark, store.current_dir(KIND, ("a",)), _queries(spark), idf="bad")

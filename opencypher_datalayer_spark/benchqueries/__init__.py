@@ -173,6 +173,10 @@ EXTENDED = {
     # the lexical pool IS text_bm25_topk's ranking and the vector pool
     # is sim_topk_bruteforce's scan at pool depth
     "sim_hybrid_rrf": "text_bm25_topk",
+    # r10: the retrieval artifact's build -> extend -> probe lifecycle
+    # (dedup_ingest_loop's pattern) — the oracle is the full-corpus
+    # recompute, so a hash match proves extension == rebuild
+    "text_bm25_ingest_loop": "text_bm25_topk",
     # temporal
     "ev_tumbling_window": "st_tumbling_window",  # batch twin of the streaming primary
     "ev_sliding_window": "st_tumbling_window",  # F.window, slide = width special case

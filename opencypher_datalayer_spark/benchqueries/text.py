@@ -738,6 +738,60 @@ ranked AS (
 """
 
 
+def text_bm25_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval artifact's ingest lifecycle, value-oracled end to
+    end (the ``dedup_ingest_loop`` pattern): build the standing
+    inverted index on 90% of the corpus, EXTEND it with the remaining
+    batch (``extend_bm25_index`` — hard-linked O(batch) commit,
+    additive df/corpus deltas), then serve ``text_bm25_topk``'s exact
+    query from the GROWN index. The oracle is the plain full-corpus
+    BM25 SQL, so a hash match proves extension == rebuild through the
+    driver's gate, not just the unit tests.
+
+    Per-invocation tempdir store (reclaimed at exit): extension
+    advances the corpus version, so a shared standing store would
+    double-ingest the batch on the next invocation — a correctness
+    demonstration must be idempotent."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.bm25_index import (
+        SCALE,
+        bm25_scores,
+        extend_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_bm25_loop_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = ArtifactStore(root)
+    store.get_or_build("bm25_index", ("loop",), lambda d: write_bm25_index(corpus, d))
+    adir = extend_bm25_index(spark, store, "bm25_index", ("loop",), batch)
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(F.col("doc_id").alias("q_id"), _tokens(F.col("text")).alias("toks"))
+    )
+    scored = bm25_scores(spark, adir, queries).where(F.col("doc_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOPK)
+        .withColumn(
+            "score", F.round(F.col("s_int").cast("double") / F.lit(float(SCALE)), 6)
+        )
+        .select("q_id", "doc_id", "score", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
 def _text_bm25_sql() -> str:
     from opencypher_datalayer_spark.operators.bm25_index import SCALE
 
@@ -790,5 +844,10 @@ QUERIES = {
         text_bm25_topk,
         _text_bm25_sql(),
         f"top-{BM25_TOPK} BM25 retrieval from the standing inverted index",
+    ),
+    "text_bm25_ingest_loop": QueryDef(
+        text_bm25_ingest_loop,
+        _text_bm25_sql(),
+        "inverted-index build -> extend -> probe lifecycle vs full-corpus recompute",
     ),
 }

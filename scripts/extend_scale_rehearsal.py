@@ -117,6 +117,33 @@ def main() -> int:
     }
     print("ivf:", out["kinds"]["ivf"], flush=True)
 
+    # ---- BM25 inverted index (r10) ---------------------------------------
+    from opencypher_datalayer_spark.operators.bm25_index import (
+        bm25_scores,
+        compact_bm25_index,
+        extend_bm25_index,
+        write_bm25_index,
+    )
+    from opencypher_datalayer_spark.operators.textkit import tokens
+
+    k = ("bm25_index", ("r",))
+    _, t_build = timed(
+        lambda: store.get_or_build(*k, lambda d: write_bm25_index(dc, d))
+    )
+    vb, t_ext = timed(lambda: extend_bm25_index(spark, store, *k, db))
+    qdf = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(F.col("doc_id").alias("q_id"), tokens(F.col("text")).alias("toks"))
+    )
+    n, t_probe = timed(lambda: bm25_scores(spark, vb, qdf).count())
+    _, t_comp = timed(lambda: compact_bm25_index(spark, store, *k))
+    out["kinds"]["bm25_index"] = {
+        "build": t_build, "extend": t_ext, "probe_after_extend": t_probe,
+        "compact": t_comp, "scored_rows": n,
+    }
+    print("bm25:", out["kinds"]["bm25_index"], flush=True)
+
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)
     return 0

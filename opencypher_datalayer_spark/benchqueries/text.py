@@ -639,10 +639,9 @@ def build_bm25_artifact(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = ("v1", table_fingerprint(sf_dir, "documents"), N_BUCKETS)
-    docs = rebalance_for_inflation(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
-        work_per_row=WORK_TOKENIZE,
-    )
+    # no caller-side rebalance: the kernel's builders re-split ahead of
+    # the token explode themselves (operators.bm25_index.WORK_TOKENIZE)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return default_store().get_or_build(
         "bm25_index", key, lambda tmp: write_bm25_index(docs, tmp)
     )

@@ -73,10 +73,21 @@ def bucket_of(tok) -> F.Column:  # type: ignore[name-defined]
     return F.pmod(F.xxhash64(tok), F.lit(N_BUCKETS)).cast("int")
 
 
+# token explode inflates ~64 rows per ~300-char doc (the text family's
+# shared estimate) — the builders re-split ahead of it so a single-row-
+# group source doesn't serialize the build on one core (the IVF
+# quantize/assign trap, found again here: direct-kernel sf10 build was
+# 66.9 s vs 20.0 through the pre-rebalanced registry path)
+WORK_TOKENIZE = 64
+
+
 def postings_for(docs: DataFrame) -> DataFrame:
     """``(bucket, tok, doc_id, tf, dl)`` for a ``(doc_id, text)`` frame.
     Pure per-doc content (tf and dl are functions of one document), so
     extension rows are exactly what a full rebuild would emit."""
+    from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+
+    docs = rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE)
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -103,6 +114,9 @@ def corpus_row(docs: DataFrame) -> DataFrame:
     """One ``(n_docs, sum_dl)`` row for a doc batch. ``n_docs`` counts
     ALL docs (token-less documents still raise N in the idf); sum_dl
     counts whitespace tokens."""
+    from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+
+    docs = rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE)
     return docs.select(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).cast("long").alias("sum_dl"),

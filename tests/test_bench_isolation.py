@@ -67,6 +67,7 @@ def test_artifact_backed_names_resolve():
         "minhash_sigs",
         "simhash_fps",
         "winnow_fps",
+        "bm25_index",
     }
     # every kind the bench drops must also have a cold-build timer
     import inspect

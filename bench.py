@@ -85,6 +85,8 @@ SECONDARY = [
     # r10: hybrid retrieval (text_bm25_topk is primary/headline; the
     # fusion twin is timed here)
     "sim_hybrid_rrf",
+    # r10: the composed keep/drop verdict (curation product)
+    "text_clean_corpus",
     # demoted r10 (text_bm25_topk promoted; the window rank-pick family
     # is gated by q_window_navigation) — timed for cross-round diffs
     "q_top_customers_per_nation",
@@ -136,6 +138,7 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     # hybrid fusion shares it (plus the exact vector scan, unmemoized)
     "text_bm25_topk": ("bm25_index",),
     "sim_hybrid_rrf": ("bm25_index",),
+    "text_clean_corpus": ("minhash_sigs",),  # the cluster side's standing artifact
     "st_stream_neardup": (),  # own parquet state machinery, not the store
 }
 

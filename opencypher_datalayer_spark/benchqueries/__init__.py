@@ -134,6 +134,10 @@ EXTENDED = {
     "text_decontaminate": "dedup_ngram_jaccard",  # n-gram equi-join family
     "text_scrub": "text_quality",  # per-doc regex scan/rewrite family
     "text_negative_samples": "text_stratified_sample",  # deterministic-hash pairing
+    # r10: the composed keep/drop verdict — exact-dup keeper, near-dup
+    # cluster keeper (dedup_clusters' semantics), quality floor, one
+    # precedence-ordered reason per doc; its parts are all primaries
+    "text_clean_corpus": "dedup_clusters",
     "text_chunk_dedup": "dedup_exact",  # hash-groupBy exact dedup family
     "text_split_assign": "text_stratified_sample",  # deterministic-hash assignment
     # demoted to make primary room for LPA / SQ8 / TF-IDF (round-3 cont.):

@@ -348,9 +348,137 @@ ORDER BY doc_id, neg_rank
 """
 
 
+# -- the curation product: per-doc keep/drop verdict --------------------
+
+# Quality floor for the composed verdict — pinned where the driver
+# corpus actually has a tail (5th-pct token count is 16; min alpha
+# ratio 0.794), so the reason fires on real rows at every test scale.
+CLEAN_MIN_TOKENS = 16
+CLEAN_MIN_ALPHA = 0.8
+
+
+def text_clean_corpus(
+    spark: SparkSession, sf_dir: str, hash_family: str | None = None
+) -> DataFrame:
+    """The materialized keep/drop table a curation pipeline actually
+    ships: every document with its near-dup cluster and ONE verdict —
+    ``exact_dup`` (not the md5-group keeper), else ``near_dup`` (not
+    its MinHash-LSH cluster keeper, ``dedup_clusters`` semantics),
+    else ``low_quality`` (token count or alpha ratio below the pinned
+    floor — the floor applies to keepers too, as in a real pipeline),
+    else ``kept``. Composes three independently-verified families
+    (exact hash-groupBy dedup, LSH + connected components, per-doc
+    quality expressions) into the end product; the oracle recomputes
+    the whole composition, so the hash match checks the PRECEDENCE
+    logic, not just the parts.
+
+    Scale shape: the cluster side is ``dedup_clusters``'s (standing
+    MinHash signatures, recursive components on the slim pair list);
+    the exact-dup and quality sides are one hash-groupBy and a
+    map-only pass — nothing new shuffles beyond the parts."""
+    from opencypher_datalayer_spark.benchqueries.dedup import (
+        DEFAULT_HASH_FAMILY,
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    fp = docs.withColumn("fp", F.md5("text"))
+    exact = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keeper"))
+    clusters = dedup_clusters(
+        spark, sf_dir, hash_family or DEFAULT_HASH_FAMILY
+    ).select("doc_id", "cluster_id", "is_keeper")
+    toks = _tokens(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha"),
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keeper"), "exact_dup")
+        .when(~F.col("is_keeper"), "near_dup")
+        .when(
+            (F.col("nt") < CLEAN_MIN_TOKENS) | (F.col("alpha") < CLEAN_MIN_ALPHA),
+            "low_quality",
+        )
+        .otherwise("kept")
+    )
+    return (
+        fp.join(exact, "fp")
+        .join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "cluster_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "kept")
+        .select("doc_id", "cluster_id", "keep", "reason")
+        .orderBy("doc_id")
+    )
+
+
+def _clean_corpus_sql() -> str:
+    from opencypher_datalayer_spark.benchqueries.dedup import (
+        _DUCK_SHINGLES,
+        _duck_minhash_cte,
+        BANDS,
+    )
+
+    bands = " OR ".join(f"a.band{i} = b.band{i}" for i in range(BANDS))
+    return f"""
+WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({bands})
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+ek AS (SELECT f, MIN(doc_id) AS exact_keeper FROM fp GROUP BY f),
+qual AS (
+  SELECT doc_id,
+         length({_duck_toks()}) AS nt,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha
+  FROM documents),
+r AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN d.doc_id <> e.exact_keeper THEN 'exact_dup'
+              WHEN d.doc_id <> COALESCE(c.cluster_id, d.doc_id) THEN 'near_dup'
+              WHEN q.nt < {CLEAN_MIN_TOKENS} OR q.alpha < {CLEAN_MIN_ALPHA}
+                THEN 'low_quality'
+              ELSE 'kept' END AS reason
+  FROM documents d
+  JOIN fp ON fp.doc_id = d.doc_id
+  JOIN ek e ON e.f = fp.f
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, reason = 'kept' AS keep, reason
+FROM r ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_repetition": QueryDef(
         text_repetition, TEXT_REPETITION_SQL, "Gopher-style n-gram repetition quality"
+    ),
+    # oracle-mode binding (the dedup family's idiom): the driver checks
+    # against DuckDB's md5 bands; library callers get xxhash64
+    "text_clean_corpus": QueryDef(
+        lambda spark, sf_dir: text_clean_corpus(spark, sf_dir, hash_family="md5"),
+        _clean_corpus_sql(),
+        "composed per-doc keep/drop verdict (exact dup > near dup > quality)",
     ),
     "text_mixture_upsample": QueryDef(
         text_mixture_upsample, TEXT_MIXTURE_SQL, "epoch-weighted deterministic mixture"

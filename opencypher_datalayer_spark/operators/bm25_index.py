@@ -132,11 +132,22 @@ def write_bm25_index(docs: DataFrame, out_dir: str) -> None:
     corpus_row(docs).write.parquet(os.path.join(out_dir, CORPUS))
 
 
+# Explicit read schemas: a zero-row build (e.g. every document empty)
+# writes parquet dirs with no data files, where schema inference fails
+# — the graph store's empty-commit lesson, re-found here by the
+# Hypothesis model (tests/test_bm25_properties.py).
+_POSTINGS_SCHEMA = "tok string, doc_id bigint, tf bigint, dl bigint, bucket int"
+_STATS_SCHEMA = "tok string, df bigint, bucket int"
+_CORPUS_SCHEMA = "n_docs bigint, sum_dl bigint"
+
+
 def read_bm25_index(spark: SparkSession, adir: str) -> dict[str, DataFrame]:
     return {
-        POSTINGS: spark.read.parquet(os.path.join(adir, POSTINGS)),
-        STATS: spark.read.parquet(os.path.join(adir, STATS)),
-        CORPUS: spark.read.parquet(os.path.join(adir, CORPUS)),
+        POSTINGS: spark.read.schema(_POSTINGS_SCHEMA).parquet(
+            os.path.join(adir, POSTINGS)
+        ),
+        STATS: spark.read.schema(_STATS_SCHEMA).parquet(os.path.join(adir, STATS)),
+        CORPUS: spark.read.schema(_CORPUS_SCHEMA).parquet(os.path.join(adir, CORPUS)),
     }
 
 
@@ -240,6 +251,8 @@ def bm25_scores(
     n_docs, sum_dl = (
         frames[CORPUS].agg(F.sum("n_docs"), F.sum("sum_dl")).collect()[0]
     )
+    if not n_docs or not sum_dl:  # empty or token-less corpus: no matches
+        return spark.createDataFrame([], "q_id bigint, doc_id bigint, s_int bigint")
     avgdl = float(sum_dl) / float(n_docs)
     dfs = (
         frames[STATS]

@@ -206,6 +206,37 @@ def test_threaded_extenders_all_deltas_survive(store):
         assert _read(cur, f"delta_{i}.json") == {"v": i}, f"delta {i} was dropped"
 
 
+def _process_extend(args):
+    """Module-level worker for the multiprocess interleaving test
+    (spawn-picklable): open the store fresh in this process — separate
+    pids, separate O_EXCL claims, nothing shared but the filesystem —
+    and extend with one delta."""
+    root, backend, i = args
+    s = open_artifact_store(root, backend)
+    s.commit_extension("sets", (("fp", 13),), _writer({"v": i}, f"delta_{i}.json"), retries=32)
+    return i
+
+
+def test_multiprocess_extenders_all_deltas_survive(store):
+    """The r9 verdict's literal criterion: two (here: six) PROCESSES
+    extend concurrently and no delta is lost. Threads share the GIL
+    and a single pid; real processes race the O_EXCL lock file /
+    put-if-absent link with distinct pids — the deployment shape."""
+    import multiprocessing as mp
+
+    key = (("fp", 13),)
+    store.commit("sets", key, _writer({"v": 0}, "base.json"))
+    backend = "txnlog" if isinstance(store, TxnLogArtifactStore) else "localfs"
+    n = 6
+    with mp.get_context("spawn").Pool(n) as pool:
+        done = pool.map(_process_extend, [(store.root, backend, i) for i in range(n)])
+    assert sorted(done) == list(range(n))
+    cur = store.current_dir("sets", key)
+    assert _read(cur, "base.json") == {"v": 0}
+    for i in range(n):
+        assert _read(cur, f"delta_{i}.json") == {"v": i}, f"delta {i} was dropped"
+
+
 def test_link_tree_falls_back_to_copy_across_devices(store, monkeypatch):
     """EXDEV (artifact root on a different filesystem than expected)
     degrades hard-link extension to a plain copy, not a failure."""

@@ -87,6 +87,9 @@ SECONDARY = [
     "sim_hybrid_rrf",
     # r10: the composed keep/drop verdict (curation product)
     "text_clean_corpus",
+    # r10: the composed pipeline streamed (quality -> near-dup ->
+    # per-epoch BM25 index extension; own tempdir state, not the store)
+    "st_stream_clean_ingest",
     # demoted r10 (text_bm25_topk promoted; the window rank-pick family
     # is gated by q_window_navigation) — timed for cross-round diffs
     "q_top_customers_per_nation",

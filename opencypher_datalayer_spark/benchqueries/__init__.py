@@ -138,6 +138,10 @@ EXTENDED = {
     # cluster keeper (dedup_clusters' semantics), quality floor, one
     # precedence-ordered reason per doc; its parts are all primaries
     "text_clean_corpus": "dedup_clusters",
+    # r10: the composed pipeline STREAMED — quality gate, the streaming
+    # near-dup filter, and per-epoch BM25 index extension in one sink;
+    # oracle = the full recomputed composition over the survivor set
+    "st_stream_clean_ingest": "st_stream_neardup",
     "text_chunk_dedup": "dedup_exact",  # hash-groupBy exact dedup family
     "text_split_assign": "text_stratified_sample",  # deterministic-hash assignment
     # demoted to make primary room for LPA / SQ8 / TF-IDF (round-3 cont.):

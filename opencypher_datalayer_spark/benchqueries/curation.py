@@ -469,9 +469,137 @@ FROM r ORDER BY doc_id
 """
 
 
+# -- streaming clean ingest (the composed pipeline, streamed) -----------
+
+
+def st_stream_clean_ingest(
+    spark: SparkSession, sf_dir: str, hash_family: str | None = None
+) -> DataFrame:
+    """The full ingest pipeline as ONE streaming sink
+    (``streaming.clean_ingest.StreamingCleanIngest``), replayed
+    deterministically: documents arrive as STREAM_NBATCH micro-batches
+    (``doc_id % N``), each quality-gated, near-dup-filtered against
+    the accumulated survivor corpus, and — survivors only — extended
+    into a standing BM25 inverted index built BY the stream. Output:
+    the standard top-k retrieval probe served from that stream-built
+    index (queries = the lowest surviving doc_ids). The oracle
+    recomputes the whole composition — quality cut, the filter's
+    epoch-sequential greedy acceptance, and BM25 over exactly the
+    survivor set — so a hash match proves the three stages compose
+    correctly AND that per-epoch index extension equals a one-shot
+    build over the survivors.
+
+    Replay-fresh state per invocation (the ``st_stream_neardup``
+    idiom): content-addressed per-process dirs wiped at entry; the
+    result frame is checkpointed so it outlives the next wipe."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.benchqueries.dedup import (
+        DEFAULT_HASH_FAMILY,
+        STREAM_NBATCH,
+        WORK_MINHASH,
+        _docs_fingerprint,
+    )
+    from opencypher_datalayer_spark.benchqueries.text import BM25_NQ, BM25_TOPK
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.bm25_index import SCALE, bm25_scores
+    from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
+    from opencypher_datalayer_spark.streaming.clean_ingest import StreamingCleanIngest
+
+    family = hash_family or DEFAULT_HASH_FAMILY
+    docs = rebalance_for_inflation(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        work_per_row=WORK_MINHASH,
+    )
+    digest = hashlib.md5(
+        repr((_docs_fingerprint(sf_dir), family)).encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"stream_clean_{digest}_p{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sink = StreamingCleanIngest(
+        spark,
+        os.path.join(root, "state"),
+        ArtifactStore(os.path.join(root, "store")),
+        "bm25_index",
+        ("stream",),
+        CLEAN_MIN_TOKENS,
+        CLEAN_MIN_ALPHA,
+        hash_family=family,
+    )
+    for k in range(STREAM_NBATCH):
+        sink.apply(docs.where(F.col("doc_id") % STREAM_NBATCH == k), k)
+    adir = sink.index_dir()
+    queries = (
+        docs.join(sink.kept().select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(F.col("doc_id").alias("q_id"), _tokens(F.col("text")).alias("toks"))
+    )
+    scored = bm25_scores(spark, adir, queries).where(F.col("doc_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOPK)
+        .withColumn(
+            "score", F.round(F.col("s_int").cast("double") / F.lit(float(SCALE)), 6)
+        )
+        .select("q_id", "doc_id", "score", "rk")
+        .orderBy("q_id", "rk")
+        .localCheckpoint()
+    )
+
+
+def _stream_clean_ingest_sql() -> str:
+    """The composed oracle: quality cut -> the streaming filter's
+    unrolled epoch-sequential acceptance (``dedup``'s shared CTE
+    chain, admission restricted to quality passers) -> the BM25 chain
+    (``text``'s shared CTEs) over exactly the survivor set."""
+    from opencypher_datalayer_spark.benchqueries.dedup import (
+        _DUCK_SHINGLES,
+        _duck_minhash_cte,
+        _duck_stream_kept_parts,
+        _duck_stream_kept_union,
+    )
+    from opencypher_datalayer_spark.benchqueries.text import BM25_TOPK, _bm25_ctes
+    from opencypher_datalayer_spark.operators.bm25_index import SCALE
+
+    qual = (
+        f"length({_duck_toks()}) >= {CLEAN_MIN_TOKENS}"
+        " AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+        f" / length(text) >= {CLEAN_MIN_ALPHA}"
+    )
+    parts = _duck_stream_kept_parts("doc_id IN (SELECT doc_id FROM qual)")
+    return f"""
+WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte().strip().rstrip(',')},
+qual AS MATERIALIZED (SELECT doc_id FROM documents WHERE {qual}),
+{', '.join(parts)},
+survivors AS MATERIALIZED (SELECT doc_id FROM ({_duck_stream_kept_union()})),
+sdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN survivors USING (doc_id)),
+{_bm25_ctes("sdocs")}
+SELECT q_id, doc_id,
+       ROUND(CAST(s_int AS DOUBLE) / {float(SCALE)!r}, 6) AS score, rk
+FROM ranked WHERE rk <= {BM25_TOPK}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "text_repetition": QueryDef(
         text_repetition, TEXT_REPETITION_SQL, "Gopher-style n-gram repetition quality"
+    ),
+    "st_stream_clean_ingest": QueryDef(
+        lambda spark, sf_dir: st_stream_clean_ingest(spark, sf_dir, hash_family="md5"),
+        _stream_clean_ingest_sql(),
+        "quality gate -> streaming near-dup -> BM25 index extension, probed",
     ),
     # oracle-mode binding (the dedup family's idiom): the driver checks
     # against DuckDB's md5 bands; library callers get xxhash64

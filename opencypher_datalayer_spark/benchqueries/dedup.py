@@ -1645,11 +1645,16 @@ def st_stream_neardup(
     )
 
 
-def _duck_stream_neardup_sql() -> str:
-    """Unrolled SQL program for the streaming filter: one stage per
-    arrival batch, each with a corpus anti-join, a within-batch pair
-    join, and a recursive-CTE transitive closure for the component
-    collapse (min doc_id per component survives)."""
+def _duck_stream_kept_parts(doc_pred: str | None = None) -> list[str]:
+    """The unrolled per-batch CTE chain of the streaming filter (shared
+    by ``st_stream_neardup`` and the composed clean-ingest oracle):
+    one stage per arrival batch — corpus anti-join, within-batch pair
+    join, recursive-CTE transitive closure for the component collapse
+    (min doc_id per component survives). ``doc_pred`` (a SQL predicate
+    over ``doc_id``, e.g. a quality-gate membership) restricts which
+    docs ENTER the batches; the default admits all. Callers embed the
+    returned parts after the ``s``/MinHash CTEs and read the accepted
+    set from ``kept{k}``."""
     from opencypher_datalayer_spark.streaming.neardup import AGREE_R
 
     def agree(x: str, y: str) -> str:
@@ -1664,8 +1669,10 @@ def _duck_stream_neardup_sql() -> str:
     # 28 s -> 1.3 s with the hint). That includes ``banded`` itself: the
     # STREAM_NBATCH b{k} CTEs all read it, so it gets a materialized
     # alias to keep the upstream s/hashed/sig chain computed once.
+    pred = f" AND {doc_pred}" if doc_pred else ""
     parts = [f"banded_m AS MATERIALIZED (SELECT * FROM banded)"] + [
-        f"b{k} AS MATERIALIZED (SELECT * FROM banded_m WHERE doc_id % {STREAM_NBATCH} = {k})"
+        f"b{k} AS MATERIALIZED (SELECT * FROM banded_m"
+        f" WHERE doc_id % {STREAM_NBATCH} = {k}{pred})"
         for k in range(STREAM_NBATCH)
     ]
     for k in range(STREAM_NBATCH):
@@ -1709,12 +1716,23 @@ def _duck_stream_neardup_sql() -> str:
                 if k
                 else "corp1 AS MATERIALIZED (SELECT * FROM kept0)"
             )
-    union = " UNION ALL ".join(f"SELECT doc_id FROM kept{k}" for k in range(STREAM_NBATCH))
+    return parts
+
+
+def _duck_stream_kept_union() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id FROM kept{k}" for k in range(STREAM_NBATCH)
+    )
+
+
+def _duck_stream_neardup_sql() -> str:
+    """Complete oracle for ``st_stream_neardup`` — the shared per-batch
+    chain with no admission predicate, emitting the accepted set."""
     return f"""
 WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
 {_duck_minhash_cte().strip().rstrip(',')},
-{', '.join(parts)}
-SELECT doc_id, doc_id % {STREAM_NBATCH} AS batch FROM ({union}) ORDER BY doc_id
+{', '.join(_duck_stream_kept_parts())}
+SELECT doc_id, doc_id % {STREAM_NBATCH} AS batch FROM ({_duck_stream_kept_union()}) ORDER BY doc_id
 """
 
 

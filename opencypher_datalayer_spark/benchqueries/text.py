@@ -693,28 +693,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(select: str) -> str:
-    """The shared BM25 oracle CTE chain (token-for-token mirror of
-    ``operators.bm25_index.bm25_scores`` — same parenthesization, so
-    every factor is the identical correctly-rounded double; the
-    per-term FLOOR onto the 1e-9 int grid makes the SUM
-    order-independent)."""
+def _bm25_ctes(docs: str = "documents") -> str:
+    """The BM25 oracle CTE chain WITHOUT the ``WITH`` prefix
+    (token-for-token mirror of ``operators.bm25_index.bm25_scores`` —
+    same parenthesization, so every factor is the identical
+    correctly-rounded double; the per-term FLOOR onto the 1e-9 int
+    grid makes the SUM order-independent). ``docs`` names the corpus
+    relation — the composed clean-ingest oracle scores the stream's
+    SURVIVOR set through the same chain."""
     from opencypher_datalayer_spark.operators.bm25_index import B, K1, SCALE
 
     k1p1 = repr(1.0 + K1)
     one_minus_b = repr(1.0 - B)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-  FROM documents),
+  FROM {docs}),
 tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
 meta AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {docs}) AS n,
          (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sumdl),
-q AS (SELECT doc_id AS q_id FROM documents ORDER BY doc_id LIMIT {BM25_NQ}),
+q AS (SELECT doc_id AS q_id FROM {docs} ORDER BY doc_id LIMIT {BM25_NQ}),
 qt AS (SELECT DISTINCT q.q_id, t.tok FROM q JOIN toks t ON t.doc_id = q.q_id),
 terms AS (
   SELECT qt.q_id, tf.doc_id,
@@ -732,7 +733,15 @@ scored AS (SELECT q_id, doc_id, SUM(ti) AS s_int FROM terms GROUP BY q_id, doc_i
 ranked AS (
   SELECT q_id, doc_id, s_int,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_int DESC, doc_id ASC) AS rk
-  FROM scored)
+  FROM scored)"""
+
+
+def _bm25_sql(select: str) -> str:
+    """Complete BM25 oracle statement: the shared CTE chain over the
+    full ``documents`` relation followed by the caller's SELECT (which
+    may itself continue the WITH list — the hybrid-RRF oracle does)."""
+    return f"""
+WITH {_bm25_ctes()}
 {select}
 """
 

@@ -50,6 +50,7 @@ engine's training-data-pipeline extension.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -123,13 +124,35 @@ def corpus_row(docs: DataFrame) -> DataFrame:
     )
 
 
-def write_bm25_index(docs: DataFrame, out_dir: str) -> None:
+def index_meta(adir: str) -> dict:
+    """The committed version's ``meta.json`` (``{}`` if absent) —
+    streaming sinks stamp their replay marker here, atomically with the
+    version commit (the IVF index's exactly-once idiom)."""
+    try:
+        with open(os.path.join(adir, "meta.json")) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    p = os.path.join(out_dir, "meta.json")
+    if os.path.exists(p):  # hard-linked from the base version: never
+        os.remove(p)  # rewrite a shared inode in place
+    with open(p, "w") as f:
+        json.dump(meta, f)
+
+
+def write_bm25_index(
+    docs: DataFrame, out_dir: str, meta_extra: dict | None = None
+) -> None:
     """Materialize the index for ``docs`` (``doc_id``, ``text``) under
     an artifact version dir."""
     post = postings_for(docs)
     post.write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
     stats_for(post).write.partitionBy("bucket").parquet(os.path.join(out_dir, STATS))
     corpus_row(docs).write.parquet(os.path.join(out_dir, CORPUS))
+    _write_meta(out_dir, dict(meta_extra or {}))
 
 
 # Explicit read schemas: a zero-row build (e.g. every document empty)
@@ -152,14 +175,21 @@ def read_bm25_index(spark: SparkSession, adir: str) -> dict[str, DataFrame]:
 
 
 def extend_bm25_index(
-    spark: SparkSession, store, kind: str, key: tuple, docs_new: DataFrame
+    spark: SparkSession,
+    store,
+    kind: str,
+    key: tuple,
+    docs_new: DataFrame,
+    meta_extra: dict | None = None,
 ) -> str:
     """Append a NEW batch (doc_ids disjoint from the standing corpus —
     the caller's contract, same as every standing artifact) as a new
     committed version: postings rows are pure per-doc, stats/corpus
     rows are additive deltas the probe sums — content-equivalent to a
     full rebuild over the grown corpus (pinned by
-    ``tests/test_bm25.py``). O(batch) per ingest."""
+    ``tests/test_bm25.py``). O(batch) per ingest. ``meta_extra``
+    merges into the version's ``meta.json`` atomically with the commit
+    (streaming replay markers)."""
 
     def build(tmp: str) -> None:
         post = postings_for(docs_new)
@@ -170,6 +200,7 @@ def extend_bm25_index(
             os.path.join(tmp, STATS)
         )
         corpus_row(docs_new).write.mode("append").parquet(os.path.join(tmp, CORPUS))
+        _write_meta(tmp, {**index_meta(tmp), **(meta_extra or {})})
 
     return store.commit_extension(kind, key, build)
 
@@ -212,10 +243,14 @@ def compact_bm25_index(spark: SparkSession, store, kind: str, key: tuple) -> str
         .localCheckpoint()
     )
 
+    meta = index_meta(cur)  # carry the replay marker over — compacting
+    # mid-stream must never reopen a committed epoch's replay window
+
     def build(tmp: str) -> None:
         post.write.partitionBy("bucket").parquet(os.path.join(tmp, POSTINGS))
         stats.write.partitionBy("bucket").parquet(os.path.join(tmp, STATS))
         corpus.write.parquet(os.path.join(tmp, CORPUS))
+        _write_meta(tmp, meta)
 
     return store.commit(kind, key, build)
 

@@ -31,6 +31,19 @@ def tokens(col) -> F.Column:  # type: ignore[name-defined]
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
+def quality_floor(min_tokens: int, min_alpha: float) -> F.Column:  # type: ignore[name-defined]
+    """True iff a ``text`` column passes the quality floor: at least
+    ``min_tokens`` whitespace tokens AND an a-z character ratio of at
+    least ``min_alpha``. Shared by the batch keep/drop verdict and the
+    streaming clean-ingest gate so both stages drop identical rows;
+    every factor is a single IEEE division of exact ints, so oracles
+    reproduce the cut exactly."""
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast(
+        "double"
+    ) / F.length("text")
+    return (F.size(tokens(F.col("text"))) >= min_tokens) & (alpha >= min_alpha)
+
+
 def tfidf_topk(docs: DataFrame, k: int) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF.
 

@@ -1,0 +1,120 @@
+"""Streaming clean ingest: the full curation pipeline as ONE
+``foreachBatch`` sink — quality gate, near-dup gate, and standing
+BM25 inverted-index extension per micro-batch.
+
+This is the composed deployment shape of the engine's text side, the
+way ``streaming.vector_ingest`` is the vector side's: a 100 TB daily
+pipeline does not run quality filters, dedup, and index maintenance as
+three separate jobs over the same bytes — documents arrive once, the
+gates run in sequence on the micro-batch, and only the survivors touch
+the standing artifacts.
+
+Per micro-batch (``apply(batch, epoch_id)``):
+
+1. **Quality gate** — ``textkit.quality_floor`` (stateless column
+   expressions; rejected rows never reach the stateful stages).
+2. **Near-dup gate** — :class:`streaming.neardup.StreamingNearDupFilter`
+   ``apply`` over the quality-passing rows: MinHash-LSH against the
+   accumulated survivor corpus plus within-batch component collapse,
+   epoch-partitioned idempotent state.
+3. **Index extension** — this epoch's accepted docs extend the
+   standing BM25 index (``extend_bm25_index`` — hard-linked O(batch)
+   CAS commit). Epoch 0 commits the initial build.
+
+Exactly-once under foreachBatch retries: the near-dup filter's state
+is epoch-partitioned-idempotent by construction, and the index
+extension stamps ``last_epoch`` into the committed version's
+``meta.json`` atomically with the commit (the
+``streaming.vector_ingest`` idiom) — a replayed epoch sees
+``last_epoch >= epoch_id`` on CURRENT and no-ops, and
+``compact_bm25_index`` carries the marker over.
+
+Reference anchor: the reference delegates persistence to Neo4j and has
+no streaming or text surface (``layer.go:257-265``); this sink is part
+of the engine's training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.operators import minhash as mh
+from opencypher_datalayer_spark.operators.bm25_index import (
+    extend_bm25_index,
+    index_meta,
+    write_bm25_index,
+)
+from opencypher_datalayer_spark.operators.textkit import quality_floor
+from opencypher_datalayer_spark.streaming.neardup import StreamingNearDupFilter
+
+
+class StreamingCleanIngest:
+    """``foreachBatch`` sink for ``(doc_id, text)`` micro-batches.
+
+    ``store``/``kind``/``key`` name the standing BM25 artifact the
+    survivors extend; ``state_dir`` holds the near-dup filter's state.
+    After the stream, :meth:`kept` returns the accepted doc set and
+    :meth:`index_dir` the extended index's current version.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        store,
+        kind: str,
+        key: tuple,
+        min_tokens: int,
+        min_alpha: float,
+        hash_family: str = mh.ORACLE_HASH_FAMILY,
+    ):
+        self.spark = spark
+        self.store = store
+        self.kind = kind
+        self.key = key
+        self.min_tokens = min_tokens
+        self.min_alpha = min_alpha
+        self.filter = StreamingNearDupFilter(
+            spark, state_dir, hash_family=hash_family
+        )
+
+    def apply(self, batch: DataFrame, epoch_id: int) -> None:
+        clean = batch.where(quality_floor(self.min_tokens, self.min_alpha))
+        self.filter.apply(clean, epoch_id)
+        cur = self.store.current_dir(self.kind, self.key)
+        if cur is not None and int(index_meta(cur).get("last_epoch", -1)) >= int(
+            epoch_id
+        ):
+            return  # foreachBatch replay of a committed epoch: no-op
+        kept_now = (
+            self.filter.kept()
+            .where(F.col("batch") == int(epoch_id))
+            .select("doc_id")
+        )
+        # left-semi against the batch (never a collected id list — a
+        # clean batch can be batch-sized), localCheckpoint so the
+        # extension write doesn't re-run the whole filter read
+        survivors = batch.join(kept_now, "doc_id", "left_semi").localCheckpoint()
+        marker = {"last_epoch": int(epoch_id)}
+        if cur is None:
+            self.store.commit(
+                self.kind,
+                self.key,
+                lambda tmp: write_bm25_index(survivors, tmp, meta_extra=marker),
+            )
+        else:
+            extend_bm25_index(
+                self.spark,
+                self.store,
+                self.kind,
+                self.key,
+                survivors,
+                meta_extra=marker,
+            )
+
+    def kept(self) -> DataFrame:
+        return self.filter.kept()
+
+    def index_dir(self) -> str | None:
+        return self.store.current_dir(self.kind, self.key)

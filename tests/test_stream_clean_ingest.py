@@ -1,0 +1,155 @@
+"""Streaming clean ingest (quality gate -> near-dup gate -> standing
+BM25 index extension): real writeStream equivalence to the registry
+replay, gate correctness, and exactly-once extension under epoch
+replay."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opencypher_datalayer_spark.benchqueries.curation import (
+    CLEAN_MIN_ALPHA,
+    CLEAN_MIN_TOKENS,
+    st_stream_clean_ingest,
+)
+from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+from opencypher_datalayer_spark.operators.bm25_index import (
+    bm25_scores,
+    generations,
+    index_meta,
+)
+from opencypher_datalayer_spark.operators.textkit import quality_floor
+from opencypher_datalayer_spark.streaming.clean_ingest import StreamingCleanIngest
+
+
+def _sink(spark, tmp_path, **kw):
+    return StreamingCleanIngest(
+        spark,
+        str(tmp_path / "state"),
+        ArtifactStore(str(tmp_path / "store")),
+        "bm25_index",
+        ("t",),
+        kw.pop("min_tokens", 3),
+        kw.pop("min_alpha", 0.0),
+        **kw,
+    )
+
+
+GOOD0 = "alpha beta gamma delta epsilon zeta"
+GOOD1 = "unrelated totally different words entirely here"
+NEARDUP0 = "alpha beta gamma delta epsilon zeta eta"  # near-dups GOOD0
+SHORT = "too short"  # fails the 3-token floor
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gates_compose_and_survivors_reach_index(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.apply(_docs(spark, [(0, GOOD0), (1, SHORT)]), 0)
+    sink.apply(_docs(spark, [(2, NEARDUP0), (3, GOOD1)]), 1)
+    kept = {r.doc_id for r in sink.kept().collect()}
+    assert kept == {0, 3}  # 1 fails quality, 2 is a near-dup of 0
+    q = spark.createDataFrame(
+        [(0, ["alpha", "words", "short"])], "q_id bigint, toks array<string>"
+    )
+    scored = {r.doc_id for r in bm25_scores(spark, sink.index_dir(), q).collect()}
+    assert scored == {0, 3}  # rejected docs never reached the index
+
+
+def test_replayed_epoch_extends_index_exactly_once(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.apply(_docs(spark, [(0, GOOD0)]), 0)
+    sink.apply(_docs(spark, [(3, GOOD1)]), 1)
+    adir = sink.index_dir()
+    gens = generations(spark, adir)
+    assert index_meta(adir)["last_epoch"] == 1
+    q = spark.createDataFrame([(0, ["alpha", "words"])], "q_id bigint, toks array<string>")
+    before = {(r.doc_id, r.s_int) for r in bm25_scores(spark, adir, q).collect()}
+    # at-least-once delivery: both epochs replay
+    sink.apply(_docs(spark, [(0, GOOD0)]), 0)
+    sink.apply(_docs(spark, [(3, GOOD1)]), 1)
+    adir2 = sink.index_dir()
+    assert generations(spark, adir2) == gens  # no double extension
+    after = {(r.doc_id, r.s_int) for r in bm25_scores(spark, adir2, q).collect()}
+    assert after == before
+
+
+def test_all_rejected_epoch_still_advances_marker(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.apply(_docs(spark, [(0, GOOD0)]), 0)
+    sink.apply(_docs(spark, [(9, SHORT)]), 1)  # everything quality-rejected
+    assert index_meta(sink.index_dir())["last_epoch"] == 1
+    assert {r.doc_id for r in sink.kept().collect()} == {0}
+
+
+def test_quality_floor_matches_registry_constants(spark):
+    """The registry's pinned floor drops real rows at the test scale
+    (the constants were chosen against the corpus tail)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    kept = docs.where(quality_floor(CLEAN_MIN_TOKENS, CLEAN_MIN_ALPHA)).count()
+    assert 0 < kept < n
+
+
+def test_stream_equals_replay(spark, sf_dir, tmp_path):
+    """A REAL file-source stream through writeStream.foreachBatch
+    produces exactly the registry replay's probe rows — the wiring the
+    oracle cannot drive."""
+    from tests.test_stream_neardup import _write_batch_files
+
+    docs = _write_batch_files(spark, sf_dir, str(tmp_path / "arrivals"))
+    sink = StreamingCleanIngest(
+        spark,
+        str(tmp_path / "state"),
+        ArtifactStore(str(tmp_path / "store")),
+        "bm25_index",
+        ("t",),
+        CLEAN_MIN_TOKENS,
+        CLEAN_MIN_ALPHA,
+    )
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "arrivals"))
+        .writeStream.foreachBatch(sink.apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from opencypher_datalayer_spark.benchqueries.text import BM25_NQ, BM25_TOPK
+    from opencypher_datalayer_spark.operators import minhash as mh
+    from opencypher_datalayer_spark.operators.bm25_index import SCALE
+    from opencypher_datalayer_spark.operators.textkit import tokens
+    from pyspark.sql import Window
+
+    queries = (
+        docs.join(sink.kept().select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(F.col("doc_id").alias("q_id"), tokens(F.col("text")).alias("toks"))
+    )
+    scored = bm25_scores(spark, sink.index_dir(), queries).where(
+        F.col("doc_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
+    streamed = {
+        (r.q_id, r.doc_id, r.score, r.rk)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOPK)
+        .withColumn(
+            "score", F.round(F.col("s_int").cast("double") / F.lit(float(SCALE)), 6)
+        )
+        .collect()
+    }
+    replayed = {
+        (r.q_id, r.doc_id, r.score, r.rk)
+        for r in st_stream_clean_ingest(
+            spark, sf_dir, hash_family=mh.ORACLE_HASH_FAMILY
+        ).collect()
+    }
+    assert streamed and streamed == replayed

@@ -381,34 +381,26 @@ def text_clean_corpus(
         dedup_clusters,
     )
 
+    from opencypher_datalayer_spark.operators.textkit import quality_floor
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     fp = docs.withColumn("fp", F.md5("text"))
     exact = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keeper"))
     clusters = dedup_clusters(
         spark, sf_dir, hash_family or DEFAULT_HASH_FAMILY
     ).select("doc_id", "cluster_id", "is_keeper")
-    toks = _tokens(F.col("text"))
-    quality = docs.select(
-        "doc_id",
-        F.size(toks).alias("nt"),
-        (
-            F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
-            / F.length("text")
-        ).alias("alpha"),
-    )
+    # the SAME predicate the streaming clean-ingest gate applies
+    # (textkit.quality_floor) — batch verdict and stream must drop
+    # identical rows, so the floor has exactly one definition
     reason = (
         F.when(F.col("doc_id") != F.col("exact_keeper"), "exact_dup")
         .when(~F.col("is_keeper"), "near_dup")
-        .when(
-            (F.col("nt") < CLEAN_MIN_TOKENS) | (F.col("alpha") < CLEAN_MIN_ALPHA),
-            "low_quality",
-        )
+        .when(~quality_floor(CLEAN_MIN_TOKENS, CLEAN_MIN_ALPHA), "low_quality")
         .otherwise("kept")
     )
     return (
         fp.join(exact, "fp")
         .join(clusters, "doc_id")
-        .join(quality, "doc_id")
         .select("doc_id", "cluster_id", reason.alias("reason"))
         .withColumn("keep", F.col("reason") == "kept")
         .select("doc_id", "cluster_id", "keep", "reason")

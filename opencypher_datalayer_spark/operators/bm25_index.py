@@ -111,10 +111,16 @@ def stats_for(postings: DataFrame) -> DataFrame:
     )
 
 
-def corpus_row(docs: DataFrame) -> DataFrame:
+def corpus_row(docs: DataFrame, post: DataFrame | None = None) -> DataFrame:
     """One ``(n_docs, sum_dl)`` row for a doc batch. ``n_docs`` counts
     ALL docs (token-less documents still raise N in the idf); sum_dl
-    counts whitespace tokens."""
+    counts whitespace tokens. Pass the batch's ``post`` (postings)
+    frame to derive sum_dl from it (``sum(tf)`` — token-less docs add
+    nothing either way) instead of re-tokenizing the corpus a second
+    time; ``n_docs`` is then a tokenize-free count."""
+    if post is not None:
+        n = docs.select(F.count("*").alias("n_docs"))
+        return n.crossJoin(post.select(F.sum("tf").cast("long").alias("sum_dl")))
     from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 
     docs = rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE)
@@ -147,11 +153,14 @@ def write_bm25_index(
     docs: DataFrame, out_dir: str, meta_extra: dict | None = None
 ) -> None:
     """Materialize the index for ``docs`` (``doc_id``, ``text``) under
-    an artifact version dir."""
-    post = postings_for(docs)
+    an artifact version dir. The postings lineage is checkpointed once
+    — the stats aggregation and corpus row derive from it instead of
+    re-running the tokenize/explode per output (a build paid the whole
+    pass three times before)."""
+    post = postings_for(docs).localCheckpoint()
     post.write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
     stats_for(post).write.partitionBy("bucket").parquet(os.path.join(out_dir, STATS))
-    corpus_row(docs).write.parquet(os.path.join(out_dir, CORPUS))
+    corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
     _write_meta(out_dir, dict(meta_extra or {}))
 
 
@@ -192,14 +201,16 @@ def extend_bm25_index(
     (streaming replay markers)."""
 
     def build(tmp: str) -> None:
-        post = postings_for(docs_new)
+        post = postings_for(docs_new).localCheckpoint()  # one tokenize pass
         post.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(tmp, POSTINGS)
         )
         stats_for(post).write.mode("append").partitionBy("bucket").parquet(
             os.path.join(tmp, STATS)
         )
-        corpus_row(docs_new).write.mode("append").parquet(os.path.join(tmp, CORPUS))
+        corpus_row(docs_new, post).write.mode("append").parquet(
+            os.path.join(tmp, CORPUS)
+        )
         _write_meta(tmp, {**index_meta(tmp), **(meta_extra or {})})
 
     return store.commit_extension(kind, key, build)

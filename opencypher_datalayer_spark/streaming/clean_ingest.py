@@ -80,13 +80,18 @@ class StreamingCleanIngest:
         )
 
     def apply(self, batch: DataFrame, epoch_id: int) -> None:
-        clean = batch.where(quality_floor(self.min_tokens, self.min_alpha))
-        self.filter.apply(clean, epoch_id)
+        # Replay guard FIRST: the marker commits strictly after the
+        # filter's epoch state each pass, so last_epoch >= epoch_id
+        # implies the filter state is committed too — skipping the
+        # whole pass (not just the extension) is safe and saves the
+        # MinHash recompute on every replayed micro-batch.
         cur = self.store.current_dir(self.kind, self.key)
         if cur is not None and int(index_meta(cur).get("last_epoch", -1)) >= int(
             epoch_id
         ):
             return  # foreachBatch replay of a committed epoch: no-op
+        clean = batch.where(quality_floor(self.min_tokens, self.min_alpha))
+        self.filter.apply(clean, epoch_id)
         kept_now = (
             self.filter.kept()
             .where(F.col("batch") == int(epoch_id))
@@ -96,6 +101,16 @@ class StreamingCleanIngest:
         # clean batch can be batch-sized), localCheckpoint so the
         # extension write doesn't re-run the whole filter read
         survivors = batch.join(kept_now, "doc_id", "left_semi").localCheckpoint()
+        # a file-source micro-batch arrives as ONE split and a
+        # checkpointed frame has no file layout for the builders'
+        # rebalance probe to see — re-split here ahead of the token
+        # explode (the neardup sink's rebalance_rows lesson)
+        from opencypher_datalayer_spark.operators.bm25_index import WORK_TOKENIZE
+        from opencypher_datalayer_spark.operators.scale import rebalance_rows
+
+        survivors = rebalance_rows(
+            survivors, survivors.count(), work_per_row=WORK_TOKENIZE
+        )
         marker = {"last_epoch": int(epoch_id)}
         if cur is None:
             self.store.commit(

@@ -85,10 +85,10 @@ def test_all_rejected_epoch_still_advances_marker(spark, tmp_path):
     assert {r.doc_id for r in sink.kept().collect()} == {0}
 
 
-def test_quality_floor_matches_registry_constants(spark):
+def test_quality_floor_matches_registry_constants(spark, sf_dir):
     """The registry's pinned floor drops real rows at the test scale
     (the constants were chosen against the corpus tail)."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n = docs.count()
     kept = docs.where(quality_floor(CLEAN_MIN_TOKENS, CLEAN_MIN_ALPHA)).count()
     assert 0 < kept < n

@@ -196,8 +196,32 @@ class ArtifactStore:
 
     def commit(self, kind: str, key: tuple, builder: Callable[[str], None]) -> str:
         """Build a NEW version with ``builder(tmp_dir)`` and publish it
-        atomically. Returns the committed version dir."""
+        atomically. Returns the committed version dir. Publication is
+        UNCONDITIONAL — correct only when any concurrently-committed
+        version is equivalent (deterministic rebuilds of the same key).
+        A rewrite derived from a READ of the current version (compact)
+        must use :meth:`commit_if_current` instead, or a concurrent
+        extension's delta is silently erased."""
         return self._commit(kind, key, builder, _ANY)
+
+    def current_version(self, kind: str, key: tuple) -> str | None:
+        """Opaque token naming the committed current version (``None``
+        if absent) — the CAS base for :meth:`commit_if_current`."""
+        return self._current_name(self._adir(kind, key))
+
+    def commit_if_current(
+        self, kind: str, key: tuple, builder: Callable[[str], None], expected_base: str
+    ) -> str:
+        """Commit a new version ONLY if the current version is still
+        ``expected_base`` (a token from :meth:`current_version`), else
+        raise :class:`ExtensionConflict` — the compact/housekeeping
+        publish primitive: a rewrite that read version B must not erase
+        a delta committed on top of B between the read and the publish.
+        Unlike :meth:`commit_extension` the tmp dir starts EMPTY (the
+        builder rewrites content rather than appending) and there is no
+        internal retry — the caller re-reads the new current and
+        re-derives (its read, not just its write, is stale)."""
+        return self._commit(kind, key, builder, expected_base)
 
     def _commit(self, kind: str, key: tuple, builder: Callable[[str], None], expected_base) -> str:
         adir = self._adir(kind, key)

@@ -211,9 +211,24 @@ def extend_bm25_index(
         corpus_row(docs_new, post).write.mode("append").parquet(
             os.path.join(tmp, CORPUS)
         )
-        _write_meta(tmp, {**index_meta(tmp), **(meta_extra or {})})
+        _write_meta(tmp, _merged_meta(index_meta(tmp), meta_extra))
 
     return store.commit_extension(kind, key, build)
+
+
+def _merged_meta(base_meta: dict, meta_extra: dict | None) -> dict:
+    """Merge extension meta onto the base version's, keeping the
+    ``last_epoch`` replay marker MONOTONIC: on a commit_extension CAS
+    retry the tmp is relinked from the WINNER's version, whose marker
+    may already be past this writer's epoch — a plain dict overwrite
+    would move the marker backward and reopen the winner's committed
+    replay window (double ingest on stream replay)."""
+    merged = {**base_meta, **(meta_extra or {})}
+    if "last_epoch" in base_meta and "last_epoch" in (meta_extra or {}):
+        merged["last_epoch"] = max(
+            int(base_meta["last_epoch"]), int(meta_extra["last_epoch"])
+        )
+    return merged
 
 
 def generations(spark: SparkSession, adir: str) -> int:
@@ -233,37 +248,64 @@ def needs_compact(spark: SparkSession, adir: str) -> bool:
     return generations(spark, adir) >= COMPACT_GENERATIONS
 
 
-def compact_bm25_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
-    """Merge the stats/corpus delta generations into single rows (a new
-    full version via ``store.commit``; postings are rewritten from the
-    committed scan, un-partitioned data unchanged). Content-equivalent
-    to the pre-compact index — df/corpus sums are associative."""
-    cur = store.current_dir(kind, key)
-    if cur is None:
-        raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
-    frames = read_bm25_index(spark, cur)
-    post = frames[POSTINGS].localCheckpoint()  # survive the sweep of the old version
-    stats = (
-        frames[STATS].groupBy("tok").agg(F.sum("df").alias("df"))
-        .withColumn("bucket", bucket_of(F.col("tok")))
-        .localCheckpoint()
+def compact_bm25_index(
+    spark: SparkSession, store, kind: str, key: tuple, retries: int = 5
+) -> str:
+    """Merge the stats/corpus delta generations into single rows as a
+    new full version. Content-equivalent to the pre-compact index —
+    df/corpus sums are associative. Two scale/safety properties:
+
+    - **O(stats), not O(corpus)**: postings content is UNCHANGED by a
+      compact (only the delta generations merge), so the base version's
+      postings tree is hard-linked into the new version untouched —
+      never localCheckpointed or rewritten. Only the (tiny) merged
+      stats/ and corpus/ dirs are written.
+    - **CAS publish**: the rewrite is derived from a READ of the base
+      version, so it publishes via ``store.commit_if_current`` — an
+      extension that commits between the read and the publish raises
+      :class:`ExtensionConflict` and compact re-reads the NEW current
+      and re-merges (a plain ``commit`` would silently erase the
+      extension's postings/stats delta and roll its ``last_epoch``
+      replay marker back, double-ingesting on stream replay).
+    """
+    from opencypher_datalayer_spark.operators.artifacts import (
+        ExtensionConflict,
+        _link_tree,
     )
-    corpus = (
-        frames[CORPUS]
-        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-        .localCheckpoint()
+
+    for _ in range(retries + 1):
+        base = store.current_version(kind, key)
+        if base is None:
+            raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
+        cur = store.current_dir(kind, key)
+        frames = read_bm25_index(spark, cur)
+        stats = (
+            frames[STATS].groupBy("tok").agg(F.sum("df").alias("df"))
+            .withColumn("bucket", bucket_of(F.col("tok")))
+            .localCheckpoint()  # survive the sweep of the old version
+        )
+        corpus = (
+            frames[CORPUS]
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+            .localCheckpoint()
+        )
+        meta = index_meta(cur)  # carry the replay marker over — compacting
+        # mid-stream must never reopen a committed epoch's replay window
+
+        def build(tmp: str) -> None:
+            # postings unchanged: share the base version's inodes
+            _link_tree(os.path.join(cur, POSTINGS), os.path.join(tmp, POSTINGS))
+            stats.write.partitionBy("bucket").parquet(os.path.join(tmp, STATS))
+            corpus.write.parquet(os.path.join(tmp, CORPUS))
+            _write_meta(tmp, meta)
+
+        try:
+            return store.commit_if_current(kind, key, build, base)
+        except ExtensionConflict:
+            continue  # an extender won: re-read the grown index, re-merge
+    raise ExtensionConflict(
+        f"compact of {kind} {key!r} lost {retries + 1} consecutive publish races"
     )
-
-    meta = index_meta(cur)  # carry the replay marker over — compacting
-    # mid-stream must never reopen a committed epoch's replay window
-
-    def build(tmp: str) -> None:
-        post.write.partitionBy("bucket").parquet(os.path.join(tmp, POSTINGS))
-        stats.write.partitionBy("bucket").parquet(os.path.join(tmp, STATS))
-        corpus.write.parquet(os.path.join(tmp, CORPUS))
-        _write_meta(tmp, meta)
-
-    return store.commit(kind, key, build)
 
 
 def bm25_scores(

@@ -300,18 +300,36 @@ def needs_compact(adir: str) -> dict:
     }
 
 
-def compact_ngram_corpus(spark: SparkSession, store, kind: str, key: tuple) -> str:
+def compact_ngram_corpus(
+    spark: SparkSession, store, kind: str, key: tuple, retries: int = 5
+) -> str:
     """Re-derive the whole artifact from the current version's shingle
     rows — fresh corpus-wide ``freq`` and re-ranked sets — as a new
     committed version (one corpus pass; restores the rarest-first
     probe-ordering quality that extensions let drift). Old versions
-    are reclaimed by ``store.sweep``."""
-    cur = store.current_dir(kind, key)
-    if cur is None:
-        raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
-    sh = (
-        spark.read.parquet(os.path.join(cur, SHINGLES))
-        .select("doc_id", "h")
-        .localCheckpoint()  # decouple from the files sweep may reclaim
+    are reclaimed by ``store.sweep``. Publishes via
+    ``store.commit_if_current``: the rewrite is derived from a READ of
+    the base version, so an extension committed between the read and
+    the publish must not be erased; on conflict the compact re-reads
+    the grown shingle set and re-derives."""
+    from opencypher_datalayer_spark.operators.artifacts import ExtensionConflict
+
+    for _ in range(retries + 1):
+        base = store.current_version(kind, key)
+        if base is None:
+            raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
+        cur = store.current_dir(kind, key)
+        sh = (
+            spark.read.parquet(os.path.join(cur, SHINGLES))
+            .select("doc_id", "h")
+            .localCheckpoint()  # decouple from the files sweep may reclaim
+        )
+        try:
+            return store.commit_if_current(
+                kind, key, lambda tmp: write_ngram_corpus(spark, sh, tmp), base
+            )
+        except ExtensionConflict:
+            continue  # an extender won: re-derive over the grown corpus
+    raise ExtensionConflict(
+        f"compact of {kind} {key!r} lost {retries + 1} consecutive publish races"
     )
-    return store.commit(kind, key, lambda tmp: write_ngram_corpus(spark, sh, tmp))

@@ -253,7 +253,16 @@ def extend_ivf_index(
             os.remove(meta_p)
         if meta or meta_extra:
             meta["n_corpus"] = int(meta.get("n_corpus", 0)) + int(nb)
+            # last_epoch merges MONOTONICALLY: on a CAS retry the tmp is
+            # relinked from the winner, whose marker may already be past
+            # this writer's epoch — overwriting would reopen the winner's
+            # committed replay window (bm25_index._merged_meta's rule)
+            base_epoch = meta.get("last_epoch")
             meta.update(meta_extra or {})
+            if base_epoch is not None and "last_epoch" in (meta_extra or {}):
+                meta["last_epoch"] = max(
+                    int(base_epoch), int(meta_extra["last_epoch"])
+                )
             with open(meta_p, "w") as f:
                 json.dump(meta, f)
 
@@ -308,7 +317,9 @@ def needs_compact(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
-def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
+def compact_ivf_index(
+    spark: SparkSession, store, kind: str, key: tuple, retries: int = 5
+) -> str:
     """Retrain the codebook over the CURRENT corpus (standing + every
     extension) and rebuild the index as a new committed version —
     restores the cell balance and nprobe calibration that extensions
@@ -316,32 +327,48 @@ def compact_ivf_index(spark: SparkSession, store, kind: str, key: tuple) -> str:
     collapse to one row per ``vec_id`` first (replicas are identical
     payloads), and the stored ``(v, nrm)`` doubles round-trip untouched
     so re-assignment sees exactly the original arithmetic. Old versions
-    are reclaimed by ``store.sweep``."""
+    are reclaimed by ``store.sweep``.
+
+    Publishes via ``store.commit_if_current`` — the rebuild is derived
+    from a READ of the base version, so an extension committed between
+    the read and the publish must not be erased (its vectors and its
+    ``last_epoch`` replay marker would vanish); on conflict the compact
+    re-reads the grown corpus and retrains over it."""
     import json
 
-    cur = store.current_dir(kind, key)
-    if cur is None:
-        raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
-    vec = (
-        spark.read.parquet(os.path.join(cur, "vectors"))
-        .drop("cell")  # payload columns (if any) ride along
-        .dropDuplicates(["vec_id"])
-        .localCheckpoint()  # decouple from the files sweep may reclaim
+    from opencypher_datalayer_spark.operators.artifacts import ExtensionConflict
+
+    for _ in range(retries + 1):
+        base = store.current_version(kind, key)
+        if base is None:
+            raise FileNotFoundError(f"no committed version to compact: {kind} {key!r}")
+        cur = store.current_dir(kind, key)
+        vec = (
+            spark.read.parquet(os.path.join(cur, "vectors"))
+            .drop("cell")  # payload columns (if any) ride along
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint()  # decouple from the files sweep may reclaim
+        )
+        n = vec.count()
+        # non-count meta keys carry over (e.g. the streaming sink's
+        # last_epoch replay marker — compacting mid-stream must not
+        # reopen the replay window)
+        meta = index_meta(cur)
+        meta["n_corpus"] = int(n)
+        meta["n_trained"] = int(n)  # retrained here — resets the drift clock
+
+        def build(tmp: str) -> None:
+            _write_ivf_vnrm(spark, vec, tmp, codebook=None)
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f)
+
+        try:
+            return store.commit_if_current(kind, key, build, base)
+        except ExtensionConflict:
+            continue  # an extender won: retrain over the grown corpus
+    raise ExtensionConflict(
+        f"compact of {kind} {key!r} lost {retries + 1} consecutive publish races"
     )
-    n = vec.count()
-    # non-count meta keys carry over (e.g. the streaming sink's
-    # last_epoch replay marker — compacting mid-stream must not reopen
-    # the replay window)
-    meta = index_meta(cur)
-    meta["n_corpus"] = int(n)
-    meta["n_trained"] = int(n)  # retrained here — resets the drift clock
-
-    def build(tmp: str) -> None:
-        _write_ivf_vnrm(spark, vec, tmp, codebook=None)
-        with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump(meta, f)
-
-    return store.commit(kind, key, build)
 
 
 def ivf_pruned_topk(

@@ -70,6 +70,32 @@ def test_commit_makes_new_version_and_sweep_reclaims(store):
     assert _read(store.current_dir("ivf", key)) == {"v": 2}
 
 
+def test_commit_if_current_cas_on_both_backends(store):
+    """The compact publish primitive: succeeds while the base is still
+    current, raises ExtensionConflict (without publishing) once any
+    writer moved CURRENT past the base."""
+    key = (("fp", 1),)
+    store.commit("ivf", key, _writer({"v": 1}))
+    base = store.current_version("ivf", key)
+    assert base is not None
+    v2 = store.commit_if_current("ivf", key, _writer({"v": 2}), base)
+    assert store.current_dir("ivf", key) == v2  # unchanged base: published
+    # CURRENT moved past `base` — a stale compact must not erase v2
+    with pytest.raises(ExtensionConflict):
+        store.commit_if_current("ivf", key, _writer({"v": "STALE"}), base)
+    assert _read(store.current_dir("ivf", key)) == {"v": 2}
+
+
+def test_current_version_token_roundtrips(store):
+    key = (("fp", 9),)
+    assert store.current_version("sets", key) is None
+    store.commit("sets", key, _writer({"v": 1}))
+    t1 = store.current_version("sets", key)
+    store.commit("sets", key, _writer({"v": 2}))
+    t2 = store.current_version("sets", key)
+    assert t1 is not None and t2 is not None and t1 != t2
+
+
 def test_crashed_build_leaves_no_current_and_sweeps(store):
     key = (("fp", 1),)
 

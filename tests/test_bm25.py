@@ -8,10 +8,12 @@ import pytest
 from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
 from opencypher_datalayer_spark.operators.bm25_index import (
     COMPACT_GENERATIONS,
+    _merged_meta,
     bm25_scores,
     compact_bm25_index,
     extend_bm25_index,
     generations,
+    index_meta,
     needs_compact,
     read_bm25_index,
     write_bm25_index,
@@ -80,6 +82,96 @@ def test_compact_is_content_neutral(spark, tmp_path):
     adir = store.current_dir(KIND, ("a",))
     assert generations(spark, adir) == 1
     assert _probe(spark, adir) == before
+
+
+def test_compact_cas_preserves_racing_extension(spark, tmp_path):
+    """An extension that commits between compact's read of the base
+    version and its publish must survive: compact publishes via CAS on
+    the base, loses, and re-merges over the GROWN index — neither the
+    extension's docs nor its ``last_epoch`` replay marker vanish (a
+    plain commit would erase both, reopening the epoch's replay
+    window)."""
+    store = ArtifactStore(str(tmp_path))
+    store.commit(
+        KIND,
+        ("a",),
+        lambda t: write_bm25_index(
+            _docs(spark, CORPUS), t, meta_extra={"last_epoch": 3}
+        ),
+    )
+    extend_bm25_index(
+        spark, store, KIND, ("a",),
+        _docs(spark, [(100, "quick extra doc")]), meta_extra={"last_epoch": 4},
+    )
+    raced = []
+    orig = store.commit_if_current
+
+    def racing(kind, key, builder, expected_base):
+        if not raced:  # fire once: between compact's read and its publish
+            raced.append(expected_base)
+            extend_bm25_index(
+                spark, ArtifactStore(str(tmp_path)), kind, key,
+                _docs(spark, BATCH), meta_extra={"last_epoch": 7},
+            )
+        return orig(kind, key, builder, expected_base)
+
+    store.commit_if_current = racing
+    compact_bm25_index(spark, store, KIND, ("a",))
+    assert raced  # the race really happened (and the CAS retried past it)
+    adir = store.current_dir(KIND, ("a",))
+    assert generations(spark, adir) == 1  # compacted
+    assert index_meta(adir)["last_epoch"] == 7  # marker not rolled back
+    store.commit(
+        KIND,
+        ("full",),
+        lambda t: write_bm25_index(
+            _docs(spark, CORPUS + [(100, "quick extra doc")] + BATCH), t
+        ),
+    )
+    assert _probe(spark, adir) == _probe(spark, store.current_dir(KIND, ("full",)))
+
+
+def test_compact_shares_postings_inodes(spark, tmp_path):
+    """Compact is O(stats): the postings tree (the only O(corpus)
+    relation) is hard-linked from the base version, never rewritten —
+    every postings data file in the compacted version is the SAME inode
+    as the base's."""
+    import os
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, BATCH))
+    old = store.current_dir(KIND, ("a",))
+    compact_bm25_index(spark, store, KIND, ("a",))
+    new = store.current_dir(KIND, ("a",))
+    assert new != old
+
+    def inodes(vdir):
+        root = os.path.join(vdir, "postings")
+        return {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(new) == inodes(old) and inodes(new)
+    # stats/corpus were genuinely rewritten (merged to one generation)
+    assert generations(spark, new) == 1
+
+
+def test_merged_meta_marker_is_monotonic():
+    """On a CAS-retry relink the base meta may carry a HIGHER replay
+    marker than this writer's epoch — the merge must never move it
+    backward."""
+    assert _merged_meta({"last_epoch": 9, "x": 1}, {"last_epoch": 4}) == {
+        "last_epoch": 9,
+        "x": 1,
+    }
+    assert _merged_meta({"last_epoch": 4}, {"last_epoch": 9})["last_epoch"] == 9
+    assert _merged_meta({}, {"last_epoch": 2}) == {"last_epoch": 2}
+    assert _merged_meta({"last_epoch": 2}, None) == {"last_epoch": 2}
+    assert _merged_meta({"a": 1}, {"b": 2}) == {"a": 1, "b": 2}
 
 
 def test_needs_compact_is_generation_advisory(spark, tmp_path):

@@ -762,6 +762,81 @@ ORDER BY q_id, rk
 """
 
 
+# -- SQ8-coded index probe oracle (vector_index _IVF_LAYOUT v3) ----------
+#
+# The STANDING index stores int8 codes per vector (frozen per-dim scales
+# maxabs_d/127 trained with the codebook); the probe ranks candidates by
+# the exact INTEGER code dot, keeps IVF_RERANK per query, and reranks
+# with exact float cosine. These CTEs reproduce that pipeline term for
+# term: scale training (max-abs over the same corpus), the clip-floor
+# encode, the integer shortlist with (approx_dot DESC, c_id ASC)
+# tie-breaks, and the 6dp-rounded rerank — every step exact integer or
+# single-IEEE-op arithmetic, so engines agree bit-for-bit.
+
+from opencypher_datalayer_spark.operators.vector_index import (  # noqa: E402
+    IVF_RERANK,
+    SQ8_CLIP,
+)
+
+_DUCK_SQ8_INDEX_CTES = f"""isc AS (
+  SELECT list(mx / {SQ8_CLIP} ORDER BY pos) AS scales FROM (
+    SELECT i AS pos, max(abs(v[i])) AS mx
+    FROM e, range(1, {DIM} + 1) r(i) GROUP BY i)),
+icoded AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {DIM} + 1),
+           i -> CAST(LEAST(GREATEST(CASE WHEN scales[i] > 0
+                            THEN floor(v[i] / scales[i] + 0.5)
+                            ELSE 0 END, -{SQ8_CLIP}), {SQ8_CLIP}) AS BIGINT)) AS code
+  FROM e, isc)"""
+
+
+def _duck_sq8_probe_tail(label_filtered: bool = False) -> str:
+    """approx -> shortlist -> rescored CTEs of the coded probe; the
+    filtered variant applies the label equi-join BEFORE the shortlist
+    window, exactly like the engine's coded-scan match filter."""
+    lbl = (
+        "\n  JOIN embeddings lq ON lq.vec_id = p.q_id"
+        "\n  JOIN embeddings lx ON lx.vec_id = a.vec_id AND lx.label = lq.label"
+        if label_filtered
+        else ""
+    )
+    return f"""approx AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS c_id,
+         CAST(list_sum(list_transform(list_zip(cq.code, cc.code), t -> t[1] * t[2]))
+              AS BIGINT) AS approx_dot
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+  JOIN icoded cq ON cq.vec_id = p.q_id
+  JOIN icoded cc ON cc.vec_id = a.vec_id{lbl}),
+shortlist AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY approx_dot DESC, c_id ASC) AS ark
+    FROM approx)
+  WHERE ark <= {IVF_RERANK}),
+rescored AS (
+  SELECT s.q_id, s.c_id,
+         ROUND({_DUCK_DOT.format(a='q.v', b='x.v')} / (q.nrm * x.nrm), 6) AS cosine
+  FROM shortlist s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e x ON x.vec_id = s.c_id)"""
+
+
+SIM_IVF_PRUNED_SQL = f"""
+WITH {_DUCK_IVF_CTES},
+{_DUCK_SQ8_INDEX_CTES},
+{_duck_sq8_probe_tail()}
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM rescored)
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOPK} of the PRODUCTION ANN answer path (the
     partition-pruned trained-IVF probe) against the exact brute-force
@@ -791,12 +866,13 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_IVF_RECALL_SQL = f"""
 WITH {_DUCK_IVF_CTES},
-{_DUCK_IVF_SCORED},
+{_DUCK_SQ8_INDEX_CTES},
+{_duck_sq8_probe_tail()},
 ivf AS (
   SELECT q_id, c_id FROM (
     SELECT q_id, c_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
-    FROM scored)
+    FROM rescored)
   WHERE rk <= {TOPK}),
 exact AS (
   SELECT q_id, c_id FROM (
@@ -1153,7 +1229,9 @@ ORDER BY q_id, rk
 # layout version + embeddings content fingerprint. Bump the version
 # string when the index layout or training pipeline changes.
 _IVF_ARTIFACT_KIND = "ivf"
-_IVF_LAYOUT = "v2"  # v2: payload columns (label) stored per vector for filtered probes
+# v2: payload columns (label) stored per vector for filtered probes
+# v3: SQ8 codes + frozen scales in the cells; coded-shortlist probe
+_IVF_LAYOUT = "v3"
 
 
 def _ivf_artifact_key(sf_dir: str) -> tuple:
@@ -1226,13 +1304,16 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def sim_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-{TOPK} through the CELL-PARTITIONED index: vectors are
-    stored ``partitionBy(cell)`` and the probe scan reads only admitted
-    cells via static partition pruning (round-4 verdict #5 / SCALE.md
-    "100x list" #1 — pruning pushed into the parquet scan, not applied
-    after it). Row-identical to :func:`sim_ivf_topk`, so the same
-    DuckDB oracle value-checks it; the plan-audit test pins the pruned
-    file set."""
+    """IVF top-{TOPK} through the CELL-PARTITIONED, SQ8-CODED index:
+    vectors are stored ``partitionBy(cell)`` with int8 storage codes,
+    and the probe (a) reads only admitted cells via static partition
+    pruning, (b) reads only the 1-byte/dim code column in the candidate
+    scan (column pruning skips the raw vectors — ~8x fewer scan bytes),
+    (c) reranks the bounded integer-dot shortlist with exact cosine
+    fetched by a footer-pruned ``vec_id IN`` lookup. The oracle
+    (``SIM_IVF_PRUNED_SQL``) reproduces scale training, the clip-floor
+    encode, the integer shortlist, and the 6dp rerank bit-for-bit; the
+    plan-audit test pins the pruned file set and the coded ReadSchema."""
     from opencypher_datalayer_spark.operators.vector_index import ivf_pruned_topk
 
     emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select(
@@ -1299,19 +1380,12 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_FILTERED_TOPK_SQL = f"""
 WITH {_duck_ivf_ctes(filtered_nprobe_sql_case('n'))},
-scored AS (
-  SELECT DISTINCT p.q_id, a.vec_id AS c_id,
-         ROUND({_DUCK_DOT.format(a='q.v', b='x.v')} / (q.nrm * x.nrm), 6) AS cosine
-  FROM probes p
-  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
-  JOIN e q ON q.vec_id = p.q_id
-  JOIN e x ON x.vec_id = a.vec_id
-  JOIN embeddings lq ON lq.vec_id = p.q_id
-  JOIN embeddings lx ON lx.vec_id = a.vec_id AND lx.label = lq.label)
+{_DUCK_SQ8_INDEX_CTES},
+{_duck_sq8_probe_tail(label_filtered=True)}
 SELECT q_id, c_id, cosine, rk FROM (
   SELECT q_id, c_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
-  FROM scored)
+  FROM rescored)
 WHERE rk <= {TOPK}
 ORDER BY q_id, rk
 """
@@ -1641,8 +1715,8 @@ QUERIES = {
     ),
     "sim_ivf_pruned_topk": QueryDef(
         sim_ivf_pruned_topk,
-        SIM_IVF_TOPK_SQL,
-        f"cell-partitioned IVF index, partition-pruned probe scan, top-{TOPK}",
+        SIM_IVF_PRUNED_SQL,
+        f"SQ8-coded IVF index: pruned coded scan, top-{IVF_RERANK} exact rerank, top-{TOPK}",
     ),
     "sim_filtered_topk": QueryDef(
         sim_filtered_topk,

@@ -62,12 +62,86 @@ from opencypher_datalayer_spark.operators.ivf_codebook import (
     vq_expr,
 )
 
+# -- SQ8 storage codes (FAISS IVF-SQ8 shape) ----------------------------
+#
+# Cell partitions store an int8 code per dimension alongside the raw
+# vector; the probe's candidate scan reads ONLY (vec_id, code[, payload])
+# — parquet column pruning skips the 8-byte/dim raw column entirely, so
+# scan bytes drop ~8x — ranks by the exact INTEGER code dot product,
+# keeps IVF_RERANK candidates per query, and reranks just those with
+# exact float cosine fetched by a bounded ``vec_id IN (...)`` predicate
+# (row groups are written sorted by vec_id within each cell, so the IN
+# list prunes at the parquet footer). The quantizer is symmetric
+# per-dimension: ``code_d = clip(floor(x_d / s_d + 0.5), -127, 127)``
+# with ``s_d = maxabs_d / 127`` trained over the indexed corpus and
+# FROZEN with the codebook — extensions encode with the stored scales
+# (clipping out-of-range values), compaction retrains both. Every step
+# is engine-portable integer/IEEE arithmetic, so the DuckDB oracles
+# reproduce the shortlist bit-for-bit.
+
+SQ8_CLIP = 127
+IVF_RERANK = 20  # coded-shortlist size per query (exact-cosine reranked)
+
+
+def sq8_scales_of(emb: DataFrame, v: str = "v") -> list[float]:
+    """Per-dimension symmetric SQ8 scales ``maxabs_d / 127`` over a
+    vector frame — one tiny aggregate, collected (dim doubles)."""
+    rows = (
+        emb.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("ps"))
+        .select(
+            F.transform("ps", lambda s: s["mx"] / F.lit(float(SQ8_CLIP))).alias(
+                "scales"
+            )
+        )
+        .collect()
+    )
+    return [float(x) for x in rows[0]["scales"]] if rows else []
+
+
+def sq8_code_expr(v_col, scales: list[float]):
+    """``array<tinyint>`` SQ8 code of a double-array column under the
+    frozen ``scales`` (embedded as a literal array — dim doubles). The
+    clip only fires for extension-time vectors outside the trained
+    range; build-time codes are within ±127 by construction."""
+    sarr = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        v_col,
+        sarr,
+        lambda x, s: F.least(
+            F.greatest(
+                F.when(s > F.lit(0.0), F.floor(x / s + F.lit(0.5))).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+                F.lit(-SQ8_CLIP).cast("bigint"),
+            ),
+            F.lit(SQ8_CLIP).cast("bigint"),
+        ).cast("tinyint"),
+    )
+
+
+def write_scales(spark: SparkSession, index_dir: str, scales: list[float]) -> None:
+    local_df(
+        spark, [(list(map(float, scales)),)], "scales array<double>", n_slices=1
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "scales"))
+
+
+def read_scales(spark: SparkSession, index_dir: str) -> list[float]:
+    """The index's frozen SQ8 scales. Doubles round-trip parquet
+    exactly, so extension/probe encoding decisions reproduce the
+    build's bit-for-bit."""
+    rows = spark.read.parquet(os.path.join(index_dir, "scales")).collect()
+    return [float(x) for x in rows[0]["scales"]] if rows else []
+
 
 def build_ivf_index(
     spark: SparkSession,
     embeddings: DataFrame,
     index_dir: str,
     codebook: tuple | None = None,
+    scales: list[float] | None = None,
 ) -> None:
     """Write ``embeddings`` (``vec_id``, ``embedding array<float>``) as a
     cell-partitioned trained-IVF index under ``index_dir``.
@@ -75,8 +149,12 @@ def build_ivf_index(
     Layout::
 
         index_dir/centroids/   K rows: cell, cq (array<long>)
-        index_dir/vectors/     cell=<i>/...: vec_id, v, nrm (ASSIGN_A
-                               rows per vector — boundary replication)
+        index_dir/scales/      1 row: scales (array<double>) — frozen
+                               per-dim SQ8 quantizer, maxabs_d / 127
+        index_dir/vectors/     cell=<i>/...: vec_id, v, nrm,
+                               code (array<tinyint>) (ASSIGN_A rows per
+                               vector — boundary replication; row groups
+                               vec_id-sorted for the rerank's IN fetch)
 
     One shuffle total: training is the exact integer k-means over the
     ``vec_id % s == 0`` sample (driver matmul below
@@ -96,7 +174,7 @@ def build_ivf_index(
     emb = embeddings.select(
         "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
-    _write_ivf_vnrm(spark, emb, index_dir, codebook)
+    _write_ivf_vnrm(spark, emb, index_dir, codebook, scales)
 
 
 def _write_ivf_vnrm(
@@ -104,6 +182,7 @@ def _write_ivf_vnrm(
     emb: DataFrame,
     index_dir: str,
     codebook: tuple | None = None,
+    scales: list[float] | None = None,
 ) -> None:
     """Index-write body over a pre-shaped ``(vec_id, v, nrm)`` frame —
     shared by :func:`build_ivf_index` (fresh corpus) and
@@ -137,9 +216,22 @@ def _write_ivf_vnrm(
         "cell long, cq array<long>",
         n_slices=1,
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    # SQ8 scales train over the SAME corpus as the codebook and freeze
+    # with it (extensions reuse them; compact retrains) — one cheap
+    # max-abs aggregate next to the k-means pass. A caller-provided
+    # quantizer (codebook+scales) is reused verbatim — "extension ==
+    # rebuild" holds exactly when BOTH halves are frozen.
+    if scales is None:
+        scales = sq8_scales_of(emb)
+    write_scales(spark, index_dir, scales)
 
     vq_df = emb.withColumn("vq", vq_expr())  # payload columns ride along
-    assign = assign_cells(vq_df, ids, cq, ASSIGN_A)
+    assign = assign_cells(vq_df, ids, cq, ASSIGN_A).withColumn(
+        # storage codes: computed JVM-side AFTER assignment (pure column
+        # expr per replica beats shipping int8 arrays through Arrow)
+        "code",
+        sq8_code_expr(F.col("v"), scales),
+    )
     # Task count for the dynamic-partition write: each reducer opens one
     # parquet writer per cell it owns, and writer open/close (~5-15 ms)
     # dominates at small scale — measured at sf0.1 (12k rows, 352
@@ -151,6 +243,10 @@ def _write_ivf_vnrm(
     tasks = max(16, min(cores, (n * ASSIGN_A) // 50_000))
     (
         assign.repartition(tasks, "cell")
+        # vec_id-ordered row groups: the rerank's bounded `vec_id IN`
+        # fetch prunes at the parquet footer instead of scanning the
+        # admitted cells' raw vectors end-to-end
+        .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "vectors"))
@@ -231,13 +327,21 @@ def extend_ivf_index(
     nb = emb.count()
     # same single-partition trap as the build (see _write_ivf_vnrm)
     emb = rebalance_rows(emb, nb, work_per_row=len(ids) * 32)
-    assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A)
+    # FROZEN quantizer: the standing codebook assigns, the standing SQ8
+    # scales encode (out-of-range extension values clip to ±127) — the
+    # extended index is bit-identical to a rebuild with the same
+    # codebook+scales; compact retrains both
+    scales = read_scales(spark, cur)
+    assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A).withColumn(
+        "code", sq8_code_expr(F.col("v"), scales)
+    )
     cores = spark.sparkContext.defaultParallelism
     tasks = max(1, min(cores, (nb * ASSIGN_A) // 50_000 + 1))
 
     def build(tmp: str) -> None:
         (
             assign.repartition(tasks, "cell")
+            .sortWithinPartitions("cell", "vec_id")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(os.path.join(tmp, "vectors"))
@@ -345,7 +449,10 @@ def compact_ivf_index(
         cur = store.current_dir(kind, key)
         vec = (
             spark.read.parquet(os.path.join(cur, "vectors"))
-            .drop("cell")  # payload columns (if any) ride along
+            # payload columns (if any) ride along; cell and the SQ8
+            # code are DERIVED columns — re-derived by the rebuild's
+            # retrained codebook and scales
+            .drop("cell", "code")
             .dropDuplicates(["vec_id"])
             .localCheckpoint()  # decouple from the files sweep may reclaim
         )
@@ -368,6 +475,25 @@ def compact_ivf_index(
             continue  # an extender won: retrain over the grown corpus
     raise ExtensionConflict(
         f"compact of {kind} {key!r} lost {retries + 1} consecutive publish races"
+    )
+
+
+def coded_candidate_scan(
+    spark: SparkSession, index_dir: str, admitted: list, match_cols: tuple = ()
+) -> DataFrame:
+    """The probe's stage-1 candidate scan: admitted-cell PARTITION
+    pruning plus COLUMN pruning to ``(vec_id, cell, code[, payload])``
+    — the 8-byte/dim raw vectors never leave the parquet footer here
+    (the scan's ReadSchema is pinned by ``tests/test_vector_index``)."""
+    return (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .where(F.col("cell").isin(admitted))  # static partition pruning
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("cell"),
+            F.col("code").alias("cc"),
+            *[F.col(c).alias(f"c_{c}") for c in match_cols],
+        )
     )
 
 
@@ -403,11 +529,23 @@ def ivf_pruned_topk(
     set (<= n_queries * nprobe ints) is the one driver round-trip that
     turns runtime knowledge into static partition pruning at the scan.
 
-    The scored exchange is slim: boundary-replicated duplicates are
-    dropped on (q_id, c_id) after scoring (identical cosines), then an
-    Arrow-batched map-side partial top-k runs before the ranking
-    window, so the shuffle carries batches x queries x topk rows,
-    never the admitted corpus slice.
+    Two-stage SQ8 probe (the FAISS IVF-SQ8 shape):
+
+    1. **Coded scan** — the admitted cells are scanned reading ONLY
+       ``(vec_id, code[, payload])``: parquet column pruning skips the
+       8-byte/dim raw vectors, so stage-1 scan bytes are ~1/8 of a
+       float probe. Candidates rank by the exact INTEGER code dot
+       product against the query's code (quantized engine-side with
+       the index's frozen scales); boundary-replicated duplicates drop
+       on (q_id, c_id) (identical codes), an Arrow-batched map-side
+       partial top-``IVF_RERANK`` bounds the exchange, and a window
+       keeps the per-query shortlist.
+    2. **Exact rerank** — the shortlist (<= n_queries x IVF_RERANK
+       ids, one bounded driver collect) fetches raw vectors via
+       ``vec_id IN (...)`` over the admitted cells: row groups are
+       vec_id-sorted at write, so the IN list prunes at the parquet
+       footer instead of re-reading the cells' raw column end-to-end.
+       Exact 6dp-rounded cosine ranks the final top-``topk``.
     """
     from pyspark.sql import Window
 
@@ -445,36 +583,73 @@ def ivf_pruned_topk(
     probe_pairs = [
         (int(q), int(c)) for q, row in zip(qrows["q_id"], cells) for c in row
     ]
+    scales = read_scales(spark, index_dir)
     probes = local_df(spark, probe_pairs, "q_id long, cell long").join(
-        queries, "q_id"
+        queries.withColumn("qc", sq8_code_expr(F.col("qv"), scales)), "q_id"
     )
     admitted = sorted({c for _, c in probe_pairs})
+    vectors_path = os.path.join(index_dir, "vectors")
 
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
-        F.col("cell").isin(admitted)  # partition column -> static pruning at the scan
+    # -- stage 1: coded shortlist over the pruned scan -------------------
+    cand = coded_candidate_scan(spark, index_dir, admitted, match_cols)
+    qcols = ["q_id", "qc", *match_cols]
+    scored = (
+        F.broadcast(probes.select(*qcols, "cell"))
+        .join(cand, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
     )
-    cand = vectors.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("cell"),
-        F.col("v").alias("cv2"),
-        F.col("nrm").alias("cn2"),
-        *[F.col(c).alias(f"c_{c}") for c in match_cols],
-    )
-    cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
-    scored = F.broadcast(probes).join(cand, "cell").where(F.col("q_id") != F.col("c_id"))
     for c in match_cols:
         scored = scored.where(F.col(c) == F.col(f"c_{c}"))
-    scored = (
-        scored.withColumn("cosine", cos)
-        .select("q_id", "c_id", "cosine")
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("cc"), lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        scored.withColumn("approx_dot", int_dot)
+        .select("q_id", "c_id", "approx_dot")
         .dropDuplicates(["q_id", "c_id"])  # boundary-replicated candidates
     )
-    slim = scored.mapInPandas(
-        _partial_topk("cosine", topk), "q_id bigint, c_id bigint, cosine double"
+    slim = approx.mapInPandas(
+        _partial_topk("approx_dot", IVF_RERANK),
+        "q_id bigint, c_id bigint, approx_dot bigint",
     )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("approx_dot").desc(), F.col("c_id").asc()
+    )
+    shortlist = (
+        slim.withColumn("ark", F.row_number().over(wa))
+        .where(F.col("ark") <= IVF_RERANK)
+        .select("q_id", "c_id")
+        .localCheckpoint()  # <= n_queries x IVF_RERANK rows; reused twice below
+    )
+
+    # -- stage 2: exact rerank of the bounded shortlist ------------------
+    short_ids = [int(r.c_id) for r in shortlist.select("c_id").distinct().collect()]
+    if not short_ids:
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cosine double, rk int"
+        )
+    raw = (
+        spark.read.parquet(vectors_path)
+        .where(F.col("cell").isin(admitted))
+        .where(F.col("vec_id").isin(short_ids))  # footer-pruned point fetch
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv2"),
+            F.col("nrm").alias("cn2"),
+        )
+        .dropDuplicates(["c_id"])  # boundary replicas: identical payloads
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6)
     wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
-        slim.withColumn("rk", F.row_number().over(wk))
+        raw.join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(queries.select("q_id", "qv", "qn")), "q_id")
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= topk)
         .select("q_id", "c_id", "cosine", "rk")
         .orderBy("q_id", "rk")

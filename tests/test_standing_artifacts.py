@@ -167,6 +167,7 @@ def test_extend_ivf_index_matches_full_build_same_codebook(spark, sf_dir, tmp_pa
         extend_ivf_index,
         ivf_pruned_topk,
         read_codebook,
+        read_scales,
     )
     from opencypher_datalayer_spark.sources.tables import load_table
 
@@ -197,11 +198,18 @@ def test_extend_ivf_index_matches_full_build_same_codebook(spark, sf_dir, tmp_pa
         ]
 
     got = probe(v2)
-    # full rebuild with the SAME codebook (trained on the base half)
+    # full rebuild with the SAME frozen quantizer — codebook AND SQ8
+    # scales trained on the base half (extension == rebuild holds
+    # exactly when both halves are frozen; a rebuild that retrained
+    # scales over the grown corpus could code delta vectors differently)
     full = ArtifactStore(str(tmp_path / "full"))
     cbk = (n_base, *read_codebook(spark, v1))
     vfull = full.get_or_build(
-        kind, key, lambda d: build_ivf_index(spark, emb, d, codebook=cbk)
+        kind,
+        key,
+        lambda d: build_ivf_index(
+            spark, emb, d, codebook=cbk, scales=read_scales(spark, v1)
+        ),
     )
     assert got == probe(vfull) and got
 

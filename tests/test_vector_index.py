@@ -90,6 +90,45 @@ def test_probe_scan_reads_only_admitted_cell_files(spark, tmp_path):
     assert all(r.c_id % 4 == 0 for r in rows), rows  # cluster-0 ids are 0,4,8,...
 
 
+def test_probe_coded_scan_prunes_raw_vectors(spark, tmp_path):
+    """The SQ8 probe's stage-1 candidate scan reads ONLY (vec_id, cell,
+    code) — parquet column pruning must skip the 8-byte/dim raw v/nrm
+    columns (the ~8x scan-bytes win of the coded index) — and stage 2's
+    rerank fetch carries a pushed-down In(vec_id) point lookup."""
+    import re
+
+    from opencypher_datalayer_spark.operators.vector_index import (
+        coded_candidate_scan,
+    )
+
+    emb = _mini_embeddings(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx)
+
+    # stage 1: the exact scan the probe constructs
+    cand = coded_candidate_scan(spark, idx, [0])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cand.explain(True)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", buf.getvalue())
+    assert schemas, buf.getvalue()
+    for s in schemas:
+        assert "code" in s and "v:" not in s and "nrm" not in s, s
+
+    # stage 2: the full probe's final plan is the rerank — raw vectors
+    # fetched by a pushed-down In(vec_id) over the admitted cells
+    queries = spark.createDataFrame(
+        [(999, [1.0] + [0.0] * 7, 1.0)], "q_id long, qv array<double>, qn double"
+    )
+    out = ivf_pruned_topk(spark, idx, queries, nprobe=1, topk=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan), plan
+    assert out.count() == 3
+
+
 def test_pruned_topk_matches_inline_ivf(spark, sf_dir):
     """Row-identical to the oracle-green inline sim_ivf_topk."""
     a = [tuple(r) for r in sim_ivf_topk(spark, sf_dir).collect()]

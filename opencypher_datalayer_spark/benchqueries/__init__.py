@@ -158,6 +158,10 @@ EXTENDED = {
     # shape twin (mirror of the r5 IVF promotion).
     "sim_lsh_candidate_pairs": "sim_lsh_multiband_pairs",
     "sim_ann_recall": "sim_lsh_multiband_pairs",  # candidate-recall eval metric
+    # r11 (VERDICT r10 'wrong' #3): planted-duplicate recall of the
+    # embedding-dedup candidate generator — the measurement that drove
+    # the migration from hyperplane buckets (0.30) to shared IVF cells
+    "dedup_embedding_recall": "dedup_embedding_clusters",
     "sim_ivf_recall": "sim_ivf_pruned_topk",  # answer-path recall eval metric
     "sim_ivf_cells": "sim_ivf_pruned_topk",
     # r5 verdict #5: the partition-PRUNED scan is the plan you'd run at

@@ -101,3 +101,22 @@ def test_filtered_recall_floor_sf001(spark):
 def test_filtered_recall_floor_sf01(spark):
     hits, n = _filtered_hits(spark, "/root/testdata/sf0.1")
     assert hits >= sim.RECALL_FLOOR * n, f"filtered recall {hits/n:.3f} < floor"
+
+
+def _planted_hits(spark, sf_dir) -> tuple[int, int]:
+    rows = sim.dedup_embedding_recall(spark, sf_dir).collect()
+    return sum(1 for r in rows if r.shared_cell), len(rows)
+
+
+def test_embedding_dedup_planted_recall_floor(spark):
+    """VERDICT r10 'wrong' #3: the embedding-dedup CANDIDATE GENERATOR
+    must recall >= DEDUP_EMB_RECALL_FLOOR of planted true cos>=DUP_COS
+    pairs. Shared-IVF-cell candidates measure 1.0 (sf0.001) and 0.98
+    (sf0.01) here; the hyperplane buckets the family used before r11
+    measured 0.30-0.33 on the same pairs — the migration's evidence."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hits, n = _planted_hits(spark, sf_dir)
+        assert n >= 50, f"too few planted true pairs at {sf_dir}: {n}"
+        assert hits >= sim.DEDUP_EMB_RECALL_FLOOR * n, (
+            f"planted recall {hits}/{n} < floor at {sf_dir}"
+        )

@@ -107,6 +107,9 @@ EXTENDED = {
     # r8 (VERDICT r7 'what's missing' #4): the operational containment
     # policy — near-dup pre-collapse, then containment among keepers
     "dedup_containment_collapsed": "dedup_ngram_jaccard",
+    # r11 (VERDICT r10 next-round #4): the collapse policy's symmetric
+    # form — exact Jaccard among MinHash-LSH cluster keepers only
+    "dedup_jaccard_collapsed": "dedup_ngram_jaccard",
     # r7 verdict #3: dedup_incremental (new-batch vs corpus, the
     # ingest-time operator a pipeline runs every day) promoted to the
     # driver-gated primaries — mirror of the r5 IVF / r6 multiband

@@ -438,7 +438,10 @@ def _corpus_frames(
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+    spark: SparkSession,
+    sf_dir: str,
+    hash_family: str = DEFAULT_HASH_FAMILY,
+    collapse: bool = False,
 ) -> DataFrame:
     """Pairs with 8-gram Jaccard >= {JACCARD_T}, exactly — via prefix
     filtering (AllPairs/PPJoin): each doc's shingles are globally ordered
@@ -493,6 +496,25 @@ def dedup_ngram_jaccard(
     from opencypher_datalayer_spark.operators.ngram_corpus import SETS, SLIM
 
     sets = _stage_sets(spark, art[SETS], sf_dir, hash_family)
+    slim = art[SLIM]
+    if collapse:
+        # the containment family's replica-collapse policy (VERDICT r10
+        # next-round #4) applied to symmetric Jaccard: MinHash-LSH
+        # clustering first, exact Jaccard only among cluster KEEPERS —
+        # each m-replica family's C(m,2) in-family verify candidates
+        # vanish while genuine cross-family pairs survive. Same keeper
+        # semi-join placement as dedup_ngram_containment(collapse=True):
+        # AFTER _stage_sets, so both modes share one bucketed sets table
+        # and the corpus-global rarest-first prefix order is preserved.
+        keep = (
+            dedup_clusters(spark, sf_dir, hash_family)
+            .where(F.col("is_keeper"))
+            .select("doc_id")
+        )
+        if _docs_bytes(sf_dir) <= BROADCAST_SETS_MAX_BYTES * 8:
+            keep = F.broadcast(keep)
+        sets = sets.join(keep, "doc_id", "left_semi")
+        slim = slim.join(keep, "doc_id", "left_semi")
     prefix = sets.select(
         "doc_id",
         F.col("n"),
@@ -540,7 +562,7 @@ def dedup_ngram_jaccard(
         cand,
         sf_dir,
         lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
-        slim=art[SLIM],
+        slim=slim,
     )
     return (
         exact.withColumn(
@@ -550,6 +572,65 @@ def dedup_ngram_jaccard(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_jaccard_collapsed(
+    spark: SparkSession, sf_dir: str, hash_family: str = DEFAULT_HASH_FAMILY
+) -> DataFrame:
+    """The operational Jaccard policy for replica-dense corpora:
+    MinHash-LSH near-dup clustering first, exact 8-gram Jaccard among
+    cluster keepers only — see :func:`dedup_ngram_jaccard`
+    (``collapse=True``) for the rationale; the sibling of
+    :func:`dedup_containment_collapsed` (r8, sf10 624 -> ~150 s)."""
+    return dedup_ngram_jaccard(spark, sf_dir, hash_family, collapse=True)
+
+
+def _duck_jaccard_collapsed_sql() -> str:
+    """Oracle for the collapsed Jaccard mode: the SAME pre-collapse
+    (MinHash-LSH pairs -> recursive-CTE connected components -> min-id
+    keepers) feeding the naive all-pairs Jaccard restricted to
+    keepers."""
+    return f"""
+WITH RECURSIVE s AS ({_DUCK_SHINGLES}),
+{_duck_minhash_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND ({' OR '.join(f'a.band{i} = b.band{i}' for i in range(BANDS))})
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+keep AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id)),
+ks AS (SELECT s.* FROM s JOIN keep USING (doc_id)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ks a JOIN ks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE ROUND(i * 1.0 / (x.n + y.n - i), 6) >= {JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# NOTE: DEDUP_JACCARD_COLLAPSED_SQL is materialized next to its
+# containment sibling further down — _duck_minhash_cte/BANDS are
+# defined there.
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -1163,6 +1244,7 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_CONTAINMENT_COLLAPSED_SQL = _duck_containment_collapsed_sql()
+DEDUP_JACCARD_COLLAPSED_SQL = _duck_jaccard_collapsed_sql()
 
 
 # -- SimHash ------------------------------------------------------------
@@ -1773,6 +1855,12 @@ QUERIES = {
         DEDUP_CONTAINMENT_COLLAPSED_SQL,
         f"containment >= {CONTAIN_T} among near-dup cluster keepers "
         "(the replica-dense-corpus policy)",
+    ),
+    "dedup_jaccard_collapsed": QueryDef(
+        _oracle_mode(dedup_jaccard_collapsed),
+        DEDUP_JACCARD_COLLAPSED_SQL,
+        f"Jaccard >= {JACCARD_T} among near-dup cluster keepers "
+        "(the replica-dense-corpus policy, symmetric form)",
     ),
     "dedup_minhash_signatures": QueryDef(
         _oracle_mode(dedup_minhash_signatures),

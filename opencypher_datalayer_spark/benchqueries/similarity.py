@@ -1713,7 +1713,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opencypher_datalayer_spark.benchqueries.text import BM25_NQ, bm25_rankings
 
     lex = (
-        bm25_rankings(spark, sf_dir)
+        bm25_rankings(spark, sf_dir, k=RRF_POOL)
         .where(F.col("rk") <= RRF_POOL)
         .select("q_id", "doc_id", F.col("rk").alias("rk_lex"))
     )

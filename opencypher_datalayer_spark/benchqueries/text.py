@@ -638,7 +638,8 @@ def build_bm25_artifact(spark: SparkSession, sf_dir: str) -> str:
         write_bm25_index,
     )
 
-    key = ("v1", table_fingerprint(sf_dir, "documents"), N_BUCKETS)
+    # v2: tok-sorted row groups + (max_tf, min_dl) impact bounds in stats
+    key = ("v2", table_fingerprint(sf_dir, "documents"), N_BUCKETS)
     # no caller-side rebalance: the kernel's builders re-split ahead of
     # the token explode themselves (operators.bm25_index.WORK_TOKENIZE)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -647,14 +648,18 @@ def build_bm25_artifact(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def bm25_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every (query, matched-doc) BM25 ranking row — shared by the
-    top-k query and the hybrid RRF fusion (``similarity.py``):
-    ``(q_id, doc_id, s_int, rk)`` ranked per query on the exact int64
-    grid sum (descending), doc_id ascending."""
+def bm25_rankings(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """(query, matched-doc) BM25 ranking rows — shared by the top-k
+    query and the hybrid RRF fusion (``similarity.py``): ``(q_id,
+    doc_id, s_int, rk)`` ranked per query on the exact int64 grid sum
+    (descending), doc_id ascending. With ``k`` set, serves through the
+    MaxScore-lite probe (``operators.bm25_index.bm25_topk`` — term
+    upper-bound skipping; identical first-k rows by the MaxScore
+    guarantee, so the naive-SQL oracles stay valid); ``k=None`` scores
+    every matching document (``bm25_scores``)."""
     from pyspark.sql import Window
 
-    from opencypher_datalayer_spark.operators.bm25_index import bm25_scores
+    from opencypher_datalayer_spark.operators.bm25_index import bm25_scores, bm25_topk
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     queries = (
@@ -663,7 +668,12 @@ def bm25_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("q_id"), _tokens(F.col("text")).alias("toks"))
     )
     adir = build_bm25_artifact(spark, sf_dir)
-    scored = bm25_scores(spark, adir, queries).where(F.col("doc_id") != F.col("q_id"))
+    if k is None:
+        scored = bm25_scores(spark, adir, queries).where(
+            F.col("doc_id") != F.col("q_id")
+        )
+    else:
+        scored = bm25_topk(spark, adir, queries, k)  # self-excluded inside
     w = Window.partitionBy("q_id").orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
     return scored.withColumn("rk", F.row_number().over(w))
 
@@ -683,7 +693,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opencypher_datalayer_spark.operators.bm25_index import SCALE
 
     return (
-        bm25_rankings(spark, sf_dir)
+        bm25_rankings(spark, sf_dir, k=BM25_TOPK)
         .where(F.col("rk") <= BM25_TOPK)
         .withColumn(
             "score", F.round(F.col("s_int").cast("double") / F.lit(float(SCALE)), 6)

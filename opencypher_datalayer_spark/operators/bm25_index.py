@@ -62,6 +62,10 @@ N_BUCKETS = 32  # postings/stats partition count; probes prune to the query's bu
 K1 = 1.2
 B = 0.75
 SCALE = 1_000_000_000  # per-term integer score grid (1e-9)
+# query-vocabulary size up to which the probe pushes `tok IN (terms)`
+# into the postings/stats scans (row-group pruning over the tok-sorted
+# layout); a larger vocabulary falls back to bucket pruning + the join
+TOK_PUSHDOWN_MAX = 10_000
 
 POSTINGS = "postings"
 STATS = "stats"
@@ -101,12 +105,21 @@ def postings_for(docs: DataFrame) -> DataFrame:
 
 
 def stats_for(postings: DataFrame) -> DataFrame:
-    """``(bucket, tok, df)`` — document frequency per term. Over a
-    batch's postings this is the batch's df DELTA (additive across
-    disjoint doc batches)."""
+    """``(bucket, tok, df, max_tf, min_dl)`` — document frequency plus
+    the term's impact-bound ingredients. Over a batch's postings these
+    are the batch's DELTAS, each associative across disjoint doc
+    batches (df sums, max_tf maxes, min_dl mins), so extension stays
+    exact. ``max_tf``/``min_dl`` let the probe compute a per-term
+    UPPER BOUND on any document's contribution (BM25's ``sat`` is
+    increasing in tf and decreasing in dl) — the MaxScore-lite skip in
+    :func:`bm25_topk`."""
     return (
         postings.groupBy("tok")
-        .agg(F.count("*").alias("df"))
+        .agg(
+            F.count("*").alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
         .withColumn("bucket", bucket_of(F.col("tok")))
     )
 
@@ -158,8 +171,16 @@ def write_bm25_index(
     re-running the tokenize/explode per output (a build paid the whole
     pass three times before)."""
     post = postings_for(docs).localCheckpoint()
-    post.write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
-    stats_for(post).write.partitionBy("bucket").parquet(os.path.join(out_dir, STATS))
+    # (tok, doc_id)-sorted row groups: the probe pushes `tok IN (query
+    # terms)` into the scan, so parquet footer stats skip every row
+    # group holding only other terms' postings — the posting-list
+    # locality of a real inverted index, in parquet form
+    post.sortWithinPartitions("bucket", "tok", "doc_id").write.partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, POSTINGS))
+    stats_for(post).sortWithinPartitions("bucket", "tok").write.partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, STATS))
     corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
     _write_meta(out_dir, dict(meta_extra or {}))
 
@@ -169,7 +190,7 @@ def write_bm25_index(
 # — the graph store's empty-commit lesson, re-found here by the
 # Hypothesis model (tests/test_bm25_properties.py).
 _POSTINGS_SCHEMA = "tok string, doc_id bigint, tf bigint, dl bigint, bucket int"
-_STATS_SCHEMA = "tok string, df bigint, bucket int"
+_STATS_SCHEMA = "tok string, df bigint, max_tf bigint, min_dl bigint, bucket int"
 _CORPUS_SCHEMA = "n_docs bigint, sum_dl bigint"
 
 
@@ -202,12 +223,12 @@ def extend_bm25_index(
 
     def build(tmp: str) -> None:
         post = postings_for(docs_new).localCheckpoint()  # one tokenize pass
-        post.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(tmp, POSTINGS)
-        )
-        stats_for(post).write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(tmp, STATS)
-        )
+        post.sortWithinPartitions("bucket", "tok", "doc_id").write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(os.path.join(tmp, POSTINGS))
+        stats_for(post).sortWithinPartitions("bucket", "tok").write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(os.path.join(tmp, STATS))
         corpus_row(docs_new, post).write.mode("append").parquet(
             os.path.join(tmp, CORPUS)
         )
@@ -280,7 +301,13 @@ def compact_bm25_index(
         cur = store.current_dir(kind, key)
         frames = read_bm25_index(spark, cur)
         stats = (
-            frames[STATS].groupBy("tok").agg(F.sum("df").alias("df"))
+            frames[STATS]
+            .groupBy("tok")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
             .withColumn("bucket", bucket_of(F.col("tok")))
             .localCheckpoint()  # survive the sweep of the old version
         )
@@ -295,7 +322,9 @@ def compact_bm25_index(
         def build(tmp: str) -> None:
             # postings unchanged: share the base version's inodes
             _link_tree(os.path.join(cur, POSTINGS), os.path.join(tmp, POSTINGS))
-            stats.write.partitionBy("bucket").parquet(os.path.join(tmp, STATS))
+            stats.sortWithinPartitions("bucket", "tok").write.partitionBy(
+                "bucket"
+            ).parquet(os.path.join(tmp, STATS))
             corpus.write.parquet(os.path.join(tmp, CORPUS))
             _write_meta(tmp, meta)
 
@@ -308,6 +337,50 @@ def compact_bm25_index(
     )
 
 
+class _ProbeCtx:
+    """Shared probe preamble — the bounded driver round-trips every
+    probe variant needs once: the exploded query vocabulary (the
+    broadcast side of all joins), its buckets/terms (partition- and
+    row-group pruning lists), the index frames, and the summed corpus
+    scalars. ``bm25_topk`` builds one and hands it to ``bm25_scores``
+    on the small-corpus fallback so no job runs twice."""
+
+    def __init__(self, spark: SparkSession, adir: str, queries: DataFrame):
+        self.qt = queries.select(
+            "q_id", F.explode(F.array_distinct("toks")).alias("tok")
+        ).withColumn("bucket", bucket_of(F.col("tok")))
+        # the query vocabulary is bounded by contract (a handful of term
+        # lists). Collecting it once turns bucket-level pruning into
+        # ROW-GROUP pruning: `tok IN (terms)` pushes to the parquet
+        # footers, and the postings/stats row groups are tok-sorted at
+        # write, so a probe reads only the query terms' posting runs
+        # instead of every term sharing a bucket. Above the pushdown cap
+        # (a degenerate mega-query) the IN-list is skipped and the scan
+        # degrades to bucket-level pruning + the join.
+        vocab_rows = self.qt.select("tok", "bucket").distinct().collect()
+        self.buckets = sorted({r.bucket for r in vocab_rows})  # <= N_BUCKETS
+        self.terms = [r.tok for r in vocab_rows]
+        self.frames = read_bm25_index(spark, adir)
+        self.n_docs, self.sum_dl = (
+            self.frames[CORPUS].agg(F.sum("n_docs"), F.sum("sum_dl")).collect()[0]
+        )
+
+    @property
+    def empty(self) -> bool:  # empty or token-less corpus: no matches
+        return not self.n_docs or not self.sum_dl
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.sum_dl) / float(self.n_docs)
+
+    def pruned(self, df: DataFrame, toks: list | None = None) -> DataFrame:
+        df = df.where(F.col("bucket").isin(self.buckets))
+        use = self.terms if toks is None else toks
+        if len(use) <= TOK_PUSHDOWN_MAX:
+            df = df.where(F.col("tok").isin(use))
+        return df
+
+
 def bm25_scores(
     spark: SparkSession,
     adir: str,
@@ -315,6 +388,7 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
     idf: str = "rational",
+    _ctx: _ProbeCtx | None = None,
 ) -> DataFrame:
     """Score every corpus document sharing a term with each query:
     ``(q_id, doc_id, s_int)`` where ``s_int`` is the int64 1e-9-grid
@@ -323,59 +397,233 @@ def bm25_scores(
     ``queries`` is ``(q_id, toks array<string>)``. Plan shape: the
     query side broadcasts (it is a handful of term lists); the postings
     and stats scans are partition-pruned to the query terms' buckets
-    (bounded driver collect — at most N_BUCKETS ints); df joins back
-    broadcast (rows <= query vocabulary); the only shuffle is the
-    final (q_id, doc_id) aggregation, carrying one int64 per matched
-    term occurrence. A query of common terms matches most of the
-    corpus — that density is inherent to EXACT ranking semantics (the
-    impact-ordered/WAND early-exit family trades exactness for skips);
-    this is the labeled exact baseline, and it still scans only the
-    query's buckets."""
-    qt = queries.select(
-        "q_id", F.explode(F.array_distinct("toks")).alias("tok")
-    ).withColumn("bucket", bucket_of(F.col("tok")))
-    buckets = [r[0] for r in qt.select("bucket").distinct().collect()]  # <= N_BUCKETS
-    frames = read_bm25_index(spark, adir)
-    n_docs, sum_dl = (
-        frames[CORPUS].agg(F.sum("n_docs"), F.sum("sum_dl")).collect()[0]
-    )
-    if not n_docs or not sum_dl:  # empty or token-less corpus: no matches
+    and row-group-pruned to the query terms themselves (see
+    :class:`_ProbeCtx`); df joins back broadcast (rows <= query
+    vocabulary); the only shuffle is the final (q_id, doc_id)
+    aggregation, carrying one int64 per matched term occurrence. A
+    query of common terms matches most of the corpus — that density is
+    inherent to EXACT score-every-match semantics; :func:`bm25_topk`
+    is the skip path when only the top k are wanted."""
+    ctx = _ctx or _ProbeCtx(spark, adir, queries)
+    if ctx.empty:
         return spark.createDataFrame([], "q_id bigint, doc_id bigint, s_int bigint")
-    avgdl = float(sum_dl) / float(n_docs)
+    qt = ctx.qt
     dfs = (
-        frames[STATS]
-        .where(F.col("bucket").isin(buckets))
+        ctx.pruned(ctx.frames[STATS])
         .join(F.broadcast(qt.select("tok").distinct()), "tok")
         .groupBy("tok")
         .agg(F.sum("df").alias("df"))  # sum delta generations -> exact df
     )
     matched = (
-        frames[POSTINGS]
-        .where(F.col("bucket").isin(buckets))
+        ctx.pruned(ctx.frames[POSTINGS])
         .join(F.broadcast(qt.select("q_id", "tok")), "tok")
         .join(F.broadcast(dfs), "tok")
     )
-    if idf == "rational":
-        idf_col = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
-            F.col("df") + F.lit(0.5)
-        ) + F.lit(1.0)
-    elif idf == "log":
-        idf_col = F.log(
-            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-    else:
-        raise ValueError(f"unknown idf variant {idf!r}")
-    # parenthesization mirrored by the SQL oracles token-for-token —
-    # each op is one correctly-rounded IEEE step on identical operands
-    sat = (F.col("tf") * F.lit(1.0 + k1)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    term_i = _ti_expr(
+        _idf_expr(float(ctx.n_docs), idf), F.col("tf"), F.col("dl"), ctx.avgdl, k1, b
     )
-    term_i = F.floor(idf_col * sat * F.lit(float(SCALE))).cast("long")
     return (
         matched.withColumn("ti", term_i)
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("ti").alias("s_int"))
+    )
+
+
+def _idf_expr(n_docs: float, idf: str = "rational", df_col=None):
+    df_col = F.col("df") if df_col is None else df_col
+    if idf == "rational":
+        return (F.lit(n_docs) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(
+            1.0
+        )
+    if idf == "log":
+        return F.log(
+            (F.lit(n_docs) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(1.0)
+        )
+    raise ValueError(f"unknown idf variant {idf!r}")
+
+
+def _ti_expr(idf_col, tf_col, dl_col, avgdl: float, k1: float = K1, b: float = B):
+    """Integer-grid per-term contribution — parenthesization mirrored by
+    the SQL oracles token-for-token (each op is one correctly-rounded
+    IEEE step on identical operands). Passing a term's (max_tf, min_dl)
+    instead of a row's (tf, dl) yields the term's UPPER BOUND on any
+    row's contribution: ``sat`` is monotonically increasing in tf and
+    decreasing in dl, and each IEEE op preserves the ordering."""
+    sat = (tf_col * F.lit(1.0 + k1)) / (
+        tf_col + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl_col / F.lit(avgdl)))
+    )
+    return F.floor(idf_col * sat * F.lit(float(SCALE))).cast("long")
+
+
+# candidate-count estimate up to which the non-essential fetch ALSO
+# pushes `doc_id IN (candidates)` into the scan — with the (tok,
+# doc_id)-sorted row groups this is the parquet analog of WAND's
+# skip-to-candidate, making a hot term's read sublinear in its list
+BM25_CAND_PUSHDOWN_MAX = 100_000
+
+# corpus size below which bm25_topk serves through the single-job full
+# scoring instead: MaxScore's bounds/threshold/skip phases are ~4 extra
+# bounded driver round-trips (~0.7 s of fixed job overhead on local[32])
+# that only pay for themselves once posting lists are long enough for
+# the skipped reads to dominate (measured sf0.1 full-score probe 0.83 s
+# vs 1.58 s through the phases; the skip target is the 500k-doc tier)
+BM25_MAXSCORE_MIN_DOCS = 50_000
+
+
+def bm25_topk(
+    spark: SparkSession,
+    adir: str,
+    queries: DataFrame,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    min_docs: int = BM25_MAXSCORE_MIN_DOCS,
+) -> DataFrame:
+    """Exact top-``k`` BM25 scoring via MaxScore-lite term skipping:
+    returns ``(q_id, doc_id, s_int)`` rows whose per-query ranking by
+    ``(s_int DESC, doc_id ASC)`` has the SAME first ``k`` rows as
+    ranking :func:`bm25_scores`' full output — the classic MaxScore
+    guarantee, so the naive-SQL oracles stay valid unchanged. Self
+    pairs (``doc_id == q_id``) are excluded (every consumer's
+    contract; exclusion must happen BEFORE the threshold phase or a
+    query document's own perfect score would inflate the bound).
+
+    Phases (three bounded driver round-trips, every scan bucket- and
+    tok-pruned over the sorted layout):
+
+    1. **Bounds** — per query term, an upper bound ``u(t)`` on any
+       document's contribution from the stats frame's ``(max_tf,
+       min_dl)`` (computed with the exact ``_ti_expr`` ops, so the
+       bound is sound on the integer grid).
+    2. **Threshold** — each query's SEED term (highest ``u``) has its
+       postings scored alone; the k-th largest single-term
+       contribution is a sound lower bound ``theta`` on the final k-th
+       total score (totals dominate single terms; a subset's k-th
+       dominates nothing it shouldn't).
+    3. **Skip + rescore** — per query, the maximal low-``u`` suffix
+       ``N`` with ``sum(u+1) < theta`` is NON-ESSENTIAL: a document
+       containing only ``N`` terms scores ``<= sum(u) < theta`` and can
+       never reach the top k (the +1 absorbs the per-term floor
+       granularity). Candidates come from the ESSENTIAL terms' postings
+       only; the non-essential terms' rows are fetched just for
+       candidate documents — with ``doc_id IN (...)`` pushed into the
+       scan when the candidate estimate is bounded, so a stop-word-ish
+       term's posting list is read at row-group granularity instead of
+       end-to-end.
+    """
+    ctx = _ProbeCtx(spark, adir, queries)
+    qt, frames, pruned = ctx.qt, ctx.frames, ctx.pruned
+    empty = spark.createDataFrame([], "q_id bigint, doc_id bigint, s_int bigint")
+    if ctx.empty:
+        return empty
+    n_docs, avgdl = ctx.n_docs, ctx.avgdl
+    if int(n_docs) < min_docs:  # tiny corpus: skip-phase overhead loses
+        return bm25_scores(spark, adir, queries, k1=k1, b=b, _ctx=ctx).where(
+            F.col("doc_id") != F.col("q_id")
+        )
+
+    # -- phase 1: per-term stats + upper bounds (one tiny scan) ----------
+    idf = _idf_expr(float(n_docs))
+    stats_q = (
+        pruned(frames[STATS])
+        .join(F.broadcast(qt.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .withColumn("u", _ti_expr(idf, F.col("max_tf"), F.col("min_dl"), avgdl, k1, b))
+        .select("tok", "df", "u")
+        .collect()  # bounded: the query vocabulary
+    )
+    u_of = {r.tok: (int(r.u), int(r.df)) for r in stats_q}
+    q_terms: dict = {}
+    for r in qt.select("q_id", "tok").distinct().collect():  # bounded: vocab x queries
+        if r.tok in u_of:
+            q_terms.setdefault(r.q_id, []).append(r.tok)
+    if not q_terms:
+        return empty
+
+    def _pairs_df(pairs: list) -> DataFrame:
+        from opencypher_datalayer_spark.functions.localframe import local_df
+
+        return local_df(spark, pairs, "q_id long, tok string, df long", n_slices=1)
+
+    ti_row = _ti_expr(idf, F.col("tf"), F.col("dl"), avgdl, k1, b)
+
+    # -- phase 2: seed threshold ----------------------------------------
+    seeds = {
+        q: min(ts, key=lambda t: (-u_of[t][0], t)) for q, ts in q_terms.items()
+    }  # highest u, tok-ascending tie-break — deterministic
+    seed_pairs = _pairs_df([(int(q), t, u_of[t][1]) for q, t in seeds.items()])
+    seed_rows = (
+        pruned(frames[POSTINGS], sorted({t for t in seeds.values()}))
+        .join(F.broadcast(seed_pairs), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .withColumn("ti", ti_row)
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("q_id").orderBy(F.col("ti").desc(), F.col("doc_id").asc())
+    theta = {
+        r.q_id: int(r.ti)
+        for r in seed_rows.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == k)
+        .select("q_id", "ti")
+        .collect()  # <= one row per query
+    }
+
+    # -- phase 3: essential candidates + non-essential fetch -------------
+    ess_pairs, non_pairs = [], []
+    for q, ts in q_terms.items():
+        th = theta.get(q, 0)
+        non: list = []
+        acc = 0
+        if th > 0:
+            for t in sorted(ts, key=lambda t: (u_of[t][0], t)):  # u ascending
+                if acc + u_of[t][0] + 1 < th:
+                    acc += u_of[t][0] + 1
+                    non.append(t)
+                else:
+                    break
+        non_set = set(non)
+        for t in ts:
+            (non_pairs if t in non_set else ess_pairs).append(
+                (int(q), t, u_of[t][1])
+            )
+    e_rows = (
+        pruned(frames[POSTINGS], sorted({t for _, t, _ in ess_pairs}))
+        .join(F.broadcast(_pairs_df(ess_pairs)), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", "doc_id", ti_row.alias("ti"))
+    )
+    if not non_pairs:
+        return e_rows.groupBy("q_id", "doc_id").agg(F.sum("ti").alias("s_int"))
+    e_rows = e_rows.localCheckpoint()  # reused: rows, candidate set, id list
+    cand = e_rows.select("q_id", "doc_id").dropDuplicates()
+    n_scan = pruned(frames[POSTINGS], sorted({t for _, t, _ in non_pairs}))
+    est = sum(df for _, _, df in ess_pairs)  # candidates <= sum of essential dfs
+    if est <= BM25_CAND_PUSHDOWN_MAX:
+        ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
+        if ids:
+            # WAND's skip-to-candidate, parquet form: the (tok, doc_id)-
+            # sorted row groups prune on BOTH predicates. Literals must
+            # be int64 — int32 literals wrap the column in a cast that
+            # defeats the parquet pushdown.
+            n_scan = n_scan.where(
+                F.col("doc_id").isin([F.lit(int(i)).cast("bigint") for i in ids])
+            )
+    n_rows = (
+        n_scan.join(F.broadcast(_pairs_df(non_pairs)), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(cand) if est <= BM25_CAND_PUSHDOWN_MAX else cand,
+              ["q_id", "doc_id"])
+        .select("q_id", "doc_id", ti_row.alias("ti"))
+    )
+    return (
+        e_rows.select("q_id", "doc_id", "ti")
+        .unionByName(n_rows)
         .groupBy("q_id", "doc_id")
         .agg(F.sum("ti").alias("s_int"))
     )

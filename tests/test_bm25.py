@@ -204,6 +204,65 @@ def test_probe_scan_is_bucket_pruned(spark, tmp_path):
     assert blocks and all("bucket" in b for b in blocks), blocks
 
 
+def test_maxscore_topk_skips_hot_terms_on_skewed_df(spark, tmp_path):
+    """MaxScore-lite on a skewed-df corpus: a stop-word-ish term (in
+    every document) must be classified NON-ESSENTIAL — candidates come
+    from the rare terms' postings, and the hot term's rows are fetched
+    with a pushed-down doc_id IN (candidates) point lookup instead of
+    an end-to-end list read. Results stay EXACTLY the naive top-k."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.bm25_index import bm25_topk
+
+    # 200 docs all containing 'the' (df=200, low idf -> low impact);
+    # rare informative terms appear in a handful of docs each
+    rows = []
+    for i in range(200):
+        toks = ["the", "the", f"filler{i % 37}"]
+        if i % 23 == 0:
+            toks.append("zebra")
+        if i % 31 == 0:
+            toks.append("quark")
+        rows.append((i, " ".join(toks)))
+    store = ArtifactStore(str(tmp_path))
+    store.commit(
+        KIND, ("a",), lambda t: write_bm25_index(_docs(spark, rows), t)
+    )
+    adir = store.current_dir(KIND, ("a",))
+    q = spark.createDataFrame(
+        [(1000, ["the", "zebra", "quark"])], "q_id bigint, toks array<string>"
+    )
+    out = bm25_topk(spark, adir, q, 5, min_docs=0)  # force the skip phases
+
+    # exact equivalence with the full-scoring path
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("s_int").desc(), F.col("doc_id").asc()
+    )
+    naive = (
+        bm25_scores(spark, adir, q)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
+    got = [(r.doc_id, r.s_int) for r in out.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5).orderBy("rk").collect()]
+    want = [(r.doc_id, r.s_int) for r in naive.orderBy("rk").collect()]
+    assert got == want and len(got) == 5
+
+    # plan audit: the non-essential fetch pushes BOTH In(tok) and
+    # In(doc_id) into its postings scan — the hot list is read at
+    # row-group granularity, never end-to-end
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert re.search(r"PushedFilters: \[.*In\(tok", plan), plan
+    assert re.search(r"PushedFilters: \[.*In\(doc_id", plan), plan
+
+
 def test_scores_match_reference_formula(spark, tmp_path):
     """Pin the pinned scoring point against an independent pure-Python
     computation (rational idf, floor onto the 1e-9 grid)."""

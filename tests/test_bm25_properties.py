@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
 from opencypher_datalayer_spark.operators.bm25_index import (
     bm25_scores,
+    bm25_topk,
     extend_bm25_index,
     write_bm25_index,
 )
@@ -75,3 +76,28 @@ def test_scores_match_python_model_and_extension_is_exact(spark, corpus, qtoks):
     store.commit("m", ("split",), lambda t: write_bm25_index(head, t))
     extend_bm25_index(spark, store, "m", ("split",), tail)
     assert probe(store.current_dir("m", ("split",))) == got
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=corpus_strategy, qtoks=query_strategy, k=st.integers(1, 4))
+def test_maxscore_topk_matches_naive_ranking(spark, corpus, qtoks, k):
+    """The MaxScore guarantee, fuzzed: bm25_topk's per-query ranking by
+    (s_int DESC, doc_id ASC) has the same first-k rows as ranking the
+    full bm25_scores output with self excluded — whatever terms the
+    upper-bound skip classified non-essential."""
+    store = ArtifactStore(tempfile.mkdtemp(prefix="bm25_ms_"))
+    docs = spark.createDataFrame(list(enumerate(corpus)), "doc_id bigint, text string")
+    store.commit("m", ("a",), lambda t: write_bm25_index(docs, t))
+    adir = store.current_dir("m", ("a",))
+    q = spark.createDataFrame([(0, qtoks)], "q_id bigint, toks array<string>")
+    naive = _python_bm25(corpus, qtoks)
+    naive.pop(0, None)  # self pair (q_id 0 is doc 0)
+    want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got_rows = {
+        r.doc_id: r.s_int for r in bm25_topk(spark, adir, q, k, min_docs=0).collect()
+    }
+    got = sorted(got_rows.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+    # every returned candidate carries its EXACT full score
+    for d, s in got_rows.items():
+        assert naive[d] == s

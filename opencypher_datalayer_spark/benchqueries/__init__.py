@@ -144,7 +144,13 @@ EXTENDED = {
     # r10: the composed pipeline STREAMED — quality gate, the streaming
     # near-dup filter, and per-epoch BM25 index extension in one sink;
     # oracle = the full recomputed composition over the survivor set
-    "st_stream_clean_ingest": "st_stream_neardup",
+    # r11 (VERDICT r10 next-round #7): st_stream_clean_ingest PROMOTED to
+    # the primary tier — the composed quality-gate -> near-dup-filter ->
+    # BM25-extension ingest sink is the single most representative
+    # LLM-pipeline operator the engine has. q17 steps down to hold the
+    # tier at 50: its compare-to-a-scalar-aggregate shape is gated by
+    # q_supplier_share (per-supplier agg vs global scalar).
+    "q17_small_quantity": "q_supplier_share",
     "text_chunk_dedup": "dedup_exact",  # hash-groupBy exact dedup family
     "text_split_assign": "text_stratified_sample",  # deterministic-hash assignment
     # demoted to make primary room for LPA / SQ8 / TF-IDF (round-3 cont.):

@@ -903,11 +903,19 @@ DUP_COS = 0.55  # near-dup threshold for the synthetic embeddings
 DEDUP_PLANT_N = 60
 # Measured on those pairs (r11): hyperplane-LSH same-bucket recall is
 # 16/54 (sf0.001) and 18/54 (sf0.01) — far below the 0.9 answer-path
-# floor — while shared-IVF-cell recall (frozen trained codebook,
-# ASSIGN_A-way replication) is 54/54 and 53/54. The dedup candidate
-# generator therefore routes through the IVF assignment, not the LSH
-# buckets; tests/test_ann_recall.py pins the floor.
+# floor — while shared-IVF-cell recall (frozen trained codebook) holds
+# it. The dedup candidate generator therefore routes through the IVF
+# assignment, not the LSH buckets; tests/test_ann_recall.py pins the
+# floor.
 DEDUP_EMB_RECALL_FLOOR = 0.9
+# Pair-generation replication: candidates share >= 1 of each side's
+# top-DEDUP_PAIR_A cells. Candidate volume scales with the SQUARE of
+# the replication (rows/cell = A*n/K), and the probe-side ASSIGN_A=6
+# spilled the sf10 rehearsal (~800M candidate occurrences); measured
+# planted recall per R: R=1 -> 53/54, 52/54; R=2 -> 54/54, 52/54;
+# R=3 -> 54/54, 53/54 (sf0.001, sf0.01). R=2 is the smallest setting
+# with headroom over the floor at ~1/9 of A=6's pair volume.
+DEDUP_PAIR_A = 2
 
 
 def _planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,12 +947,19 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(vec_id, cosine, shared_cell)``; the floor
     ({DEDUP_EMB_RECALL_FLOOR}) is pinned by ``tests/test_ann_recall.py``.
     The twin is assigned under the FROZEN codebook (extension
-    semantics), so the oracle reproduces every decision bit-for-bit."""
-    _, (n, ids, cq), assign = _ivf_parts(spark, sf_dir)
+    semantics), so the oracle reproduces every decision bit-for-bit.
+    Both sides assign with DEDUP_PAIR_A — the metric floors the exact
+    generator ``dedup_embedding_clusters`` ships, not a wider one."""
+    emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
     tw = _planted_twins(spark, sf_dir)
     tq = tw.select("vec_id", vq_expr(v="tv", nrm="tnrm").alias("vq"))
-    tassign = assign_cells(tq, ids, cq, ASSIGN_A).select("vec_id", "cell")
-    oassign = assign.where(F.col("vec_id") < DEDUP_PLANT_N).select("vec_id", "cell")
+    tassign = assign_cells(tq, ids, cq, DEDUP_PAIR_A).select("vec_id", "cell")
+    oassign = assign_cells(
+        emb.where(F.col("vec_id") < DEDUP_PLANT_N).withColumn("vq", vq_expr()),
+        ids,
+        cq,
+        DEDUP_PAIR_A,
+    ).select("vec_id", "cell")
     hits = (
         tassign.join(oassign, ["vec_id", "cell"])
         .select("vec_id")
@@ -985,15 +1000,30 @@ tassign AS (
                               ORDER BY (({_DUCK_INT_DOT.format(a='t.tvq', b='c.cq')}) / t.tvn) / c.cn DESC,
                                        c.cell ASC) AS rk
     FROM twinn t CROSS JOIN centsn{IVF_ITERS} c) z
-  WHERE rk <= {ASSIGN_A})"""
+  WHERE rk <= {DEDUP_PAIR_A})"""
+
+
+# the PAIR-GENERATION assignment (top-DEDUP_PAIR_A cells per vector) —
+# narrower than the probe-side `assign` CTE's ASSIGN_A; shared by the
+# recall metric and the clusters oracle so both floor/reproduce the
+# exact generator the engine ships
+_DUCK_PASSIGN_CTE = f"""passign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY (({_DUCK_INT_DOT.format(a='t.vq', b='c.cq')}) / t.vn) / c.cn DESC,
+                                       c.cell ASC) AS rk
+    FROM vqn t CROSS JOIN centsn{IVF_ITERS} c) z
+  WHERE rk <= {DEDUP_PAIR_A})"""
 
 
 DEDUP_EMB_RECALL_SQL = f"""
 WITH {_DUCK_IVF_CTES},
+{_DUCK_PASSIGN_CTE},
 {_DUCK_TWIN_CTES},
 hits AS (
   SELECT DISTINCT t.vec_id
-  FROM tassign t JOIN assign a ON a.vec_id = t.vec_id AND a.cell = t.cell)
+  FROM tassign t JOIN passign a ON a.vec_id = t.vec_id AND a.cell = t.cell)
 SELECT w.vec_id,
        ROUND({_DUCK_DOT.format(a='w.v', b='w.tv')} / (w.nrm * w.tnrm), 6) AS cosine,
        h.vec_id IS NOT NULL AS shared_cell
@@ -1009,21 +1039,28 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DUP_COS} are duplicates; connected components give cluster ids and
     min-id keepers (same operator as the text-LSH clustering — the
     modality changes, the clustering step doesn't). Candidate pairs are
-    SHARED-TRAINED-IVF-CELL pairs (any of the ASSIGN_A assignments in
-    common), rescored exactly — the generator whose recall on planted
-    duplicates measures 0.98-1.0 vs the hyperplane buckets' 0.30
-    (``dedup_embedding_recall``; migrated r11, VERDICT r10 'wrong' #3).
-    The oracle reproduces the trained assignment + threshold + a
-    recursive-CTE closure."""
+    SHARED-TRAINED-IVF-CELL pairs — any of each side's top-DEDUP_PAIR_A
+    assignments in common — rescored exactly: the generator whose
+    recall on planted duplicates measures 0.96-1.0 vs the hyperplane
+    buckets' 0.30 (``dedup_embedding_recall``; migrated r11, VERDICT
+    r10 'wrong' #3). Pair replication is DEDUP_PAIR_A (2), not the
+    probe-side ASSIGN_A (6): candidate volume scales with replication
+    squared and the A=6 self-join spilled the sf10 rehearsal; R=2
+    holds the floor at ~1/9 the volume (constant's comment has the
+    per-R measurements). The oracle reproduces the trained assignment
+    + threshold + a recursive-CTE closure."""
     from opencypher_datalayer_spark.operators.components import connected_components
 
-    emb, _, assign = _ivf_parts(spark, sf_dir)
+    emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
+    passign = assign_cells(
+        emb.withColumn("vq", vq_expr()), ids, cq, DEDUP_PAIR_A
+    )
     # candidate generation stays SLIM: the shared-cell self-join and the
     # replica dedup carry only (id_a, id_b) int pairs — the vectors join
     # back AFTER dedup (per-id equi-joins Catalyst broadcasts at small
     # scale and shuffles by id at large), never riding the pair exchange
-    a = assign.select("cell", F.col("vec_id").alias("id_a"))
-    b = assign.select("cell", F.col("vec_id").alias("id_b"))
+    a = passign.select("cell", F.col("vec_id").alias("id_a"))
+    b = passign.select("cell", F.col("vec_id").alias("id_b"))
     cand = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
@@ -1059,9 +1096,10 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EMB_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_DUCK_IVF_CTES},
+{_DUCK_PASSIGN_CTE},
 cand AS (
   SELECT DISTINCT a1.vec_id AS id_a, a2.vec_id AS id_b
-  FROM assign a1 JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id),
+  FROM passign a1 JOIN passign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id),
 pairs AS (
   SELECT c.id_a, c.id_b
   FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b

@@ -127,7 +127,14 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     "dedup_ngram_jaccard": ("ngram_corpus_full",),
     "dedup_ngram_containment": ("ngram_corpus_full",),
     "dedup_containment_collapsed": ("ngram_corpus_full", "minhash_sigs"),
-    "sim_ivf_pruned_topk": ("ivf",),
+    # r11: the trained codebook is its own tiny standing artifact (the
+    # quantizer-only consumers stop re-training on memo-cold calls);
+    # drop it with the index so runs[0] stays the honest full-training
+    # cold number
+    "sim_ivf_pruned_topk": ("ivf", "ivf_cbk"),
+    "dedup_jaccard_collapsed": ("ngram_corpus_full", "minhash_sigs"),
+    "dedup_embedding_clusters": ("ivf_cbk",),
+    "dedup_embedding_recall": ("ivf_cbk",),
     "dedup_minhash_lsh_pairs": ("minhash_sigs",),
     "dedup_clusters": ("minhash_sigs",),
     "dedup_minhash_error": ("minhash_sigs",),

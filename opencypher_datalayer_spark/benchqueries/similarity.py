@@ -549,6 +549,29 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
     if s > 1:
         vq_df = vq_df.where(F.col("vec_id") % s == 0)
     ids, cq = train_ivf(vq_df, n)
+    # commit the trained codebook as its OWN (tiny: K rows) standing
+    # artifact: training is the expensive driver-side pass (~80 s at
+    # 200k vectors), and queries that need only the quantizer — the
+    # dedup candidate generator, cell stats — were re-training it on
+    # every memo-cold call when the full index artifact was absent.
+    # Centroids are exact integers, so the parquet round-trip is
+    # decision-identical.
+    from opencypher_datalayer_spark.functions.localframe import local_df
+    from opencypher_datalayer_spark.operators.artifacts import default_store
+
+    def build(tmp: str) -> None:
+        import json as _json
+
+        local_df(
+            spark,
+            [(int(c), [int(x) for x in row]) for c, row in zip(ids, cq)],
+            "cell long, cq array<long>",
+            n_slices=1,
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            _json.dump({"n_corpus": int(n)}, f)
+
+    default_store().get_or_build(_IVF_CBK_KIND, _ivf_artifact_key(sf_dir), build)
     _CODEBOOK_CACHE[key] = (n, ids, cq)
     return n, ids, cq
 
@@ -1050,37 +1073,21 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-R measurements). The oracle reproduces the trained assignment
     + threshold + a recursive-CTE closure."""
     from opencypher_datalayer_spark.operators.components import connected_components
+    from opencypher_datalayer_spark.streaming.vector_ingest import _dup_pairs_within
 
     emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
     passign = assign_cells(
         emb.withColumn("vq", vq_expr()), ids, cq, DEDUP_PAIR_A
     )
-    # candidate generation stays SLIM: the shared-cell self-join and the
-    # replica dedup carry only (id_a, id_b) int pairs — the vectors join
-    # back AFTER dedup (per-id equi-joins Catalyst broadcasts at small
-    # scale and shuffles by id at large), never riding the pair exchange
-    a = passign.select("cell", F.col("vec_id").alias("id_a"))
-    b = passign.select("cell", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    va = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    vb = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= DUP_COS)
-        .select("id_a", "id_b")
-    )
+    # pair scoring is the streaming sink's cell-cogrouped blocked
+    # matmul: rows move ONCE (the groupBy(cell) exchange), each cell
+    # group scores with one numpy float64 matmul, and the margin rescue
+    # re-scores boundary cosines with the exact fold arithmetic the
+    # oracle mirrors — decisions bit-identical to a per-pair fold join
+    # that measured ~20M interpreted dots (60-120 s at sf10) here
+    pairs = _dup_pairs_within(
+        passign.select("vec_id", "cell", "v", "nrm"), DUP_COS
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     comps = connected_components(pairs, "id_a", "id_b")
     emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id")
     return (
@@ -1403,6 +1410,7 @@ ORDER BY q_id, rk
 # layout version + embeddings content fingerprint. Bump the version
 # string when the index layout or training pipeline changes.
 _IVF_ARTIFACT_KIND = "ivf"
+_IVF_CBK_KIND = "ivf_cbk"  # codebook-only artifact (K rows + meta n)
 # v2: payload columns (label) stored per vector for filtered probes
 # v3: SQ8 codes + frozen scales in the cells; coded-shortlist probe
 _IVF_LAYOUT = "v3"
@@ -1427,6 +1435,10 @@ def _codebook_from_artifact(spark: SparkSession, sf_dir: str):
     from opencypher_datalayer_spark.operators.artifacts import default_store
 
     adir = default_store().current_dir(_IVF_ARTIFACT_KIND, _ivf_artifact_key(sf_dir))
+    if adir is None:
+        # the codebook-only artifact (committed by every full training
+        # pass) shares the centroids/meta layout with the index
+        adir = default_store().current_dir(_IVF_CBK_KIND, _ivf_artifact_key(sf_dir))
     if adir is None:
         return None
     with open(os.path.join(adir, "meta.json")) as f:

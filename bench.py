@@ -178,6 +178,13 @@ def time_artifact_builds(spark, sf_dir: str) -> dict[str, float]:
         "minhash_sigs": lambda: dd._minhash_sigs(
             spark, sf_dir, dd.ORACLE_HASH_FAMILY
         ),
+        # ivf_cbk first (drops the index too, so the timer is the pure
+        # k-means training cost); the "ivf" build then reuses the fresh
+        # codebook artifact, timing the assignment + partitioned write
+        "ivf_cbk": lambda: (
+            _drop_artifacts(("ivf",)),
+            sim._ivf_codebook(spark, sf_dir),
+        ),
         "ivf": lambda: sim.build_ivf_artifacts(spark, sf_dir),
         "simhash_fps": lambda: dd._simhash(spark, sf_dir, dd.ORACLE_HASH_FAMILY),
         "winnow_fps": lambda: dd._winnow_fps(spark, sf_dir),

@@ -64,6 +64,7 @@ def test_artifact_backed_names_resolve():
         "ngram_corpus",
         "ngram_corpus_full",
         "ivf",
+        "ivf_cbk",
         "minhash_sigs",
         "simhash_fps",
         "winnow_fps",

@@ -789,16 +789,20 @@ ORDER BY q_id, rk
 #
 # The STANDING index stores int8 codes per vector (frozen per-dim scales
 # maxabs_d/127 trained with the codebook); the probe ranks candidates by
-# the exact INTEGER code dot, keeps IVF_RERANK per query, and reranks
-# with exact float cosine. These CTEs reproduce that pipeline term for
-# term: scale training (max-abs over the same corpus), the clip-floor
-# encode, the integer shortlist with (approx_dot DESC, c_id ASC)
-# tie-breaks, and the 6dp-rounded rerank — every step exact integer or
-# single-IEEE-op arithmetic, so engines agree bit-for-bit.
+# the exact INTEGER scale-weighted code dot (sum codeX*codeQ*W_d, W_d =
+# s_d^2 on the SQ8_WEIGHT_GRID fixed-point grid — the DECODED dot, so
+# heterogeneous per-dim ranges don't skew the shortlist), keeps
+# IVF_RERANK per query, and reranks with exact float cosine. These CTEs
+# reproduce that pipeline term for term: scale training (max-abs over
+# the same corpus), the clip-floor encode, the iw weight grid, the
+# integer shortlist with (approx_dot DESC, c_id ASC) tie-breaks, and the
+# 6dp-rounded rerank — every step exact integer or single-IEEE-op
+# arithmetic in a fixed order, so engines agree bit-for-bit.
 
 from opencypher_datalayer_spark.operators.vector_index import (  # noqa: E402
     IVF_RERANK,
     SQ8_CLIP,
+    SQ8_WEIGHT_GRID,
 )
 
 _DUCK_SQ8_INDEX_CTES = f"""isc AS (
@@ -811,7 +815,15 @@ icoded AS MATERIALIZED (
            i -> CAST(LEAST(GREATEST(CASE WHEN scales[i] > 0
                             THEN floor(v[i] / scales[i] + 0.5)
                             ELSE 0 END, -{SQ8_CLIP}), {SQ8_CLIP}) AS BIGINT)) AS code
-  FROM e, isc)"""
+  FROM e, isc),
+iw AS (
+  SELECT CASE WHEN smax2 > 0
+              THEN list_transform(scales,
+                     s -> CAST(floor(s * s / smax2 * {SQ8_WEIGHT_GRID}.0 + 0.5)
+                               AS BIGINT))
+              ELSE list_transform(scales, s -> CAST(1 AS BIGINT)) END AS w
+  FROM (SELECT scales, list_max(list_transform(scales, s -> s * s)) AS smax2
+        FROM isc))"""
 
 
 def _duck_sq8_probe_tail(label_filtered: bool = False) -> str:
@@ -826,12 +838,14 @@ def _duck_sq8_probe_tail(label_filtered: bool = False) -> str:
     )
     return f"""approx AS (
   SELECT DISTINCT p.q_id, a.vec_id AS c_id,
-         CAST(list_sum(list_transform(list_zip(cq.code, cc.code), t -> t[1] * t[2]))
+         CAST(list_sum(list_transform(list_zip(cq.code, cc.code, iw.w),
+                                      t -> t[1] * t[2] * t[3]))
               AS BIGINT) AS approx_dot
   FROM probes p
   JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
   JOIN icoded cq ON cq.vec_id = p.q_id
-  JOIN icoded cc ON cc.vec_id = a.vec_id{lbl}),
+  JOIN icoded cc ON cc.vec_id = a.vec_id
+  CROSS JOIN iw{lbl}),
 shortlist AS (
   SELECT q_id, c_id FROM (
     SELECT q_id, c_id,

@@ -56,6 +56,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from opencypher_datalayer_spark.functions.pushdown import isin_bigint
 from opencypher_datalayer_spark.operators.textkit import tokens
 
 N_BUCKETS = 32  # postings/stats partition count; probes prune to the query's buckets
@@ -608,12 +609,12 @@ def bm25_topk(
         ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
         if ids:
             # WAND's skip-to-candidate, parquet form: the (tok, doc_id)-
-            # sorted row groups prune on BOTH predicates. Literals must
-            # be int64 — int32 literals wrap the column in a cast that
-            # defeats the parquet pushdown.
-            n_scan = n_scan.where(
-                F.col("doc_id").isin([F.lit(int(i)).cast("bigint") for i in ids])
-            )
+            # sorted row groups prune on BOTH predicates. One parsed
+            # In() with int64 literals — narrower literals cast the
+            # column and defeat the pushdown, and per-literal Column
+            # construction costs 140 s at the 100k cap
+            # (functions/pushdown.py has the measurements).
+            n_scan = n_scan.where(isin_bigint("doc_id", ids))
     n_rows = (
         n_scan.join(F.broadcast(_pairs_df(non_pairs)), "tok")
         .where(F.col("doc_id") != F.col("q_id"))

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.functions.localframe import local_df
+from opencypher_datalayer_spark.functions.pushdown import isin_bigint
 from opencypher_datalayer_spark.operators.ivf_codebook import (
     ASSIGN_A,
     assign_cells,
@@ -81,6 +82,37 @@ from opencypher_datalayer_spark.operators.ivf_codebook import (
 
 SQ8_CLIP = 127
 IVF_RERANK = 20  # coded-shortlist size per query (exact-cosine reranked)
+
+# Fixed-point grid for the per-dimension dot weights (below): 2^20 keeps
+# the weighted dot exact in int64 (|code| <= 127 both sides, so the dot
+# magnitude is <= 127^2 * 2^20 * dim ~ 2^44 at dim=256) while resolving
+# relative scale differences to ~1e-6 — far finer than the rank margins
+# the 20-candidate rerank absorbs.
+SQ8_WEIGHT_GRID = 1 << 20
+
+
+def sq8_dot_weights(scales: list[float]) -> np.ndarray:
+    """Integer per-dimension weights ``W_d ~ s_d^2`` (normalized to the
+    ``SQ8_WEIGHT_GRID`` fixed-point grid) for the stage-1 coded dot.
+
+    The SQ8 decode of a stored code is ``x_d ~ code_d * s_d``, so the
+    decoded dot product is ``sum_d codeX_d * codeQ_d * s_d^2`` — the
+    RAW code dot ``sum_d codeX_d * codeQ_d`` silently reweights every
+    dimension by ``1/s_d^2`` and degrades the shortlist on corpora with
+    heterogeneous per-dimension ranges (FAISS decodes by ``s_d`` before
+    any distance). Quantizing ``s_d^2`` onto an integer grid keeps the
+    weighted dot EXACT int64 arithmetic — order-free, bit-reproducible
+    in the DuckDB oracle — instead of a float dot whose accumulation
+    order differs between numpy BLAS and SQL aggregation. Every float
+    op here (square, divide, grid multiply, +0.5, floor) is a single
+    IEEE operation in a fixed order, mirrored verbatim by the oracle's
+    ``iw`` CTE."""
+    s = np.asarray(scales, dtype=np.float64)
+    s2 = s * s
+    smax2 = float(s2.max()) if s2.size else 0.0
+    if smax2 <= 0.0:
+        return np.ones(s.size, dtype=np.int64)
+    return np.floor(s2 / smax2 * float(SQ8_WEIGHT_GRID) + 0.5).astype(np.int64)
 
 
 def sq8_scales_of(emb: DataFrame, v: str = "v") -> list[float]:
@@ -131,8 +163,23 @@ def write_scales(spark: SparkSession, index_dir: str, scales: list[float]) -> No
 def read_scales(spark: SparkSession, index_dir: str) -> list[float]:
     """The index's frozen SQ8 scales. Doubles round-trip parquet
     exactly, so extension/probe encoding decisions reproduce the
-    build's bit-for-bit."""
-    rows = spark.read.parquet(os.path.join(index_dir, "scales")).collect()
+    build's bit-for-bit.
+
+    A standing index persisted before the SQ8 layout (no ``scales/``
+    dir) gets a clear migration instruction instead of a raw parquet
+    path error: ``compact_ivf_index`` retrains the quantizer over the
+    stored vectors and rewrites the index in the current layout (bench
+    artifacts are already protected by the ``_IVF_LAYOUT`` key bump;
+    this guards long-lived streaming indexes under a stable key)."""
+    sdir = os.path.join(index_dir, "scales")
+    if not os.path.isdir(sdir):
+        raise RuntimeError(
+            f"pre-SQ8 IVF index at {index_dir!r} (no scales/ dir): run "
+            "compact_ivf_index once to migrate — it retrains the "
+            "quantizer over the standing vectors and rewrites the "
+            "index in the coded layout"
+        )
+    rows = spark.read.parquet(sdir).collect()
     return [float(x) for x in rows[0]["scales"]] if rows else []
 
 
@@ -319,26 +366,37 @@ def extend_ivf_index(
 
     from opencypher_datalayer_spark.operators.scale import rebalance_rows
 
-    ids, cq = read_codebook(spark, cur)
+    # len(ids) here is only the rebalance work heuristic — the ACTUAL
+    # assignment quantizer is re-read inside build(tmp) below, so a CAS
+    # retry derives from the relinked winner's codebook, not this one
+    ids_hint, _ = read_codebook(spark, cur)
     extras = [c for c in embeddings_new.columns if c not in ("vec_id", "embedding")]
     emb = embeddings_new.select(
         "vec_id", *extras, _vec().alias("v"), _norm(_vec()).alias("nrm")
     )
     nb = emb.count()
     # same single-partition trap as the build (see _write_ivf_vnrm)
-    emb = rebalance_rows(emb, nb, work_per_row=len(ids) * 32)
-    # FROZEN quantizer: the standing codebook assigns, the standing SQ8
-    # scales encode (out-of-range extension values clip to ±127) — the
-    # extended index is bit-identical to a rebuild with the same
-    # codebook+scales; compact retrains both
-    scales = read_scales(spark, cur)
-    assign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A).withColumn(
-        "code", sq8_code_expr(F.col("v"), scales)
-    )
+    emb = rebalance_rows(emb, nb, work_per_row=len(ids_hint) * 32)
     cores = spark.sparkContext.defaultParallelism
     tasks = max(1, min(cores, (nb * ASSIGN_A) // 50_000 + 1))
 
     def build(tmp: str) -> None:
+        # FROZEN quantizer, read FROM THE TMP TREE (a hard-linked copy
+        # of the version this attempt extends): the standing codebook
+        # assigns, the standing SQ8 scales encode (out-of-range values
+        # clip to ±127) — the extended index is bit-identical to a
+        # rebuild with the same codebook+scales; compact retrains both.
+        # Reading from tmp (not the pre-race base) matters on a CAS
+        # retry: if this extension lost to a concurrent
+        # compact_ivf_index, the relinked winner carries a RETRAINED
+        # codebook and scales — appending rows assigned by the retired
+        # quantizer would put them in wrong cells with codes on the
+        # wrong scale grid, silently corrupting probe results.
+        ids, cq = read_codebook(spark, tmp)
+        scales = read_scales(spark, tmp)
+        assign = assign_cells(
+            emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
+        ).withColumn("code", sq8_code_expr(F.col("v"), scales))
         (
             assign.repartition(tasks, "cell")
             .sortWithinPartitions("cell", "vec_id")
@@ -590,9 +648,12 @@ def ivf_pruned_topk(
     1. **Coded scan** — the admitted cells are scanned reading ONLY
        ``(vec_id, code[, payload])``: parquet column pruning skips the
        8-byte/dim raw vectors, so stage-1 scan bytes are ~1/8 of a
-       float probe. Candidates rank by the exact INTEGER code dot
-       product against the query's code (quantized engine-side with
-       the index's frozen scales); boundary-replicated duplicates drop
+       float probe. Candidates rank by the exact INTEGER
+       scale-weighted code dot (:func:`sq8_dot_weights` — the decoded
+       dot ``sum codeX*codeQ*s_d^2`` on a fixed-point grid, faithful
+       on heterogeneous per-dim ranges) against the query's code
+       (quantized engine-side with the index's frozen scales);
+       boundary-replicated duplicates drop
        on (q_id, c_id) (identical codes), an Arrow-batched map-side
        partial top-``IVF_RERANK`` bounds the exchange, and a window
        keeps the per-query shortlist.
@@ -659,7 +720,13 @@ def ivf_pruned_topk(
             [], "q_id bigint, c_id bigint, cosine double, rk int"
         )
     qids_l = [int(r.q_id) for r in q_local]
-    qmat = np.stack([np.asarray(r.qc, dtype=np.int64) for r in q_local])
+    # stage-1 ranks by the DECODED dot: the query codes are pre-scaled
+    # by the integer s_d^2 weights (one driver-side multiply), so the
+    # kernel's int64 matmul computes sum(codeX * codeQ * W_d) — exact,
+    # and faithful to the quantizer's geometry on heterogeneous dims
+    qmat = np.stack(
+        [np.asarray(r.qc, dtype=np.int64) for r in q_local]
+    ) * sq8_dot_weights(scales)
     qcells = {int(q): set() for q in qids_l}
     for q, c in probe_pairs:
         if q in qcells:
@@ -702,9 +769,11 @@ def ivf_pruned_topk(
     raw = (
         spark.read.parquet(vectors_path)
         .where(F.col("cell").isin(short_cells))
-        # footer-pruned point fetch; int64 literals — int32 would wrap
-        # the column in a cast that defeats the parquet pushdown
-        .where(F.col("vec_id").isin([F.lit(i).cast("bigint") for i in short_ids]))
+        # footer-pruned point fetch; one parsed In() with int64 literals
+        # (narrower literals cast the column and defeat the pushdown;
+        # per-literal Column construction costs a py4j trip per id —
+        # functions/pushdown.py has the measurements)
+        .where(isin_bigint("vec_id", short_ids))
         .select(
             F.col("vec_id").alias("c_id"),
             F.col("v").alias("cv2"),

@@ -1,7 +1,7 @@
 """Cell-partitioned IVF index (round-4 verdict #5): the probe scan must
 be PARTITION-PRUNED — files in non-admitted cells are never opened — and
-the pruned path must return row-identical results to the inline
-``sim_ivf_topk`` (which the driver value-oracles against DuckDB)."""
+the two-stage SQ8 probe must match its own DuckDB oracle bit-for-bit
+while holding a recall floor against the exact float probe."""
 
 import io
 from contextlib import redirect_stdout
@@ -129,11 +129,36 @@ def test_probe_coded_scan_prunes_raw_vectors(spark, tmp_path):
     assert out.count() == 3
 
 
-def test_pruned_topk_matches_inline_ivf(spark, sf_dir):
-    """Row-identical to the oracle-green inline sim_ivf_topk."""
-    a = [tuple(r) for r in sim_ivf_topk(spark, sf_dir).collect()]
-    b = [tuple(r) for r in sim_ivf_pruned_topk(spark, sf_dir).collect()]
-    assert a == b and len(a) > 0
+def test_pruned_topk_matches_own_oracle_and_recall_floor(spark, sf_dir):
+    """The two-stage SQ8 probe is pinned against ITS OWN DuckDB oracle
+    (SIM_IVF_PRUNED_SQL reproduces the coded shortlist + rerank
+    bit-for-bit BY DESIGN) plus a recall floor against the exact float
+    probe sim_ivf_topk. Row identity with the float probe is NOT
+    guaranteed by construction — it held empirically only because
+    IVF_RERANK >= TOPK on these fixtures — so asserting it would make
+    the test flake on fixture/DIM/RERANK changes."""
+    import duckdb
+
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        SIM_IVF_PRUNED_SQL,
+        TOPK,
+    )
+
+    got = sorted(
+        (r.q_id, r.c_id, r.cosine, r.rk)
+        for r in sim_ivf_pruned_topk(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(tuple(t) for t in con.execute(SIM_IVF_PRUNED_SQL).fetchall())
+    assert got and got == want
+
+    exact = {(r.q_id, r.c_id) for r in sim_ivf_topk(spark, sf_dir).collect()}
+    pruned = {(q, c) for q, c, _, _ in got}
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.9, recall
 
 
 def test_index_is_standing_artifact(spark, sf_dir):
@@ -288,6 +313,132 @@ def test_needs_compact_growth_boundary(spark, sf_dir, tmp_path):
     v4 = compact_ivf_index(spark, store, kind, key)
     sig4 = needs_compact(spark, v4)
     assert sig4["growth"] == 1.0 and not sig4["compact_due"]
+
+
+def test_extension_retry_after_compact_uses_winner_quantizer(spark, tmp_path):
+    """An extension that loses its publish CAS to a concurrent
+    compact_ivf_index must RE-DERIVE cells and codes from the relinked
+    winner's RETRAINED codebook and scales — assigning with the retired
+    quantizer would append rows to wrong cells with codes on the wrong
+    scale grid, silently corrupting probe results (the ADVICE r11
+    medium). The quantizer reads live inside build(tmp) for exactly
+    this reason."""
+    import numpy as np
+
+    from opencypher_datalayer_spark.operators import artifacts
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.ivf_codebook import (
+        ASSIGN_A,
+        assign_cells,
+        vq_expr,
+    )
+    from opencypher_datalayer_spark.operators.vector_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        read_codebook,
+        read_scales,
+        sq8_code_expr,
+    )
+    from opencypher_datalayer_spark.benchqueries.similarity import _norm, _vec
+
+    root = str(tmp_path / "store")
+    plain = ArtifactStore(root)
+    kind, key = "ivf", ("race",)
+
+    base = _mini_embeddings(spark)  # amplitude-1 clusters
+    plain.get_or_build(kind, key, lambda d: build_ivf_index(spark, base, d))
+    v1 = plain.current_dir(kind, key)
+    ids1, cq1 = read_codebook(spark, v1)
+    scales1 = read_scales(spark, v1)
+
+    # batch B shifts the corpus geometry AND the max-abs scale range,
+    # so the compact's retrained codebook/scales provably differ
+    rows_b = [(100 + i, [2.5 if d == i % 8 else 0.3 for d in range(8)]) for i in range(24)]
+    batch_b = spark.createDataFrame(rows_b, "vec_id long, embedding array<float>")
+    extend_ivf_index(spark, plain, kind, key, batch_b)
+
+    class RacingStore(ArtifactStore):
+        """Fires one concurrent compact right before the extension's
+        first publish attempt, forcing the CAS retry path."""
+
+        fired = False
+
+        def _publish(self, adir, tmp, expected_base):
+            if not RacingStore.fired and expected_base is not artifacts._ANY:
+                RacingStore.fired = True
+                compact_ivf_index(spark, plain, kind, key)
+            return super()._publish(adir, tmp, expected_base)
+
+    rows_c = [(200 + i, [1.7 if d == (i + 3) % 8 else -0.4 for d in range(8)]) for i in range(12)]
+    batch_c = spark.createDataFrame(rows_c, "vec_id long, embedding array<float>")
+    vf = extend_ivf_index(spark, RacingStore(root), kind, key, batch_c)
+    assert RacingStore.fired
+
+    # the compact genuinely retrained (else the test is vacuous)
+    idsf, cqf = read_codebook(spark, vf)
+    scalesf = read_scales(spark, vf)
+    assert not (
+        len(ids1) == len(idsf)
+        and np.array_equal(cq1, cqf)
+        and scales1 == scalesf
+    )
+
+    # every batch-C row in the final version carries the WINNER
+    # quantizer's cell assignment and SQ8 code
+    emb_c = batch_c.select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    want = {
+        (r.vec_id, r.cell, tuple(r.code))
+        for r in assign_cells(emb_c.withColumn("vq", vq_expr()), idsf, cqf, ASSIGN_A)
+        .withColumn("code", sq8_code_expr(F.col("v"), scalesf))
+        .select("vec_id", "cell", "code")
+        .collect()
+    }
+    got = {
+        (r.vec_id, r.cell, tuple(r.code))
+        for r in spark.read.parquet(f"{vf}/vectors")
+        .where(F.col("vec_id") >= 200)
+        .select("vec_id", "cell", "code")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_pre_sq8_index_extension_raises_migration_hint(spark, tmp_path):
+    """A standing index persisted before the SQ8 layout (no scales/ dir)
+    must fail extension with a clear 'run compact_ivf_index to migrate'
+    message, not a raw parquet path error — and the compact must indeed
+    migrate it (ADVICE r11 low #5)."""
+    import shutil
+
+    import pytest
+
+    from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
+    from opencypher_datalayer_spark.operators.vector_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        read_scales,
+    )
+
+    plain = ArtifactStore(str(tmp_path / "store"))
+    kind, key = "ivf", ("legacy",)
+
+    def legacy_build(d):
+        build_ivf_index(spark, _mini_embeddings(spark), d)
+        shutil.rmtree(f"{d}/scales")  # simulate the pre-v3 layout
+
+    plain.get_or_build(kind, key, legacy_build)
+    batch = spark.createDataFrame(
+        [(500, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(RuntimeError, match="compact_ivf_index"):
+        extend_ivf_index(spark, plain, kind, key, batch)
+
+    # compact retrains the quantizer over the stored vectors -> migrated
+    v2 = compact_ivf_index(spark, plain, kind, key)
+    assert len(read_scales(spark, v2)) == 8
+    extend_ivf_index(spark, plain, kind, key, batch)  # now succeeds
 
 
 def test_stream_sink_surfaces_compact_signal(spark, tmp_path):

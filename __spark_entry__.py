@@ -12,7 +12,7 @@ connected-components clustering, incremental and streaming ingest-time
 variants), similarity (brute-force/LSH/IVF),
 text analysis, temporal/streaming twins (windows, sessionization,
 as-of and interval joins), JSON extraction, and multimodal binary
-plumbing. A further 67 shape-twin queries (same operator family as a
+plumbing. A further 74 shape-twin queries (same operator family as a
 primary entry — see ``benchqueries.EXTENDED``) stay oracle-checked
 locally via ``scripts/selfcheck.py``. Every query — all 50 primaries
 and all 67 twins, including the pandas-UDF multimodal pipelines and

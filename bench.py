@@ -93,6 +93,9 @@ SECONDARY = [
     # demoted r10 (text_bm25_topk promoted; the window rank-pick family
     # is gated by q_window_navigation) — timed for cross-round diffs
     "q_top_customers_per_nation",
+    # demoted r12 (dedup_jaccard_collapsed promoted with its sentinel
+    # slice; q1 gates the filtered scan+agg family) — timed here
+    "q19_disjunctive",
 ]
 
 

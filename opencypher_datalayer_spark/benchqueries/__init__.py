@@ -90,6 +90,12 @@ EXTENDED = {
     # round-5 primary room for cy_path_functions / cy_temporal_filter:
     "cy_varlength_chains": "cy_path_functions",  # named-path superset of *1..k
     "q6_forecast_revenue": "q1_pricing_summary",  # filtered scan+agg family
+    # demoted r12 to make primary room for dedup_jaccard_collapsed (the
+    # operational dedup policy, VERDICT r11 #6): a disjunctive-predicate
+    # scan+agg is q1's filtered scan+agg family (q6 sits under the same
+    # cover) with OR-of-conjunctions pushdown that q_scalar_functions'
+    # expression gate also exercises
+    "q19_disjunctive": "q1_pricing_summary",
     # graph: same oracle through the other surface
     "g_match_filter": "cy_match_filter",
     "g_expand_collect": "cy_expand_collect",
@@ -107,9 +113,10 @@ EXTENDED = {
     # r8 (VERDICT r7 'what's missing' #4): the operational containment
     # policy — near-dup pre-collapse, then containment among keepers
     "dedup_containment_collapsed": "dedup_ngram_jaccard",
-    # r11 (VERDICT r10 next-round #4): the collapse policy's symmetric
-    # form — exact Jaccard among MinHash-LSH cluster keepers only
-    "dedup_jaccard_collapsed": "dedup_ngram_jaccard",
+    # dedup_jaccard_collapsed PROMOTED to primary r12 (VERDICT r11 next
+    # #6): it is the operational dedup policy, now non-vacuously
+    # verified (sentinel slice -> >=1 hash-checked row at every scale);
+    # q19_disjunctive demoted below to hold the tier at 50.
     # r7 verdict #3: dedup_incremental (new-batch vs corpus, the
     # ingest-time operator a pipeline runs every day) promoted to the
     # driver-gated primaries — mirror of the r5 IVF / r6 multiband
@@ -208,7 +215,9 @@ EXTENDED = {
     "mm_binary_meta": "mm_typed_metadata",
     # demoted to make primary room for chunking/packing/BFS (round 3):
     "q_cube_agg": "q_rollup_lineitem",  # grouping-sets family (CUBE vs ROLLUP)
-    "q_like_pushdown": "q19_disjunctive",  # string-predicate scan pushdown
+    # re-covered r12 when q19_disjunctive itself was demoted: q1 is the
+    # filtered scan+agg gate for the whole predicate-pushdown family
+    "q_like_pushdown": "q1_pricing_summary",  # string-predicate scan pushdown
     "g_nation_in_degree": "g_order_region_revenue",  # edge agg ⊂ motif+agg
 }
 

@@ -136,7 +136,9 @@ ARTIFACT_BACKED: dict[str, tuple[str, ...]] = {
     # cold number
     "sim_ivf_pruned_topk": ("ivf", "ivf_cbk"),
     "dedup_jaccard_collapsed": ("ngram_corpus_full", "minhash_sigs"),
-    "dedup_embedding_clusters": ("ivf_cbk",),
+    # r12: the pair stage probes the standing coded index (arank slice
+    # + SQ8 candidate screen), so the index artifact is a dependency
+    "dedup_embedding_clusters": ("ivf", "ivf_cbk"),
     "dedup_embedding_recall": ("ivf_cbk",),
     "dedup_minhash_lsh_pairs": ("minhash_sigs",),
     "dedup_clusters": ("minhash_sigs",),

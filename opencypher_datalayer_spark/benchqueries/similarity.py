@@ -1071,6 +1071,183 @@ ORDER BY w.vec_id
 """
 
 
+# Candidate-id cap for the coded pair stage's exact-rescore IN-list
+# pushdown (the BM25_CAND_PUSHDOWN_MAX pattern): above it the raw fetch
+# degrades to a full-column scan + join instead of a footer-pruned
+# point fetch — still correct, never a 100k-literal planning bill.
+EMB_RESCORE_PUSHDOWN_MAX = 100_000
+
+
+def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ``(doc_a, doc_b)`` pairs (emit-cosine >= {DUP_COS},
+    shared top-{DEDUP_PAIR_A} trained-IVF cell) as a PROBE of the
+    standing coded index — no corpus re-assignment, no raw-vector scan
+    in the candidate stage (VERDICT r11 next #2):
+
+    1. **Coded candidate stage** — the index's cell partitions are
+       scanned reading only ``(vec_id, cell, code, nrm)`` with
+       ``arank < DEDUP_PAIR_A`` pushed into the scan: the stored
+       assignment rank IS the top-{DEDUP_PAIR_A} assignment (top_cells
+       ranks with one full stable argsort, so a rank-slice of the
+       ASSIGN_A-way index equals the narrower assignment exactly), and
+       the 8-byte/dim raw vectors never leave the parquet footer. Per
+       cell group, codes DECODE to ``code_d * s_d`` and one float64
+       BLAS matmul scores the group; a pair survives only if its
+       decoded cosine plus a SOUND quantization bound can reach the
+       threshold.
+
+       Bound: with ``x_d = c_d s_d + e_d`` and ``|e_d| <= s_d / 2``
+       (round-to-nearest; codes from a same-corpus-trained quantizer
+       never clip, because ``s_d = maxabs_d / 127`` puts every
+       ``|x_d| / s_d`` at <= 127),
+
+         |x.y - sum(c_x c_y s^2)| <= h_x + h_y + H0,
+         h_v = 0.5 * sum_d s_d^2 |c_v,d|,   H0 = 0.25 * sum_d s_d^2,
+
+       so ``cos(x, y) <= (decoded_dot + h_x + h_y + H0) / (n_x n_y)``
+       and any pair failing ``round6(ub + margin) >= t`` provably fails
+       the emit predicate (round6 is monotone; the margin is the
+       blocked-matmul family's f64-rounding allowance). The guard below
+       falls back to the live path on an EXTENDED index, whose clipped
+       codes would void the bound.
+
+    2. **Exact rescore** — candidates are a bounded set (measured ~2-4x
+       the emitted pairs); their raw vectors come back via a
+       footer-pruned ``vec_id IN`` fetch (vec_id-sorted row groups) and
+       the emit decision is the blocked-matmul discipline the oracle
+       mirrors: f64 cosine, ``_COS_MARGIN`` border band, exact-fold
+       rescue — bit-identical decisions to the pre-r12 full scoring.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from opencypher_datalayer_spark.functions.pushdown import isin_bigint
+    from opencypher_datalayer_spark.operators.vector_index import (
+        index_meta,
+        read_scales,
+    )
+    from opencypher_datalayer_spark.streaming.vector_ingest import (
+        _COS_MARGIN,
+        _PAIR_BLOCK,
+        _dup_pairs_within,
+        _fold_cos_py,
+        _round6,
+    )
+
+    index_dir = _ivf_index_dir(spark, sf_dir)
+    meta = index_meta(index_dir)
+    if meta.get("n_corpus") != meta.get("n_trained"):
+        # extension-grown index: out-of-range vectors clip to ±127 and
+        # the |e_d| <= s_d/2 bound no longer holds — score the live
+        # assignment instead (the pre-r12 path, still exact)
+        emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
+        passign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, DEDUP_PAIR_A)
+        return _dup_pairs_within(
+            passign.select("vec_id", "cell", "v", "nrm"), DUP_COS
+        )
+
+    thr = float(DUP_COS)
+    s_arr = np.asarray(read_scales(spark, index_dir), dtype=np.float64)
+    s2 = s_arr * s_arr
+    h0 = 0.25 * float(s2.sum())
+    vectors_path = os.path.join(index_dir, "vectors")
+    slim = (
+        spark.read.parquet(vectors_path)
+        .where(F.col("arank") < DEDUP_PAIR_A)
+        .select("vec_id", "cell", "code", "nrm")
+    )
+
+    def cand_fn(pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        codes = np.stack(pdf["code"].to_numpy()).astype(np.float64)
+        D = codes * s_arr  # decoded vectors
+        h = 0.5 * (np.abs(codes) @ s2)  # per-row quantization slack
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        out_a, out_b = [], []
+        for i0 in range(0, n, _PAIR_BLOCK):
+            i1 = min(i0 + _PAIR_BLOCK, n)
+            for j0 in range(i0, n, _PAIR_BLOCK):
+                j1 = min(j0 + _PAIR_BLOCK, n)
+                ub = (
+                    D[i0:i1] @ D[j0:j1].T
+                    + h[i0:i1, None]
+                    + h[None, j0:j1]
+                    + h0
+                ) / np.outer(nr[i0:i1], nr[j0:j1])
+                keep = _round6(ub + _COS_MARGIN) >= thr
+                qi, qj = np.nonzero(keep)
+                gi, gj = qi + i0, qj + j0
+                ok = ids[gi] != ids[gj]
+                gi, gj = gi[ok], gj[ok]
+                out_a.append(np.minimum(ids[gi], ids[gj]))
+                out_b.append(np.maximum(ids[gi], ids[gj]))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        slim.groupBy("cell")
+        .applyInPandas(cand_fn, "doc_a long, doc_b long")
+        .dropDuplicates()
+        .localCheckpoint()  # bounded (~emitted-pair scale); reused twice below
+    )
+    cand_ids = sorted(
+        {r.doc_a for r in cand.select("doc_a").distinct().collect()}
+        | {r.doc_b for r in cand.select("doc_b").distinct().collect()}
+    )
+    if not cand_ids:
+        return cand
+    raw = spark.read.parquet(vectors_path)
+    if len(cand_ids) <= EMB_RESCORE_PUSHDOWN_MAX:
+        raw = raw.where(isin_bigint("vec_id", cand_ids))
+    raw = raw.select("vec_id", "v", "nrm").dropDuplicates(["vec_id"])
+
+    def rescore_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            Vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", Va, Vb) / (
+                pdf["na"].to_numpy(dtype=np.float64)
+                * pdf["nb"].to_numpy(dtype=np.float64)
+            )
+            sure = _round6(cos - _COS_MARGIN) >= thr
+            border = (~sure) & (_round6(cos + _COS_MARGIN) >= thr)
+            for bi in np.nonzero(border)[0]:
+                if (
+                    _fold_cos_py(
+                        Va[bi], Vb[bi], float(pdf["na"].iloc[bi]), float(pdf["nb"].iloc[bi])
+                    )
+                    >= thr
+                ):
+                    sure[bi] = True
+            yield pdf.loc[sure, ["doc_a", "doc_b"]]
+
+    va = raw.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = raw.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    if len(cand_ids) <= EMB_RESCORE_PUSHDOWN_MAX:
+        # pruned point fetch: both sides are bounded — broadcast them
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .mapInPandas(rescore_fn, "doc_a long, doc_b long")
+    )
+
+
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: vectors with cosine >=
     {DUP_COS} are duplicates; connected components give cluster ids and
@@ -1084,24 +1261,18 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-side ASSIGN_A (6): candidate volume scales with replication
     squared and the A=6 self-join spilled the sf10 rehearsal; R=2
     holds the floor at ~1/9 the volume (constant's comment has the
-    per-R measurements). The oracle reproduces the trained assignment
-    + threshold + a recursive-CTE closure."""
+    per-R measurements). Since r12 the pair stage is a PROBE of the
+    standing coded index (:func:`_emb_dup_pairs`): the stored ``arank``
+    slices the top-DEDUP_PAIR_A assignment out of the ASSIGN_A-way
+    index, candidates screen on decoded SQ8 codes with a sound
+    quantization bound, and only survivors fetch raw vectors — no
+    corpus re-assignment (12.6 s of the sf10 number) and no raw-vector
+    scan before the bounded rescore. The oracle reproduces the trained
+    assignment + threshold + a recursive-CTE closure, unchanged."""
     from opencypher_datalayer_spark.operators.components import connected_components
-    from opencypher_datalayer_spark.streaming.vector_ingest import _dup_pairs_within
-
-    emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
-    passign = assign_cells(
-        emb.withColumn("vq", vq_expr()), ids, cq, DEDUP_PAIR_A
+    pairs = _emb_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    # pair scoring is the streaming sink's cell-cogrouped blocked
-    # matmul: rows move ONCE (the groupBy(cell) exchange), each cell
-    # group scores with one numpy float64 matmul, and the margin rescue
-    # re-scores boundary cosines with the exact fold arithmetic the
-    # oracle mirrors — decisions bit-identical to a per-pair fold join
-    # that measured ~20M interpreted dots (60-120 s at sf10) here
-    pairs = _dup_pairs_within(
-        passign.select("vec_id", "cell", "v", "nrm"), DUP_COS
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
     comps = connected_components(pairs, "id_a", "id_b")
     emb = rebalance_for_inflation(load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN).select("vec_id")
     return (
@@ -1427,7 +1598,9 @@ _IVF_ARTIFACT_KIND = "ivf"
 _IVF_CBK_KIND = "ivf_cbk"  # codebook-only artifact (K rows + meta n)
 # v2: payload columns (label) stored per vector for filtered probes
 # v3: SQ8 codes + frozen scales in the cells; coded-shortlist probe
-_IVF_LAYOUT = "v3"
+# v4: arank (assignment rank) per replica row — probe-time consumers
+#     slice narrower assignments (dedup pair stage) without re-scoring
+_IVF_LAYOUT = "v4"
 
 
 def _ivf_artifact_key(sf_dir: str) -> tuple:

@@ -289,17 +289,26 @@ def train_codebook_spark(vq_df: DataFrame, n_corpus: int) -> tuple[np.ndarray, n
 def assign_cells(vq_df: DataFrame, ids: np.ndarray, C: np.ndarray, a: int) -> DataFrame:
     """Multi-assignment of the full corpus: every input row is repeated
     once per admitted cell, with all non-``vq`` columns passed through
-    plus the new ``cell``. Arrow-batched numpy scoring against the
-    (broadcast-by-closure) codebook — the vectorized path for what
+    plus the new ``cell`` and ``arank`` (the cell's 0-based rank in the
+    row's :func:`top_cells` order). Arrow-batched numpy scoring against
+    the (broadcast-by-closure) codebook — the vectorized path for what
     would otherwise be an interpreted higher-order-function fold over
-    an n x K crossJoin, and it needs NO shuffle at all."""
+    an n x K crossJoin, and it needs NO shuffle at all.
+
+    Storing ``arank`` in the index costs one int per replica row and
+    lets probe-time consumers SLICE a narrower assignment without
+    re-scoring the corpus: ``top_cells`` ranks by a full stable
+    argsort, so ``arank < r`` of an ``a``-way assignment is exactly the
+    ``r``-way assignment for any ``r <= a`` (the embedding-dedup pair
+    stage reads ``arank < DEDUP_PAIR_A`` from the ASSIGN_A-replicated
+    standing index)."""
     ids_l, C_l, a_l = ids.copy(), C.copy(), a
     out_cols = [c for c in vq_df.columns if c != "vq"]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in vq_df.schema.fields
         if f.name != "vq"
-    ) + ", cell bigint"
+    ) + ", cell bigint, arank int"
 
     def part(batches: Iterable):
         import pandas as pd
@@ -311,6 +320,7 @@ def assign_cells(vq_df: DataFrame, ids: np.ndarray, C: np.ndarray, a: int) -> Da
             cells = top_cells(VQ, ids_l, C_l, a_l)
             out = {c: pdf[c].to_numpy().repeat(a_l) for c in out_cols}
             out["cell"] = cells.reshape(-1)
+            out["arank"] = np.tile(np.arange(a_l, dtype=np.int32), len(pdf))
             yield pd.DataFrame(out)
 
     return vq_df.mapInPandas(part, out_schema)

@@ -510,7 +510,7 @@ def compact_ivf_index(
             # payload columns (if any) ride along; cell and the SQ8
             # code are DERIVED columns — re-derived by the rebuild's
             # retrained codebook and scales
-            .drop("cell", "code")
+            .drop("cell", "code", "arank")
             .dropDuplicates(["vec_id"])
             .localCheckpoint()  # decouple from the files sweep may reclaim
         )

@@ -639,7 +639,8 @@ def build_bm25_artifact(spark: SparkSession, sf_dir: str) -> str:
     )
 
     # v2: tok-sorted row groups + (max_tf, min_dl) impact bounds in stats
-    key = ("v2", table_fingerprint(sf_dir, "documents"), N_BUCKETS)
+    # v3: per-block impact bounds in blocks/ (block-max skipping)
+    key = ("v3", table_fingerprint(sf_dir, "documents"), N_BUCKETS)
     # no caller-side rebalance: the kernel's builders re-split ahead of
     # the token explode themselves (operators.bm25_index.WORK_TOKENIZE)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")

@@ -71,6 +71,15 @@ TOK_PUSHDOWN_MAX = 10_000
 POSTINGS = "postings"
 STATS = "stats"
 CORPUS = "corpus"
+BLOCKS = "blocks"
+
+# Block-max granularity: each term's doc_id-sorted posting run is
+# chunked every BM25_BLOCK rows and the chunk's (max_tf, min_dl,
+# doc_id range) recorded in blocks/. ~page-scale (parquet column
+# indexes prune at ~1 MB pages, and the postings rows are ~30 bytes),
+# so an admitted-range predicate that survives to the scan actually
+# skips I/O, not just rows.
+BM25_BLOCK = 4096
 
 
 def bucket_of(tok) -> F.Column:  # type: ignore[name-defined]
@@ -121,6 +130,33 @@ def stats_for(postings: DataFrame) -> DataFrame:
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
+        .withColumn("bucket", bucket_of(F.col("tok")))
+    )
+
+
+def blocks_for(postings: DataFrame, block: int | None = None) -> DataFrame:
+    """``(bucket, tok, min_doc, max_doc, bmax_tf, bmin_dl)`` — per-term
+    BLOCK-level impact-bound ingredients (the BMW refinement of the
+    term-level ``stats_for`` bounds): each term's doc_id-sorted posting
+    run chunked every ``block`` rows. Like the term stats these are
+    associative across disjoint doc batches — an extension appends its
+    OWN batch's blocks, whose bounds stay valid per block (ranges may
+    overlap the base's; the probe admits the union). One row per
+    ~``block`` postings, so the frame is ~1/{BM25_BLOCK} of postings."""
+    block = BM25_BLOCK if block is None else block  # call-time module global
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    return (
+        postings.withColumn(
+            "blk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(block))
+        )
+        .groupBy("tok", "blk")
+        .agg(
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.max("tf").alias("bmax_tf"),
+            F.min("dl").alias("bmin_dl"),
+        )
+        .drop("blk")
         .withColumn("bucket", bucket_of(F.col("tok")))
     )
 
@@ -182,6 +218,9 @@ def write_bm25_index(
     stats_for(post).sortWithinPartitions("bucket", "tok").write.partitionBy(
         "bucket"
     ).parquet(os.path.join(out_dir, STATS))
+    blocks_for(post).sortWithinPartitions("bucket", "tok", "min_doc").write.partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, BLOCKS))
     corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
     _write_meta(out_dir, dict(meta_extra or {}))
 
@@ -193,16 +232,27 @@ def write_bm25_index(
 _POSTINGS_SCHEMA = "tok string, doc_id bigint, tf bigint, dl bigint, bucket int"
 _STATS_SCHEMA = "tok string, df bigint, max_tf bigint, min_dl bigint, bucket int"
 _CORPUS_SCHEMA = "n_docs bigint, sum_dl bigint"
+_BLOCKS_SCHEMA = (
+    "tok string, min_doc bigint, max_doc bigint, bmax_tf bigint, "
+    "bmin_dl bigint, bucket int"
+)
 
 
 def read_bm25_index(spark: SparkSession, adir: str) -> dict[str, DataFrame]:
-    return {
+    frames = {
         POSTINGS: spark.read.schema(_POSTINGS_SCHEMA).parquet(
             os.path.join(adir, POSTINGS)
         ),
         STATS: spark.read.schema(_STATS_SCHEMA).parquet(os.path.join(adir, STATS)),
         CORPUS: spark.read.schema(_CORPUS_SCHEMA).parquet(os.path.join(adir, CORPUS)),
     }
+    # pre-block-max indexes (long-lived streaming keys) have no blocks/
+    # dir — the probe degrades to term-level MaxScore bounds
+    if os.path.isdir(os.path.join(adir, BLOCKS)):
+        frames[BLOCKS] = spark.read.schema(_BLOCKS_SCHEMA).parquet(
+            os.path.join(adir, BLOCKS)
+        )
+    return frames
 
 
 def extend_bm25_index(
@@ -230,6 +280,16 @@ def extend_bm25_index(
         stats_for(post).sortWithinPartitions("bucket", "tok").write.mode(
             "append"
         ).partitionBy("bucket").parquet(os.path.join(tmp, STATS))
+        if os.path.isdir(os.path.join(tmp, BLOCKS)):
+            # block coverage must stay COMPLETE to be sound: append the
+            # batch's blocks only when the (hard-linked) base has a
+            # blocks dir; a pre-block-max base stays block-less and the
+            # probe keeps term-level bounds
+            blocks_for(post).sortWithinPartitions(
+                "bucket", "tok", "min_doc"
+            ).write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(tmp, BLOCKS)
+            )
         corpus_row(docs_new, post).write.mode("append").parquet(
             os.path.join(tmp, CORPUS)
         )
@@ -321,8 +381,11 @@ def compact_bm25_index(
         # mid-stream must never reopen a committed epoch's replay window
 
         def build(tmp: str) -> None:
-            # postings unchanged: share the base version's inodes
+            # postings (and their block bounds) unchanged: share the
+            # base version's inodes
             _link_tree(os.path.join(cur, POSTINGS), os.path.join(tmp, POSTINGS))
+            if os.path.isdir(os.path.join(cur, BLOCKS)):
+                _link_tree(os.path.join(cur, BLOCKS), os.path.join(tmp, BLOCKS))
             stats.sortWithinPartitions("bucket", "tok").write.partitionBy(
                 "bucket"
             ).parquet(os.path.join(tmp, STATS))
@@ -462,6 +525,124 @@ def _ti_expr(idf_col, tf_col, dl_col, avgdl: float, k1: float = K1, b: float = B
 # skip-to-candidate, making a hot term's read sublinear in its list
 BM25_CAND_PUSHDOWN_MAX = 100_000
 
+# block-max probe caps: bail out of the refinement when the blocks
+# collect would be unbounded, when a term admits too many disjoint
+# ranges for the predicate to pay off, or when skipping admits most of
+# the term's blocks anyway
+BM25_BLOCKMAX_COLLECT_CAP = 50_000
+BM25_BLOCKMAX_RANGES_MAX = 64
+BM25_BLOCKMAX_ADMIT_FRAC = 0.8
+
+
+def _ti_py(df: int, tf: int, dl: int, n_docs: float, avgdl: float, k1: float, b: float) -> int:
+    """Driver-side twin of ``_ti_expr`` (rational idf): the same IEEE
+    doubles through the same single-op sequence, so the value is
+    identical to the engine's — used for block upper bounds, whose df
+    is the term's AGGREGATED count (a driver dict), not a column. Any
+    hypothetical ulp drift is absorbed by the skip rule's spare +1."""
+    import math
+
+    idf = (float(n_docs) - df + 0.5) / (df + 0.5) + 1.0
+    sat = (tf * (1.0 + k1)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    return int(math.floor(idf * sat * float(SCALE)))
+
+
+def _block_admit_predicate(
+    ctx: "_ProbeCtx",
+    ess_pairs: list,
+    q_terms: dict,
+    u_of: dict,
+    theta: dict,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """Block-max (BMW) refinement of the essential candidacy scan.
+
+    For essential term ``t`` of query ``q``, a posting BLOCK ``B`` (a
+    doc_id range with recorded ``(bmax_tf, bmin_dl)``) can be skipped
+    iff ``ub(B) + slack(q, t) < theta_q`` where ``slack(q, t) =
+    sum over q's other terms of (u(t') + 1), plus 1``. Soundness: a
+    document whose every essential-term block is skipped has total
+    ``<= ub(B_t) + sum_{t' != t}(u(t')) < theta_q`` for any of its
+    essential terms ``t`` — strictly below the k-th-best single-term
+    score, hence below >= k documents' totals — and a document with
+    only non-essential terms is excluded by the term-level MaxScore
+    argument. Candidacy is the ONLY thing blocks decide: survivors are
+    fully rescored over every query term, so skipped-block
+    contributions of real candidates are never lost.
+
+    Returns ``(predicate_or_None, skipped)``: the scan predicate over
+    (tok, doc_id) when at least one block is skipped, else (None,
+    False). Degrades to (None, False) on block-less legacy indexes,
+    oversized block sets, or terms whose admitted ranges would make
+    the predicate bigger than the skip."""
+    blocks_df = ctx.frames.get(BLOCKS)
+    if blocks_df is None or not ess_pairs:
+        return None, False
+    # tightest requirement per term across the queries it is essential
+    # for: a block must be admitted if ANY such query could need it
+    need: dict = {}
+    for q, t, _df in ess_pairs:
+        slack = sum(u_of[t2][0] + 1 for t2 in q_terms[q] if t2 != t) + 1
+        req = theta.get(q, 0) - slack
+        need[t] = min(need.get(t, req), req)
+    hot = sorted(t for t, r in need.items() if r > 0)
+    if not hot:
+        return None, False
+    brows = (
+        ctx.pruned(blocks_df, hot)
+        .select("tok", "min_doc", "max_doc", "bmax_tf", "bmin_dl")
+        .limit(BM25_BLOCKMAX_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(brows) > BM25_BLOCKMAX_COLLECT_CAP:
+        return None, False
+    by_tok: dict = {}
+    for r in brows:
+        ub = _ti_py(u_of[r.tok][1], int(r.bmax_tf), int(r.bmin_dl), n_docs, avgdl, k1, b)
+        by_tok.setdefault(r.tok, []).append((int(r.min_doc), int(r.max_doc), ub))
+    conds, skipped = [], False
+    for t, _df in {t: d for _, t, d in ess_pairs}.items():
+        blist = by_tok.get(t)
+        if blist is None or need.get(t, 0) <= 0:
+            conds.append(F.col("tok") == F.lit(t))
+            continue
+        admitted = sorted(
+            (lo, hi) for lo, hi, ub in blist if ub >= need[t]
+        )
+        if len(admitted) == len(blist) or (
+            len(blist) > 4
+            and len(admitted) / len(blist) > BM25_BLOCKMAX_ADMIT_FRAC
+        ):
+            conds.append(F.col("tok") == F.lit(t))  # not worth a predicate
+            continue
+        skipped = True
+        if not admitted:
+            continue  # no block of t can reach any theta: drop t entirely
+        merged = [list(admitted[0])]
+        for lo, hi in admitted[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        if len(merged) > BM25_BLOCKMAX_RANGES_MAX:
+            conds.append(F.col("tok") == F.lit(t))
+            continue
+        rng = F.expr(
+            " OR ".join(f"doc_id BETWEEN {lo}L AND {hi}L" for lo, hi in merged)
+        )
+        conds.append((F.col("tok") == F.lit(t)) & rng)
+    if not skipped:
+        return None, False
+    if not conds:
+        return F.lit(False), True
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred | c
+    return pred, True
+
 # corpus size below which bm25_topk serves through the single-job full
 # scoring instead: MaxScore's bounds/threshold/skip phases are ~4 extra
 # bounded driver round-trips (~0.7 s of fixed job overhead on local[32])
@@ -593,6 +774,43 @@ def bm25_topk(
             (non_pairs if t in non_set else ess_pairs).append(
                 (int(q), t, u_of[t][1])
             )
+    # -- phase 3b: block-max (BMW) refinement -----------------------------
+    # per-row-group impact bounds let even ESSENTIAL hot terms skip the
+    # doc_id ranges whose block bound can't reach theta; survivors are
+    # fully rescored, so the top-k guarantee is untouched (soundness
+    # argument in _block_admit_predicate's docstring)
+    block_pred, blocks_skipped = _block_admit_predicate(
+        ctx, ess_pairs, q_terms, u_of, theta, float(n_docs), avgdl, k1, b
+    )
+    if blocks_skipped:
+        cand = (
+            pruned(frames[POSTINGS], sorted({t for _, t, _ in ess_pairs}))
+            .where(block_pred)
+            .join(F.broadcast(_pairs_df(ess_pairs)), "tok")
+            .where(F.col("doc_id") != F.col("q_id"))
+            .select("q_id", "doc_id")
+            .dropDuplicates()
+            .localCheckpoint()  # bounded: admitted-block candidates
+        )
+        all_pairs = ess_pairs + non_pairs
+        r_scan = pruned(frames[POSTINGS], sorted({t for _, t, _ in all_pairs}))
+        est = sum(df for _, _, df in ess_pairs)
+        if est <= BM25_CAND_PUSHDOWN_MAX:
+            ids = [r.doc_id for r in cand.select("doc_id").distinct().collect()]
+            if not ids:
+                return empty
+            r_scan = r_scan.where(isin_bigint("doc_id", ids))
+        rows = (
+            r_scan.join(F.broadcast(_pairs_df(all_pairs)), "tok")
+            .where(F.col("doc_id") != F.col("q_id"))
+            .join(
+                F.broadcast(cand) if est <= BM25_CAND_PUSHDOWN_MAX else cand,
+                ["q_id", "doc_id"],
+            )
+            .select("q_id", "doc_id", ti_row.alias("ti"))
+        )
+        return rows.groupBy("q_id", "doc_id").agg(F.sum("ti").alias("s_int"))
+
     e_rows = (
         pruned(frames[POSTINGS], sorted({t for _, t, _ in ess_pairs}))
         .join(F.broadcast(_pairs_df(ess_pairs)), "tok")

@@ -320,14 +320,34 @@ def generations(spark: SparkSession, adir: str) -> int:
     return read_bm25_index(spark, adir)[CORPUS].count()
 
 
-# Probe-side df aggregation touches #generations x query-vocab rows —
-# flat and tiny until the extension chain gets long. Housekeeping
-# advisory only: df sums are EXACT at any generation count.
+# Probe-side cost per extension generation: each extension appends a
+# file per touched bucket to postings AND stats, so the probe's scans
+# open #generations x #buckets files and the df aggregation touches
+# #generations x query-vocab rows. MEASURED boundary (r12, fixed ~2.3k
+# doc corpus, 5-doc extensions, min-of-4 probes): flat through 16
+# generations (2.37 s at gen=1 vs 2.35 s at gen=16), inflecting by 32
+# (4.18 s, +78%) as file-open overhead dominates — SCALE.md
+# §bm25-generation-drift. df sums stay EXACT at any generation count;
+# this is purely a probe-cost trigger.
 COMPACT_GENERATIONS = 16
 
 
 def needs_compact(spark: SparkSession, adir: str) -> bool:
     return generations(spark, adir) >= COMPACT_GENERATIONS
+
+
+def compact_signal(spark: SparkSession, adir: str) -> dict:
+    """Advisory compact signal of a standing BM25 index version — the
+    measured probe-cost trigger (see ``COMPACT_GENERATIONS``), shaped
+    like ``vector_index.needs_compact``'s dict so streaming sinks
+    surface both families uniformly. One bounded read (the corpus
+    delta frame: one row per build/extend batch)."""
+    g = generations(spark, adir)
+    return {
+        "generations": int(g),
+        "generations_boundary": COMPACT_GENERATIONS,
+        "compact_due": g >= COMPACT_GENERATIONS,
+    }
 
 
 def compact_bm25_index(

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from opencypher_datalayer_spark.operators import minhash as mh
 from opencypher_datalayer_spark.operators.bm25_index import (
+    compact_signal,
     extend_bm25_index,
     index_meta,
     write_bm25_index,
@@ -78,6 +79,12 @@ class StreamingCleanIngest:
         self.filter = StreamingNearDupFilter(
             spark, state_dir, hash_family=hash_family
         )
+        # advisory probe-cost signal of the LAST committed epoch
+        # (bm25_index.compact_signal — the measured generation-growth
+        # trigger); a deployment polls this to schedule the offline
+        # compact_bm25_index merge instead of discovering the drift in
+        # its probe latency (the vector sink's idiom)
+        self.last_compact_signal: dict | None = None
 
     def apply(self, batch: DataFrame, epoch_id: int) -> None:
         # Replay guard FIRST: the marker commits strictly after the
@@ -127,6 +134,14 @@ class StreamingCleanIngest:
                 survivors,
                 meta_extra=marker,
             )
+        self.last_compact_signal = self.compact_signal()
+
+    def compact_signal(self) -> dict | None:
+        """``bm25_index.compact_signal`` of the CURRENT index version
+        (None before the first commit). Also refreshed automatically
+        after every committed epoch into ``last_compact_signal``."""
+        cur = self.store.current_dir(self.kind, self.key)
+        return None if cur is None else compact_signal(self.spark, cur)
 
     def kept(self) -> DataFrame:
         return self.filter.kept()

@@ -153,3 +153,43 @@ def test_stream_equals_replay(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed and streamed == replayed
+
+
+def test_sink_surfaces_measured_compact_signal(spark, tmp_path, monkeypatch):
+    """VERDICT r11 next #7: the BM25 sink surfaces the MEASURED
+    generation-growth compact advisory per committed epoch (the vector
+    sink's idiom) — firing once the extension chain crosses the
+    measured probe-cost boundary and NOT before."""
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    monkeypatch.setattr(bm, "COMPACT_GENERATIONS", 3)
+    sink = _sink(spark, tmp_path)
+    assert sink.compact_signal() is None  # before the first commit
+
+    def batch(epoch):
+        return spark.createDataFrame(
+            [(epoch * 10 + j, f"epoch{epoch} doc{j} unique tokens here {j}")
+             for j in range(3)],
+            "doc_id bigint, text string",
+        )
+
+    sink.apply(batch(0), epoch_id=0)  # initial build: generation 1
+    assert sink.last_compact_signal == {
+        "generations": 1,
+        "generations_boundary": 3,
+        "compact_due": False,
+    }
+    sink.apply(batch(1), epoch_id=1)  # extension: generation 2
+    assert not sink.last_compact_signal["compact_due"]
+    sink.apply(batch(2), epoch_id=2)  # generation 3: boundary crossed
+    sig = sink.last_compact_signal
+    assert sig["generations"] == 3 and sig["compact_due"]
+    assert sink.compact_signal()["compact_due"]
+
+    # the offline merge resets the signal
+    bm.compact_bm25_index(spark, sink.store, sink.kind, sink.key)
+    assert sink.compact_signal() == {
+        "generations": 1,
+        "generations_boundary": 3,
+        "compact_due": False,
+    }

@@ -619,6 +619,7 @@ def ivf_pruned_topk(
     nprobe: int | None = None,
     codebook: tuple | None = None,
     match_cols: tuple = (),
+    rerank: int | None = None,
 ) -> DataFrame:
     """Top-``topk`` cosine neighbors for ``queries`` (``q_id``, ``qv``
     array<double>, ``qn``) against a :func:`build_ivf_index` index,
@@ -698,6 +699,15 @@ def ivf_pruned_topk(
         (int(q), int(c)) for q, row in zip(qrows["q_id"], cells) for c in row
     ]
     scales = read_scales(spark, index_dir)
+    # rerank is the coded stage's resolution budget: IVF_RERANK holds
+    # the recall floor when neighbor gaps dominate the SQ8 dot noise
+    # (the bench corpora; planted family tiers at any d). On corpora
+    # whose top-k tail sits at NOISE-tier cosine gaps the budget must
+    # widen by measurement — SCALE.md §ivf-sq8-d256: at d=256 the
+    # committed 20 recalls 0.45 of an all-noise top-5 and 0.89 needs
+    # ~5000, at which point the float probe inside the admitted cells
+    # is the better plan. Exposed so deployments pin the measured value.
+    rerank = IVF_RERANK if rerank is None else int(rerank)
     admitted = sorted({c for _, c in probe_pairs})
     vectors_path = os.path.join(index_dir, "vectors")
 
@@ -734,7 +744,7 @@ def ivf_pruned_topk(
     qmatch = {int(r.q_id): {c: r[c] for c in match_cols} for r in q_local}
     cand = coded_candidate_scan(spark, index_dir, admitted, match_cols)
     slim = cand.mapInPandas(
-        _coded_topk_kernel(qids_l, qmat, qcells, qmatch, match_cols, IVF_RERANK),
+        _coded_topk_kernel(qids_l, qmat, qcells, qmatch, match_cols, rerank),
         "q_id bigint, c_id bigint, cell bigint, approx_dot bigint",
     )
     wa = Window.partitionBy("q_id").orderBy(
@@ -746,7 +756,7 @@ def ivf_pruned_topk(
     short_rows = (
         slim.dropDuplicates(["q_id", "c_id"])  # cross-batch boundary replicas
         .withColumn("ark", F.row_number().over(wa))
-        .where(F.col("ark") <= IVF_RERANK)
+        .where(F.col("ark") <= rerank)
         .select("q_id", "c_id", "cell")
         .collect()
     )

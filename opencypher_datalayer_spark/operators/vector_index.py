@@ -620,10 +620,20 @@ def ivf_pruned_topk(
     codebook: tuple | None = None,
     match_cols: tuple = (),
     rerank: int | None = None,
+    coded: bool = True,
 ) -> DataFrame:
     """Top-``topk`` cosine neighbors for ``queries`` (``q_id``, ``qv``
     array<double>, ``qn``) against a :func:`build_ivf_index` index,
     scanning ONLY the partition directories of admitted cells.
+
+    ``coded=False`` skips the SQ8 two-stage entirely: the admitted
+    cells' RAW vectors are scanned once and scored with exact cosine —
+    8x the stage-1 bytes, but recall equals the cell-admission recall
+    by construction. This is the measured plan for corpora whose top-k
+    tail sits at NOISE-tier cosine gaps, where the coded shortlist's
+    ~±0.04 dot noise would need a rerank budget in the thousands
+    (SCALE.md §ivf-sq8-d256: at d=256, coded rerank ~5000 for 0.89
+    while the float scan hits 0.938 at the same nprobe).
 
     FILTERED probe: ``match_cols`` names index payload columns (stored
     per-vector at build/extend time) that must EQUAL the query's column
@@ -710,6 +720,48 @@ def ivf_pruned_topk(
     rerank = IVF_RERANK if rerank is None else int(rerank)
     admitted = sorted({c for _, c in probe_pairs})
     vectors_path = os.path.join(index_dir, "vectors")
+
+    if not coded:
+        # FLOAT probe (the noise-tier plan, docstring above): one exact
+        # scan of the admitted cells — per-query cell admission and the
+        # payload match evaluate at the broadcast probe join, exactly
+        # the inline sim_ivf_topk shape over the pruned partitions, so
+        # its row-identical oracle applies.
+        from pyspark.sql import Window as _W
+
+        probes_df = local_df(spark, probe_pairs, "q_id long, cell long")
+        qside = probes_df.join(
+            queries.select("q_id", "qv", "qn", *match_cols), "q_id"
+        )
+        candf = spark.read.parquet(vectors_path).where(
+            F.col("cell").isin(admitted)
+        ).select(
+            F.col("vec_id").alias("c_id"),
+            "cell",
+            F.col("v").alias("cv2"),
+            F.col("nrm").alias("cn2"),
+            *[F.col(c).alias(f"c_{c}") for c in match_cols],
+        )
+        joined = F.broadcast(qside).join(candf, "cell").where(
+            F.col("q_id") != F.col("c_id")
+        )
+        for c in match_cols:
+            joined = joined.where(F.col(c) == F.col(f"c_{c}"))
+        cosf = F.round(
+            _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6
+        )
+        wf = _W.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("c_id").asc()
+        )
+        return (
+            joined.withColumn("cosine", cosf)
+            .select("q_id", "c_id", "cosine")
+            .dropDuplicates(["q_id", "c_id"])  # boundary replicas
+            .withColumn("rk", F.row_number().over(wf))
+            .where(F.col("rk") <= topk)
+            .select("q_id", "c_id", "cosine", "rk")
+            .orderBy("q_id", "rk")
+        )
 
     # -- stage 1: coded shortlist over the pruned scan -------------------
     # Query codes + match values are ENGINE-computed (identical IEEE

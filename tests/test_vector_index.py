@@ -469,3 +469,36 @@ def test_stream_sink_surfaces_compact_signal(spark, tmp_path):
     sink.apply(b2, epoch_id=1)
     assert sink.last_compact_signal["compact_due"]
     assert sink.compact_signal(spark)["compact_due"]
+
+
+def test_float_probe_matches_inline_ivf(spark, sf_dir):
+    """``coded=False`` (the noise-tier plan SCALE.md §ivf-sq8-d256
+    ships): one exact float scan of the admitted cells — row-identical
+    to the inline ``sim_ivf_topk`` BY CONSTRUCTION (same quantizer,
+    same cell admission, same exact scoring/rounding/tie-breaks), with
+    no rerank-budget dependence."""
+    from opencypher_datalayer_spark.benchqueries.similarity import (
+        N_QUERY,
+        TOPK,
+        _ivf_index_dir,
+        _norm,
+        _vec,
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    got = [
+        tuple(r)
+        for r in ivf_pruned_topk(
+            spark, _ivf_index_dir(spark, sf_dir), queries, topk=TOPK, coded=False
+        ).collect()
+    ]
+    want = [tuple(r) for r in sim_ivf_topk(spark, sf_dir).collect()]
+    assert got == want and got

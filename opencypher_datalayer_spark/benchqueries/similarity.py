@@ -1077,6 +1077,15 @@ ORDER BY w.vec_id
 # point fetch — still correct, never a 100k-literal planning bill.
 EMB_RESCORE_PUSHDOWN_MAX = 100_000
 
+# Corpus size below which the pair stage serves through the live
+# single-cogroup path instead of the index probe: the probe's extra
+# fixed jobs (candidate scan, id collect, rescore join) measured
+# +1.0 s at sf0.1's 2k vectors while the probe's savings (no corpus
+# re-assignment, coded scan bytes) only matter once the corpus is
+# large — the BM25_MAXSCORE_MIN_DOCS idiom. Decision-equivalence of
+# the two paths is pinned by tests/test_ann_recall.py.
+EMB_PROBE_MIN_CORPUS = 50_000
+
 
 def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup ``(doc_a, doc_b)`` pairs (emit-cosine >= {DUP_COS},
@@ -1134,17 +1143,25 @@ def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6,
     )
 
-    index_dir = _ivf_index_dir(spark, sf_dir)
-    meta = index_meta(index_dir)
-    if meta.get("n_corpus") != meta.get("n_trained"):
-        # extension-grown index: out-of-range vectors clip to ±127 and
-        # the |e_d| <= s_d/2 bound no longer holds — score the live
-        # assignment instead (the pre-r12 path, still exact)
+    def live_path():
+        # the pre-r12 single-cogroup scoring — still exact, cheaper
+        # fixed cost at small corpora, and the sound fallback when
+        # clipped extension codes void the quantization bound
         emb, (n, ids, cq), _ = _ivf_parts(spark, sf_dir)
         passign = assign_cells(emb.withColumn("vq", vq_expr()), ids, cq, DEDUP_PAIR_A)
         return _dup_pairs_within(
             passign.select("vec_id", "cell", "v", "nrm"), DUP_COS
         )
+
+    n_corpus = _ivf_codebook(spark, sf_dir)[0]
+    if n_corpus < EMB_PROBE_MIN_CORPUS:
+        return live_path()  # probe job overhead loses at this size
+    index_dir = _ivf_index_dir(spark, sf_dir)
+    meta = index_meta(index_dir)
+    if meta.get("n_corpus") != meta.get("n_trained"):
+        # extension-grown index: out-of-range vectors clip to ±127 and
+        # the |e_d| <= s_d/2 bound no longer holds
+        return live_path()
 
     thr = float(DUP_COS)
     s_arr = np.asarray(read_scales(spark, index_dir), dtype=np.float64)

@@ -277,19 +277,46 @@ def extend_bm25_index(
         post.sortWithinPartitions("bucket", "tok", "doc_id").write.mode(
             "append"
         ).partitionBy("bucket").parquet(os.path.join(tmp, POSTINGS))
-        stats_for(post).sortWithinPartitions("bucket", "tok").write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(os.path.join(tmp, STATS))
+        # stats AND the batch's block bounds from ONE per-term agg —
+        # extensions record one block per (tok, batch) covering the
+        # batch's full doc_id range (sound: every batch row is covered
+        # and the bounds are the batch's max_tf/min_dl; coarser than
+        # the base build's BM25_BLOCK chunks, but an epoch batch's
+        # skipping value is negligible while the full-build path's
+        # per-tok Window shuffle measured as real per-epoch cost in
+        # st_stream_clean_ingest)
+        agg = (
+            post.groupBy("tok")
+            .agg(
+                F.count("*").alias("df"),
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .withColumn("bucket", bucket_of(F.col("tok")))
+            .localCheckpoint()  # vocab-sized; feeds two writes
+        )
+        agg.select("tok", "df", "max_tf", "min_dl", "bucket").sortWithinPartitions(
+            "bucket", "tok"
+        ).write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(tmp, STATS)
+        )
         if os.path.isdir(os.path.join(tmp, BLOCKS)):
             # block coverage must stay COMPLETE to be sound: append the
             # batch's blocks only when the (hard-linked) base has a
             # blocks dir; a pre-block-max base stays block-less and the
             # probe keeps term-level bounds
-            blocks_for(post).sortWithinPartitions(
-                "bucket", "tok", "min_doc"
-            ).write.mode("append").partitionBy("bucket").parquet(
-                os.path.join(tmp, BLOCKS)
-            )
+            agg.select(
+                "tok",
+                "min_doc",
+                "max_doc",
+                F.col("max_tf").alias("bmax_tf"),
+                F.col("min_dl").alias("bmin_dl"),
+                "bucket",
+            ).sortWithinPartitions("bucket", "tok", "min_doc").write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(os.path.join(tmp, BLOCKS))
         corpus_row(docs_new, post).write.mode("append").parquet(
             os.path.join(tmp, CORPUS)
         )
@@ -552,6 +579,11 @@ BM25_CAND_PUSHDOWN_MAX = 100_000
 BM25_BLOCKMAX_COLLECT_CAP = 50_000
 BM25_BLOCKMAX_RANGES_MAX = 64
 BM25_BLOCKMAX_ADMIT_FRAC = 0.8
+# essential-posting volume (in units of BM25_BLOCK rows) below which
+# the block phase cannot pay for its own scan+collect job (~0.3 s
+# fixed on local[32]): a handful of blocks' worth of rows reads faster
+# than the refinement plans
+BM25_BLOCKMAX_MIN_BLOCKS = 16
 
 
 def _ti_py(df: int, tf: int, dl: int, n_docs: float, avgdl: float, k1: float, b: float) -> int:
@@ -601,6 +633,8 @@ def _block_admit_predicate(
     blocks_df = ctx.frames.get(BLOCKS)
     if blocks_df is None or not ess_pairs:
         return None, False
+    if sum(df for _, _, df in ess_pairs) < BM25_BLOCKMAX_MIN_BLOCKS * BM25_BLOCK:
+        return None, False  # essential lists too short to pay the phase
     # tightest requirement per term across the queries it is essential
     # for: a block must be admitted if ANY such query could need it
     need: dict = {}

@@ -122,7 +122,7 @@ def test_embedding_dedup_planted_recall_floor(spark):
         )
 
 
-def test_emb_dup_pairs_probe_matches_live_assignment(spark):
+def test_emb_dup_pairs_probe_matches_live_assignment(spark, monkeypatch):
     """r12 (VERDICT r11 next #2): the coded-index pair stage — arank
     slice of the standing index + SQ8 candidate screen + bounded exact
     rescore — must emit the IDENTICAL pair set as the live path
@@ -140,6 +140,10 @@ def test_emb_dup_pairs_probe_matches_live_assignment(spark):
     from opencypher_datalayer_spark.streaming.vector_ingest import (
         _dup_pairs_within,
     )
+
+    # force the PROBE path below the small-corpus gate — equivalence
+    # with the live path is exactly what this test pins
+    monkeypatch.setattr(sim, "EMB_PROBE_MIN_CORPUS", 0)
 
     def both_paths(sf_dir):
         new = {
@@ -226,6 +230,9 @@ def test_emb_dup_pairs_extended_index_falls_back_to_live(spark, monkeypatch):
     from opencypher_datalayer_spark.operators import vector_index as vi
     from opencypher_datalayer_spark.streaming import vector_ingest as ving
 
+    # below the small-corpus gate everything is live anyway — drop the
+    # gate so the META fallback is what gets exercised
+    monkeypatch.setattr(sim, "EMB_PROBE_MIN_CORPUS", 0)
     sf = "/root/testdata/sf0.001"
     baseline = {(r.doc_a, r.doc_b) for r in sim._emb_dup_pairs(spark, sf).collect()}
 

@@ -423,3 +423,48 @@ def test_blockmax_skips_low_impact_blocks_of_essential_term(
         .collect()
     ]
     assert got2 == want
+
+
+def test_blockmax_stays_exact_over_extended_index(spark, tmp_path, monkeypatch):
+    """Extensions record ONE coarse block per (term, batch) — the
+    cheap-but-sound coverage — so an extended index mixes fine base
+    blocks with coarse extension blocks. The skip must stay exact:
+    base holds the low-impact tail, the extension carries the
+    high-impact docs (so coarse extension blocks are the ones that
+    must be admitted), and the top-k equals naive full scoring."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+    from opencypher_datalayer_spark.operators.bm25_index import bm25_topk
+
+    monkeypatch.setattr(bm, "BM25_BLOCK", 64)
+    low = [(i, "hot " + "pad " * 60) for i in range(2500)]  # tf=1, long
+    high = [(5000 + i, "hot " * 20) for i in range(40)]  # tf=20, short
+    store = ArtifactStore(str(tmp_path))
+    store.commit(
+        KIND, ("x",), lambda t: write_bm25_index(_docs(spark, low), t)
+    )
+    extend_bm25_index(spark, store, KIND, ("x",), _docs(spark, high))
+    adir = store.current_dir(KIND, ("x",))
+    # the blocks frame really is mixed: base chunks + one batch block
+    blocks = read_bm25_index(spark, adir)[bm.BLOCKS]
+    per_gen = blocks.where(F.col("tok") == "hot").count()
+    assert per_gen >= 2500 // 64 + 1  # many fine blocks + >=1 coarse
+
+    q = spark.createDataFrame([(9999, ["hot"])], "q_id bigint, toks array<string>")
+    w = Window.partitionBy("q_id").orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
+
+    def top5(df):
+        return [
+            (r.doc_id, r.s_int)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .orderBy("rk")
+            .collect()
+        ]
+
+    got = top5(bm25_topk(spark, adir, q, 5, min_docs=0))
+    want = top5(bm25_scores(spark, adir, q))
+    assert got == want and len(got) == 5
+    assert all(d >= 5000 for d, _ in got)  # extension docs win

@@ -180,6 +180,9 @@ EXTENDED = {
     "dedup_embedding_recall": "dedup_embedding_clusters",
     "sim_ivf_recall": "sim_ivf_pruned_topk",  # answer-path recall eval metric
     "sim_ivf_cells": "sim_ivf_pruned_topk",
+    # r12: the noise-tier plan (coded=False exact scan of admitted
+    # cells) — same admission, no rerank budget; sim_ivf_topk's oracle
+    "sim_ivf_float_probe": "sim_ivf_pruned_topk",
     # r5 verdict #5: the partition-PRUNED scan is the plan you'd run at
     # scale, so it is the primary the driver gates; the full-assignment
     # probe is its row-identical shape twin.

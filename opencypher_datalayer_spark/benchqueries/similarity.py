@@ -874,6 +874,33 @@ ORDER BY q_id, rk
 """
 
 
+def sim_ivf_float_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOPK} through the standing index with ``coded=False`` — one
+    exact float scan of the admitted cells, no coded shortlist and no
+    rerank budget. The plan SCALE.md §ivf-sq8-d256 ships for corpora
+    whose top-k tail sits at noise-tier cosine gaps (where the SQ8
+    dot's ~±0.04 noise would need a rerank in the thousands): recall
+    equals the cell-admission recall by construction, and the result
+    is row-identical to the inline :func:`sim_ivf_topk`, whose oracle
+    value-checks this path."""
+    from opencypher_datalayer_spark.operators.vector_index import ivf_pruned_topk
+
+    emb = rebalance_for_inflation(
+        load_table(spark, "embeddings", sf_dir), work_per_row=WORK_VEC_SCAN
+    ).select("vec_id", _vec().alias("v"), _norm(_vec()).alias("nrm"))
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return ivf_pruned_topk(
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        queries,
+        topk=TOPK,
+        codebook=_ivf_codebook(spark, sf_dir),
+        coded=False,
+    )
+
+
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOPK} of the PRODUCTION ANN answer path (the
     partition-pruned trained-IVF probe) against the exact brute-force
@@ -2112,6 +2139,12 @@ QUERIES = {
         sim_ivf_pruned_topk,
         SIM_IVF_PRUNED_SQL,
         f"SQ8-coded IVF index: pruned coded scan, top-{IVF_RERANK} exact rerank, top-{TOPK}",
+    ),
+    "sim_ivf_float_probe": QueryDef(
+        sim_ivf_float_probe,
+        SIM_IVF_TOPK_SQL,
+        f"float probe of the standing index (coded=False — the noise-tier plan, "
+        f"SCALE.md §ivf-sq8-d256): exact scan of admitted cells, top-{TOPK}",
     ),
     "sim_filtered_topk": QueryDef(
         sim_filtered_topk,

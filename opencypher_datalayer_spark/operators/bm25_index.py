@@ -378,7 +378,12 @@ def compact_signal(spark: SparkSession, adir: str) -> dict:
 
 
 def compact_bm25_index(
-    spark: SparkSession, store, kind: str, key: tuple, retries: int = 5
+    spark: SparkSession,
+    store,
+    kind: str,
+    key: tuple,
+    retries: int = 5,
+    merge_postings: bool = False,
 ) -> str:
     """Merge the stats/corpus delta generations into single rows as a
     new full version. Content-equivalent to the pre-compact index —
@@ -389,6 +394,16 @@ def compact_bm25_index(
       postings tree is hard-linked into the new version untouched —
       never localCheckpointed or rewritten. Only the (tiny) merged
       stats/ and corpus/ dirs are written.
+      ``merge_postings=True`` opts OUT of that property for extension
+      chains long enough that postings-file opens dominate the probe
+      (SCALE.md §bm25-generation-drift: each extension appends a file
+      per touched bucket, and the default compact recovers only the
+      stats-side share — 6.0 -> 4.8 s at 128 generations on the drift
+      corpus). The merge rewrites postings re-sorted into one file per
+      bucket and REBUILDS the block bounds at full BM25_BLOCK
+      granularity (extension-coarse blocks get refined back) — an
+      O(corpus) pass, the heavyweight periodic maintenance analog of
+      ``compact_ivf_index``'s retrain.
     - **CAS publish**: the rewrite is derived from a READ of the base
       version, so it publishes via ``store.commit_if_current`` — an
       extension that commits between the read and the publish raises
@@ -426,13 +441,29 @@ def compact_bm25_index(
         )
         meta = index_meta(cur)  # carry the replay marker over — compacting
         # mid-stream must never reopen a committed epoch's replay window
+        post_merged = (
+            frames[POSTINGS].localCheckpoint() if merge_postings else None
+        )
 
         def build(tmp: str) -> None:
-            # postings (and their block bounds) unchanged: share the
-            # base version's inodes
-            _link_tree(os.path.join(cur, POSTINGS), os.path.join(tmp, POSTINGS))
-            if os.path.isdir(os.path.join(cur, BLOCKS)):
-                _link_tree(os.path.join(cur, BLOCKS), os.path.join(tmp, BLOCKS))
+            if post_merged is not None:
+                # full merge: one re-sorted file per bucket + blocks
+                # rebuilt at fine granularity from the merged rows
+                (
+                    post_merged.repartition(N_BUCKETS, "bucket")
+                    .sortWithinPartitions("bucket", "tok", "doc_id")
+                    .write.partitionBy("bucket")
+                    .parquet(os.path.join(tmp, POSTINGS))
+                )
+                blocks_for(post_merged).sortWithinPartitions(
+                    "bucket", "tok", "min_doc"
+                ).write.partitionBy("bucket").parquet(os.path.join(tmp, BLOCKS))
+            else:
+                # postings (and their block bounds) unchanged: share the
+                # base version's inodes
+                _link_tree(os.path.join(cur, POSTINGS), os.path.join(tmp, POSTINGS))
+                if os.path.isdir(os.path.join(cur, BLOCKS)):
+                    _link_tree(os.path.join(cur, BLOCKS), os.path.join(tmp, BLOCKS))
             stats.sortWithinPartitions("bucket", "tok").write.partitionBy(
                 "bucket"
             ).parquet(os.path.join(tmp, STATS))

@@ -468,3 +468,42 @@ def test_blockmax_stays_exact_over_extended_index(spark, tmp_path, monkeypatch):
     want = top5(bm25_scores(spark, adir, q))
     assert got == want and len(got) == 5
     assert all(d >= 5000 for d, _ in got)  # extension docs win
+
+
+def test_full_compact_merges_postings_files_and_stays_neutral(spark, tmp_path):
+    """merge_postings=True (the opt-in O(corpus) maintenance pass for
+    long extension chains): content-identical probe results, postings
+    collapse to one file per bucket (the default compact leaves one
+    per extension per touched bucket), blocks rebuilt fine-grained."""
+    import os
+
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("m",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    for i in range(5):
+        extend_bm25_index(
+            spark, store, KIND, ("m",), _docs(spark, [(300 + i, "quick extra doc")])
+        )
+    before = _probe(spark, store.current_dir(KIND, ("m",)))
+
+    def files_per_bucket(vdir):
+        counts = {}
+        root = os.path.join(vdir, "postings")
+        for dp, _, fs in os.walk(root):
+            n = sum(1 for f in fs if f.endswith(".parquet"))
+            if n and "bucket=" in dp:
+                counts[dp.rsplit("bucket=", 1)[1]] = n
+        return counts
+
+    old = store.current_dir(KIND, ("m",))
+    assert max(files_per_bucket(old).values()) > 1  # fragmented by extensions
+
+    compact_bm25_index(spark, store, KIND, ("m",), merge_postings=True)
+    new = store.current_dir(KIND, ("m",))
+    assert generations(spark, new) == 1
+    assert max(files_per_bucket(new).values()) == 1  # merged
+    assert _probe(spark, new) == before  # content-neutral
+    # blocks present and rebuilt (readable, covers the hot term)
+    blocks = read_bm25_index(spark, new)[bm.BLOCKS]
+    assert blocks.where(blocks.tok == "quick").count() >= 1

@@ -715,7 +715,7 @@ def dedup_jaccard_collapsed(
     spark: SparkSession,
     sf_dir: str,
     hash_family: str = DEFAULT_HASH_FAMILY,
-    sentinel: bool = True,
+    sentinel: bool = False,
 ) -> DataFrame:
     """The operational Jaccard policy for replica-dense corpora:
     MinHash-LSH near-dup clustering first, exact 8-gram Jaccard among
@@ -723,15 +723,23 @@ def dedup_jaccard_collapsed(
     (``collapse=True``) for the rationale; the sibling of
     :func:`dedup_containment_collapsed` (r8, sf10 624 -> ~150 s).
 
-    ``sentinel=True`` (the registry binding) appends the constant
+    ``sentinel=True`` (the registry binding's opt-in — the DEFAULT is
+    the pure policy, so library callers never get synthetic docs mixed
+    into real dedup output; ADVICE r12) appends the constant
     :data:`JACCARD_SENTINEL_DOCS` slice so the output is non-empty —
     and the collapse semantics hash-verified — at every scale; see the
     sentinel block comment for the construction and the exact
-    decomposition argument. Library callers running the pure policy
-    pass ``sentinel=False``."""
+    decomposition argument. The sentinel's survivor/collapse structure
+    (X/Y sharing no LSH band at J=0.842657) was searched offline under
+    the md5 family ONLY, so the opt-in is guarded to it."""
     real = dedup_ngram_jaccard(spark, sf_dir, hash_family, collapse=True)
     if not sentinel:
         return real
+    if hash_family != ORACLE_HASH_FAMILY:
+        raise ValueError(
+            "sentinel corpus is pinned under the md5 hash family only "
+            f"(X/Y no-shared-band searched offline); got {hash_family!r}"
+        )
     return (
         real.unionByName(_sentinel_collapsed_pairs(spark, hash_family))
         .orderBy("doc_a", "doc_b")
@@ -1995,13 +2003,15 @@ SELECT doc_id, doc_id % {STREAM_NBATCH} AS batch FROM ({_duck_stream_kept_union(
 ST_STREAM_NEARDUP_SQL = _duck_stream_neardup_sql()
 
 
-def _oracle_mode(fn):
+def _oracle_mode(fn, **extra):
     """Registry binding: the driver value-checks against DuckDB, which
     can only recompute the md5 family — pin it explicitly. Library
-    callers hitting the functions directly get DEFAULT_HASH_FAMILY."""
+    callers hitting the functions directly get DEFAULT_HASH_FAMILY.
+    ``extra`` kwargs are registry-only opt-ins (e.g. the collapsed
+    entry's ``sentinel=True``)."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(spark, sf_dir, hash_family=ORACLE_HASH_FAMILY)
+        return fn(spark, sf_dir, hash_family=ORACLE_HASH_FAMILY, **extra)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
@@ -2031,7 +2041,7 @@ QUERIES = {
         "(the replica-dense-corpus policy)",
     ),
     "dedup_jaccard_collapsed": QueryDef(
-        _oracle_mode(dedup_jaccard_collapsed),
+        _oracle_mode(dedup_jaccard_collapsed, sentinel=True),
         DEDUP_JACCARD_COLLAPSED_SQL,
         f"Jaccard >= {JACCARD_T} among near-dup cluster keepers "
         "(the replica-dense-corpus policy, symmetric form)",

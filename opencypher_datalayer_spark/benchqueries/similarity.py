@@ -1243,9 +1243,16 @@ def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .localCheckpoint()  # bounded (~emitted-pair scale); reused twice below
     )
+    # ONE collect for both endpoint sets (ADVICE r12: two separate
+    # distinct collects were two extra Spark jobs of pure fixed
+    # overhead in a path tuned for job count)
     cand_ids = sorted(
-        {r.doc_a for r in cand.select("doc_a").distinct().collect()}
-        | {r.doc_b for r in cand.select("doc_b").distinct().collect()}
+        r.d
+        for r in cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .collect()
     )
     if not cand_ids:
         return cand

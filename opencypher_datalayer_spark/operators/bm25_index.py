@@ -222,7 +222,13 @@ def write_bm25_index(
         "bucket"
     ).parquet(os.path.join(out_dir, BLOCKS))
     corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
-    _write_meta(out_dir, dict(meta_extra or {}))
+    # generation counters (see generations()/postings_generations()):
+    # a fresh build is one corpus row and one postings file chain, so
+    # the advisory signal starts at 1 without a job
+    _write_meta(
+        out_dir,
+        {**dict(meta_extra or {}), "generations": 1, "postings_generations": 1},
+    )
 
 
 # Explicit read schemas: a zero-row build (e.g. every document empty)
@@ -320,7 +326,18 @@ def extend_bm25_index(
         corpus_row(docs_new, post).write.mode("append").parquet(
             os.path.join(tmp, CORPUS)
         )
-        _write_meta(tmp, _merged_meta(index_meta(tmp), meta_extra))
+        # tmp is relinked from the CURRENT version (the CAS winner's on
+        # a retry), so its meta carries the up-to-date counter; this
+        # extension appends exactly one corpus row on top of it. A
+        # pre-counter base stays counter-less (generations() falls back
+        # to the corpus count) — upgrading it here would cost the very
+        # Spark job the counter exists to avoid.
+        base_meta = index_meta(tmp)
+        merged = _merged_meta(base_meta, meta_extra)
+        for counter in ("generations", "postings_generations"):
+            if counter in base_meta:
+                merged[counter] = int(base_meta[counter]) + 1
+        _write_meta(tmp, merged)
 
     return store.commit_extension(kind, key, build)
 
@@ -343,7 +360,20 @@ def _merged_meta(base_meta: dict, meta_extra: dict | None) -> dict:
 def generations(spark: SparkSession, adir: str) -> int:
     """How many stats/corpus delta generations the probe must sum —
     one per extension since the last compact (the corpus frame holds
-    exactly one row per build/extend batch)."""
+    exactly one row per build/extend batch).
+
+    O(1) for counter-carrying indexes: build/extend/compact stamp a
+    ``generations`` counter into ``meta.json`` (write=1, extend=+1,
+    compact resets to 1 — each mutation's delta is exactly one corpus
+    row by construction), so the advisory signal is a meta read, never
+    a Spark job — the clean-ingest sink polls it per epoch and a
+    corpus ``count()`` there serialized a full read+count job into the
+    streaming hot path (r12's one bench regression, 14.7 -> 16.3 s).
+    Pre-counter indexes (no ``generations`` key) fall back to the
+    corpus-frame count."""
+    m = index_meta(adir)
+    if "generations" in m:
+        return int(m["generations"])
     return read_bm25_index(spark, adir)[CORPUS].count()
 
 
@@ -363,18 +393,68 @@ def needs_compact(spark: SparkSession, adir: str) -> bool:
     return generations(spark, adir) >= COMPACT_GENERATIONS
 
 
+# Postings-side fragmentation boundary: the DEFAULT compact is
+# O(stats) and hard-links the postings tree untouched, so postings
+# files keep accumulating one-per-touched-bucket-per-extension across
+# stats-only compacts. MEASURED (r12 drift corpus): probe flat through
+# 16 postings generations, +78% at 32, and merge_postings=True
+# recovers 6.21 -> 2.11 s at 128 — so the advisory recommends the
+# O(corpus) full merge once the postings-file chain crosses the
+# inflection, not on every stats compact.
+MERGE_POSTINGS_GENERATIONS = 32
+
+
+def postings_generations(spark: SparkSession, adir: str) -> int:
+    """How many extension generations the POSTINGS tree spans — reset
+    only by a ``merge_postings=True`` compact (a stats-only compact
+    hard-links the fragmented tree). O(1) via the meta counter;
+    pre-counter indexes estimate it by the stats generation count
+    (exact unless a legacy stats-only compact already ran — legacy
+    degrade, documented)."""
+    m = index_meta(adir)
+    if "postings_generations" in m:
+        return int(m["postings_generations"])
+    return generations(spark, adir)
+
+
 def compact_signal(spark: SparkSession, adir: str) -> dict:
-    """Advisory compact signal of a standing BM25 index version — the
-    measured probe-cost trigger (see ``COMPACT_GENERATIONS``), shaped
-    like ``vector_index.needs_compact``'s dict so streaming sinks
-    surface both families uniformly. One bounded read (the corpus
-    delta frame: one row per build/extend batch)."""
+    """Advisory maintenance signal of a standing BM25 index version —
+    the measured probe-cost triggers (``COMPACT_GENERATIONS`` for the
+    O(stats) delta merge, ``MERGE_POSTINGS_GENERATIONS`` for the
+    O(corpus) postings full-merge), shaped like
+    ``vector_index.needs_compact``'s dict so streaming sinks surface
+    both families uniformly. O(1) for counter-carrying indexes (one
+    meta.json read, NO Spark job — the clean-ingest sink refreshes it
+    per committed epoch)."""
     g = generations(spark, adir)
+    pg = postings_generations(spark, adir)
     return {
         "generations": int(g),
         "generations_boundary": COMPACT_GENERATIONS,
         "compact_due": g >= COMPACT_GENERATIONS,
+        "postings_generations": int(pg),
+        "postings_generations_boundary": MERGE_POSTINGS_GENERATIONS,
+        "merge_postings_due": pg >= MERGE_POSTINGS_GENERATIONS,
     }
+
+
+def maintain_bm25_index(spark: SparkSession, store, kind: str, key: tuple) -> dict | None:
+    """Poll the advisory and run whatever maintenance it recommends —
+    the deployment loop's one-call answer (the r12 cliff was measured
+    but the full merge was manual opt-in; this wires the trigger).
+    Returns the PRE-maintenance signal (None if nothing committed
+    yet): ``merge_postings_due`` runs the O(corpus) full merge (which
+    also merges stats, so it subsumes ``compact_due``); else
+    ``compact_due`` runs the O(stats) delta merge; else no-op."""
+    cur = store.current_dir(kind, key)
+    if cur is None:
+        return None
+    sig = compact_signal(spark, cur)
+    if sig["merge_postings_due"]:
+        compact_bm25_index(spark, store, kind, key, merge_postings=True)
+    elif sig["compact_due"]:
+        compact_bm25_index(spark, store, kind, key)
+    return sig
 
 
 def compact_bm25_index(
@@ -441,6 +521,13 @@ def compact_bm25_index(
         )
         meta = index_meta(cur)  # carry the replay marker over — compacting
         # mid-stream must never reopen a committed epoch's replay window
+        # Counters: stats/corpus deltas merge to single rows either way
+        # (generations=1); the postings chain resets only on the full
+        # merge — a stats-only compact hard-links the fragmented tree,
+        # so its counter carries over (pre-counter base: one corpus
+        # count in this offline path upgrades it to a counter).
+        pg = 1 if merge_postings else postings_generations(spark, cur)
+        meta = {**meta, "generations": 1, "postings_generations": pg}
         post_merged = (
             frames[POSTINGS].localCheckpoint() if merge_postings else None
         )
@@ -703,8 +790,8 @@ def _block_admit_predicate(
         ):
             conds.append(F.col("tok") == F.lit(t))  # not worth a predicate
             continue
-        skipped = True
         if not admitted:
+            skipped = True
             continue  # no block of t can reach any theta: drop t entirely
         merged = [list(admitted[0])]
         for lo, hi in admitted[1:]:
@@ -714,7 +801,11 @@ def _block_admit_predicate(
                 merged.append([lo, hi])
         if len(merged) > BM25_BLOCKMAX_RANGES_MAX:
             conds.append(F.col("tok") == F.lit(t))
-            continue
+            continue  # reverted to full-admit: excludes nothing, so it
+            # must NOT count as a skip (ADVICE r12: skipped=True here
+            # sent bm25_topk down the block path with an all-admitting
+            # predicate — correct but strictly more work than MaxScore)
+        skipped = True
         rng = F.expr(
             " OR ".join(f"doc_id BETWEEN {lo}L AND {hi}L" for lo, hi in merged)
         )

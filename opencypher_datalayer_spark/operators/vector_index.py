@@ -730,9 +730,6 @@ def ivf_pruned_topk(
         from pyspark.sql import Window as _W
 
         probes_df = local_df(spark, probe_pairs, "q_id long, cell long")
-        qside = probes_df.join(
-            queries.select("q_id", "qv", "qn", *match_cols), "q_id"
-        )
         candf = spark.read.parquet(vectors_path).where(
             F.col("cell").isin(admitted)
         ).select(
@@ -742,8 +739,20 @@ def ivf_pruned_topk(
             F.col("nrm").alias("cn2"),
             *[F.col(c).alias(f"c_{c}") for c in match_cols],
         )
-        joined = F.broadcast(qside).join(candf, "cell").where(
-            F.col("q_id") != F.col("c_id")
+        # two SEPARATE broadcasts (ADVICE r12): the (q_id, cell) admit
+        # pairs (pure ints) gate the scan first, then each query VECTOR
+        # joins in exactly once by q_id — the fused probes-join-queries
+        # side duplicated every query vector nprobe times, growing that
+        # broadcast as n_queries x nprobe x dim at the production
+        # operating point (nprobe ~344, d=256)
+        joined = (
+            F.broadcast(probes_df)
+            .join(candf, "cell")
+            .join(
+                F.broadcast(queries.select("q_id", "qv", "qn", *match_cols)),
+                "q_id",
+            )
+            .where(F.col("q_id") != F.col("c_id"))
         )
         for c in match_cols:
             joined = joined.where(F.col(c) == F.col(f"c_{c}"))

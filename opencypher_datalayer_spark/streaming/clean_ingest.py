@@ -44,6 +44,7 @@ from opencypher_datalayer_spark.operators.bm25_index import (
     compact_signal,
     extend_bm25_index,
     index_meta,
+    maintain_bm25_index,
     write_bm25_index,
 )
 from opencypher_datalayer_spark.operators.textkit import quality_floor
@@ -83,7 +84,10 @@ class StreamingCleanIngest:
         # (bm25_index.compact_signal — the measured generation-growth
         # trigger); a deployment polls this to schedule the offline
         # compact_bm25_index merge instead of discovering the drift in
-        # its probe latency (the vector sink's idiom)
+        # its probe latency (the vector sink's idiom). O(1): the
+        # builders stamp generation counters into meta.json, so the
+        # refresh is a meta read — NO Spark job in the epoch hot path
+        # (the eager corpus count here was r12's one bench regression).
         self.last_compact_signal: dict | None = None
 
     def apply(self, batch: DataFrame, epoch_id: int) -> None:
@@ -139,9 +143,21 @@ class StreamingCleanIngest:
     def compact_signal(self) -> dict | None:
         """``bm25_index.compact_signal`` of the CURRENT index version
         (None before the first commit). Also refreshed automatically
-        after every committed epoch into ``last_compact_signal``."""
+        after every committed epoch into ``last_compact_signal`` —
+        O(1) meta-counter read, never a Spark job."""
         cur = self.store.current_dir(self.kind, self.key)
         return None if cur is None else compact_signal(self.spark, cur)
+
+    def maintain_if_due(self) -> dict | None:
+        """Run whatever maintenance the advisory recommends
+        (``bm25_index.maintain_bm25_index``: postings full-merge past
+        the measured 32-generation cliff, else the O(stats) delta
+        compact past 16) and return the pre-maintenance signal. The
+        deployment's poll loop calls this BETWEEN epochs — probe
+        latency then stays flat through arbitrarily long extension
+        chains without manual intervention (the r12 cliff:
+        flat <=16 generations, +78% at 32)."""
+        return maintain_bm25_index(self.spark, self.store, self.kind, self.key)
 
     def kept(self) -> DataFrame:
         return self.filter.kept()

@@ -174,6 +174,66 @@ def test_merged_meta_marker_is_monotonic():
     assert _merged_meta({"a": 1}, {"b": 2}) == {"a": 1, "b": 2}
 
 
+def test_generation_counters_match_ground_truth(spark, tmp_path):
+    """The O(1) meta counters (r12 weak #1 fix) track the REAL delta
+    chain exactly: build=1/1, each extension +1/+1, the stats-only
+    compact resets generations but carries postings_generations, the
+    full merge resets both. Ground truth = the corpus delta frame's
+    row count (one row per build/extend batch)."""
+    from opencypher_datalayer_spark.operators.bm25_index import (
+        CORPUS as CORPUS_FRAME,
+        postings_generations,
+    )
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    for i in range(2):
+        extend_bm25_index(
+            spark, store, KIND, ("a",), _docs(spark, [(100 + i, "quick extra doc")])
+        )
+    adir = store.current_dir(KIND, ("a",))
+    m = index_meta(adir)
+    assert m["generations"] == 3 and m["postings_generations"] == 3
+    assert read_bm25_index(spark, adir)[CORPUS_FRAME].count() == 3  # ground truth
+    compact_bm25_index(spark, store, KIND, ("a",))  # stats-only
+    adir = store.current_dir(KIND, ("a",))
+    assert index_meta(adir)["generations"] == 1
+    assert index_meta(adir)["postings_generations"] == 3  # tree still fragmented
+    extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, [(300, "more quick")]))
+    adir = store.current_dir(KIND, ("a",))
+    assert index_meta(adir)["generations"] == 2
+    assert index_meta(adir)["postings_generations"] == 4
+    compact_bm25_index(spark, store, KIND, ("a",), merge_postings=True)
+    adir = store.current_dir(KIND, ("a",))
+    assert generations(spark, adir) == 1 and postings_generations(spark, adir) == 1
+
+
+def test_generations_fallback_on_precounter_meta(spark, tmp_path):
+    """A pre-counter index (meta without the counters — long-lived
+    streaming keys) still answers the advisory correctly via the
+    corpus-frame count."""
+    import json
+    import os
+
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
+    extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, BATCH))
+    adir = store.current_dir(KIND, ("a",))
+    m = index_meta(adir)
+    m.pop("generations"), m.pop("postings_generations")
+    with open(os.path.join(adir, "meta.json"), "w") as f:
+        json.dump(m, f)
+    assert generations(spark, adir) == 2  # corpus-count fallback
+    from opencypher_datalayer_spark.operators.bm25_index import compact_signal
+
+    sig = compact_signal(spark, adir)
+    assert sig["generations"] == 2 and sig["postings_generations"] == 2
+    # the offline compact path upgrades a legacy index to counters
+    compact_bm25_index(spark, store, KIND, ("a",))
+    m2 = index_meta(store.current_dir(KIND, ("a",)))
+    assert m2["generations"] == 1 and m2["postings_generations"] == 2
+
+
 def test_needs_compact_is_generation_advisory(spark, tmp_path):
     store = ArtifactStore(str(tmp_path))
     store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS), t))
@@ -309,6 +369,52 @@ def test_log_idf_variant_ranks(spark, tmp_path):
         bm25_scores(spark, store.current_dir(KIND, ("a",)), _queries(spark), idf="bad")
 
 
+def _hot_blockadmit_args(spark, adir, q):
+    """White-box preamble shared by the block-max tests: the probe ctx
+    plus the exact ``_block_admit_predicate`` argument tuple for the
+    single-essential-'hot'-term query over the skewed corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    ctx = bm._ProbeCtx(spark, adir, q)
+    idf = bm._idf_expr(float(ctx.n_docs))
+    stats_q = (
+        ctx.pruned(ctx.frames[bm.STATS])
+        .groupBy("tok")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .withColumn(
+            "u", bm._ti_expr(idf, F.col("max_tf"), F.col("min_dl"), ctx.avgdl)
+        )
+        .collect()
+    )
+    u_of = {r.tok: (int(r.u), int(r.df)) for r in stats_q}
+    seed_rows = (
+        ctx.pruned(ctx.frames[bm.POSTINGS], ["hot"])
+        .where(F.col("doc_id") != 9999)
+        .withColumn("df", F.lit(u_of["hot"][1]))
+        .withColumn("ti", bm._ti_expr(idf, F.col("tf"), F.col("dl"), ctx.avgdl))
+    )
+    theta_rows = (
+        seed_rows.withColumn("rk", F.row_number().over(
+            Window.orderBy(F.col("ti").desc(), F.col("doc_id").asc())
+        ))
+        .where(F.col("rk") == 5)
+        .collect()
+    )
+    theta = {9999: int(theta_rows[0].ti)}
+    args = (
+        ctx, [(9999, "hot", u_of["hot"][1])], {9999: ["hot"]}, u_of, theta,
+        float(ctx.n_docs), ctx.avgdl, bm.K1, bm.B,
+    )
+    return ctx, args
+
+
 def test_blockmax_skips_low_impact_blocks_of_essential_term(
     spark, tmp_path, monkeypatch
 ):
@@ -366,40 +472,8 @@ def test_blockmax_skips_low_impact_blocks_of_essential_term(
 
     # white-box: the predicate skips blocks and its doc_id ranges reach
     # the parquet scan as pushed-down filters
-    ctx = bm._ProbeCtx(spark, adir, q)
-    idf = bm._idf_expr(float(ctx.n_docs))
-    stats_q = (
-        ctx.pruned(ctx.frames[bm.STATS])
-        .groupBy("tok")
-        .agg(
-            F.sum("df").alias("df"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
-        )
-        .withColumn(
-            "u", bm._ti_expr(idf, F.col("max_tf"), F.col("min_dl"), ctx.avgdl)
-        )
-        .collect()
-    )
-    u_of = {r.tok: (int(r.u), int(r.df)) for r in stats_q}
-    seed_rows = (
-        ctx.pruned(ctx.frames[bm.POSTINGS], ["hot"])
-        .where(F.col("doc_id") != 9999)
-        .withColumn("df", F.lit(u_of["hot"][1]))
-        .withColumn("ti", bm._ti_expr(idf, F.col("tf"), F.col("dl"), ctx.avgdl))
-    )
-    theta_rows = (
-        seed_rows.withColumn("rk", F.row_number().over(
-            Window.orderBy(F.col("ti").desc(), F.col("doc_id").asc())
-        ))
-        .where(F.col("rk") == 5)
-        .collect()
-    )
-    theta = {9999: int(theta_rows[0].ti)}
-    pred, skipped = bm._block_admit_predicate(
-        ctx, [(9999, "hot", u_of["hot"][1])], {9999: ["hot"]}, u_of, theta,
-        float(ctx.n_docs), ctx.avgdl, bm.K1, bm.B,
-    )
+    ctx, args = _hot_blockadmit_args(spark, adir, q)
+    pred, skipped = bm._block_admit_predicate(*args)
     assert skipped and pred is not None
     scan = ctx.pruned(ctx.frames[bm.POSTINGS], ["hot"]).where(pred)
     assert scan.count() < 3000  # blocks genuinely skipped
@@ -423,6 +497,35 @@ def test_blockmax_skips_low_impact_blocks_of_essential_term(
         .collect()
     ]
     assert got2 == want
+
+
+def test_blockmax_ranges_cap_revert_counts_as_no_skip(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: a term whose admitted blocks exceed
+    ``BM25_BLOCKMAX_RANGES_MAX`` reverts to full-admit — that revert
+    excludes NOTHING, so it must not flag the phase as having skipped
+    (the all-admitting predicate sent bm25_topk down the strictly-
+    more-work block path). Same corpus/query as the skip test, which
+    genuinely skips at the default cap; with the cap forced to 0 every
+    term reverts and the predicate must come back (None, False)."""
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    monkeypatch.setattr(bm, "BM25_BLOCK", 64)
+    rows = [
+        (i, "hot " * 20) if i < 48 else (i, "hot " + "pad " * 60)
+        for i in range(3000)
+    ]
+    store = ArtifactStore(str(tmp_path))
+    store.commit(KIND, ("bm",), lambda t: write_bm25_index(_docs(spark, rows), t))
+    adir = store.current_dir(KIND, ("bm",))
+    q = spark.createDataFrame([(9999, ["hot"])], "q_id bigint, toks array<string>")
+    _, args = _hot_blockadmit_args(spark, adir, q)
+    pred, skipped = bm._block_admit_predicate(*args)
+    assert skipped and pred is not None  # sanity: default cap skips
+    monkeypatch.setattr(bm, "BM25_BLOCKMAX_RANGES_MAX", 0)
+    pred0, skipped0 = bm._block_admit_predicate(*args)
+    assert pred0 is None and not skipped0
 
 
 def test_blockmax_stays_exact_over_extended_index(spark, tmp_path, monkeypatch):

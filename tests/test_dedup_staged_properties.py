@@ -267,18 +267,26 @@ def test_jaccard_collapsed_registry_entry_nonzero_and_oracle_green(spark):
     sf = "/root/testdata/sf0.001"
     got = [
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in dedup.dedup_jaccard_collapsed(spark, sf, hash_family="md5").collect()
+        for r in dedup.QUERIES["dedup_jaccard_collapsed"]
+        .fn(spark, sf)
+        .collect()
     ]
     assert dedup.SENTINEL_SURVIVOR in got and len(got) >= 1
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     want = [tuple(r) for r in con.sql(dedup.DEDUP_JACCARD_COLLAPSED_SQL).fetchall()]
     assert got == want
-    # the pure policy (sentinel=False) stays untouched by the sentinel
-    pure = dedup.dedup_jaccard_collapsed(
-        spark, sf, hash_family="md5", sentinel=False
-    ).collect()
+    # the pure policy — and the library DEFAULT (ADVICE r12: callers
+    # must never get synthetic docs mixed into real dedup output) —
+    # stays untouched by the sentinel
+    pure = dedup.dedup_jaccard_collapsed(spark, sf, hash_family="md5").collect()
     assert dedup.SENTINEL_SURVIVOR not in {(r.doc_a, r.doc_b, r.jaccard) for r in pure}
+    # the opt-in is pinned to the md5 family (X/Y no-shared-band was
+    # searched offline under md5 only)
+    with pytest.raises(ValueError, match="md5"):
+        dedup.dedup_jaccard_collapsed(
+            spark, sf, hash_family="xxhash64", sentinel=True
+        )
 
 
 def test_staged_verify_matches_naive_above_broadcast_gates(

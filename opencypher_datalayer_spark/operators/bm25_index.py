@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -103,14 +104,22 @@ def postings_for(docs: DataFrame) -> DataFrame:
     from opencypher_datalayer_spark.operators.scale import rebalance_for_inflation
 
     docs = rebalance_for_inflation(docs, work_per_row=WORK_TOKENIZE)
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
+    # dl (document length) is size(tokens) — computable BEFORE the
+    # explode, so it rides the tf groupBy as a grouping constant
+    # instead of a second full shuffle (the old sum(tf) OVER doc_id
+    # window; one shuffle saved on every build/extension, measured as
+    # real per-epoch cost in st_stream_clean_ingest)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    return (
+        toks.select(
+            "doc_id",
+            F.size("ts").cast("long").alias("dl"),
+            F.explode("ts").alias("tok"),
+        )
+        .groupBy("doc_id", "tok", "dl")
         .agg(F.count("*").alias("tf"))
-    )
-    dl = Window.partitionBy("doc_id")
-    return tf.withColumn("dl", F.sum("tf").over(dl)).withColumn(
-        "bucket", bucket_of(F.col("tok"))
+        .select("doc_id", "tok", "tf", "dl")
+        .withColumn("bucket", bucket_of(F.col("tok")))
     )
 
 
@@ -203,25 +212,44 @@ def write_bm25_index(
     docs: DataFrame, out_dir: str, meta_extra: dict | None = None
 ) -> None:
     """Materialize the index for ``docs`` (``doc_id``, ``text``) under
-    an artifact version dir. The postings lineage is checkpointed once
-    — the stats aggregation and corpus row derive from it instead of
-    re-running the tokenize/explode per output (a build paid the whole
-    pass three times before)."""
-    post = postings_for(docs).localCheckpoint()
+    an artifact version dir. The tokenize/explode pass runs ONCE — the
+    postings write materializes it, and the stats/blocks aggregations
+    and corpus row derive from the written parquet's read-back instead
+    of re-running the pass per output (a build paid the whole pass
+    three times before; the read-back also replaces a localCheckpoint
+    job, and at scale a parquet scan of what was just written beats
+    re-materializing it to executor-local disk)."""
     # (tok, doc_id)-sorted row groups: the probe pushes `tok IN (query
     # terms)` into the scan, so parquet footer stats skip every row
     # group holding only other terms' postings — the posting-list
     # locality of a real inverted index, in parquet form
-    post.sortWithinPartitions("bucket", "tok", "doc_id").write.partitionBy(
-        "bucket"
-    ).parquet(os.path.join(out_dir, POSTINGS))
-    stats_for(post).sortWithinPartitions("bucket", "tok").write.partitionBy(
-        "bucket"
-    ).parquet(os.path.join(out_dir, STATS))
-    blocks_for(post).sortWithinPartitions("bucket", "tok", "min_doc").write.partitionBy(
-        "bucket"
-    ).parquet(os.path.join(out_dir, BLOCKS))
-    corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
+    postings_for(docs).sortWithinPartitions(
+        "bucket", "tok", "doc_id"
+    ).write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
+    if _tree_bytes(os.path.join(out_dir, POSTINGS)) <= EXTEND_DRIVER_STATS_MAX_BYTES:
+        # MB-scale corpus (a streaming bootstrap epoch, a test fixture):
+        # derive stats/blocks/corpus driver-side with exact pandas int
+        # aggregation — one Spark job total instead of four (see
+        # EXTEND_DRIVER_STATS_MAX_BYTES; equivalence pinned by
+        # tests/test_bm25.py::test_driver_side_*)
+        _driver_stats_corpus(
+            os.path.join(out_dir, POSTINGS),
+            out_dir,
+            docs.count(),
+            want_blocks=True,
+            fine_blocks=True,
+        )
+    else:
+        post = docs.sparkSession.read.schema(_POSTINGS_SCHEMA).parquet(
+            os.path.join(out_dir, POSTINGS)
+        )
+        stats_for(post).sortWithinPartitions("bucket", "tok").write.partitionBy(
+            "bucket"
+        ).parquet(os.path.join(out_dir, STATS))
+        blocks_for(post).sortWithinPartitions(
+            "bucket", "tok", "min_doc"
+        ).write.partitionBy("bucket").parquet(os.path.join(out_dir, BLOCKS))
+        corpus_row(docs, post).write.parquet(os.path.join(out_dir, CORPUS))
     # generation counters (see generations()/postings_generations()):
     # a fresh build is one corpus row and one postings file chain, so
     # the advisory signal starts at 1 without a job
@@ -261,6 +289,178 @@ def read_bm25_index(spark: SparkSession, adir: str) -> dict[str, DataFrame]:
     return frames
 
 
+def _adopt_scratch(scratch: str, dst_roots: list[str]) -> None:
+    """Move a scratch write's parquet files into one version-tree dir
+    (and hard-link them into any further ones) preserving the bucket
+    sub-layout — the append analog without a second Spark write job.
+    Spark part- filenames are job-unique, so nothing collides with the
+    hard-linked base generations' files."""
+    first, rest = dst_roots[0], dst_roots[1:]
+    for dp, _, fs in os.walk(scratch):
+        rel = os.path.relpath(dp, scratch)
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(dp, f)
+            for root in rest:
+                d = root if rel == "." else os.path.join(root, rel)
+                os.makedirs(d, exist_ok=True)
+                os.link(src, os.path.join(d, f))
+            d = first if rel == "." else os.path.join(first, rel)
+            os.makedirs(d, exist_ok=True)
+            os.rename(src, os.path.join(d, f))
+    shutil.rmtree(scratch)
+
+
+# Scratch-postings byte size up to which an extension derives its
+# stats/blocks/corpus deltas DRIVER-SIDE from the just-written scratch
+# parquet (pyarrow read + pandas groupby + pyarrow write — exact int
+# aggregation, zero extra Spark jobs) instead of two more Spark write
+# jobs. A streaming epoch batch is MB-scale — three distributed jobs
+# of fixed ~0.4 s scheduling overhead each were the dominant epoch
+# cost in st_stream_clean_ingest; above the cap (a bulk backfill) the
+# Spark path runs unchanged.
+EXTEND_DRIVER_STATS_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _driver_stats_corpus(
+    scratch: str,
+    tmp: str,
+    n_docs: int,
+    want_blocks: bool,
+    fine_blocks: bool = False,
+) -> None:
+    """Driver-side twin of the stats+blocks+corpus writes: the same
+    per-term (df, max_tf, min_dl) / per-block and batch (n_docs,
+    sum_dl) aggregates — integer, hence bit-identical to the Spark
+    aggregation — computed with pandas from the written postings and
+    written with pyarrow straight into the version tree.
+
+    ``fine_blocks=False`` is the EXTENSION shape: one coarse block per
+    term covering the batch's doc_id range, carried as extra columns
+    of a single combined file hard-linked into both stats/ and
+    blocks/. ``fine_blocks=True`` is the FULL-BUILD shape: blocks
+    chunked every ``BM25_BLOCK`` doc_id-sorted postings per term (the
+    exact ``blocks_for`` semantics), written as separate files."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(tbl: pa.Table, root: str, name: str, link_roots=()):
+        fname = f"part-00000-{uuid.uuid4().hex}-c000.snappy.parquet"
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, fname))
+        for lr in link_roots:
+            ld = os.path.join(lr, name)
+            os.makedirs(ld, exist_ok=True)
+            os.link(os.path.join(d, fname), os.path.join(ld, fname))
+
+    block = BM25_BLOCK  # call-time module global (tests shrink it)
+    sum_dl = 0
+    for name in sorted(os.listdir(scratch)) if os.path.isdir(scratch) else []:
+        if not name.startswith("bucket="):
+            continue
+        bdir = os.path.join(scratch, name)
+        pdf = pq.read_table(bdir, columns=["tok", "doc_id", "tf", "dl"]).to_pandas()
+        if not len(pdf):
+            continue
+        sum_dl += int(pdf["tf"].sum())
+        g = (
+            pdf.groupby("tok", sort=True)
+            .agg(
+                df=("tf", "size"),
+                max_tf=("tf", "max"),
+                min_dl=("dl", "min"),
+                min_doc=("doc_id", "min"),
+                max_doc=("doc_id", "max"),
+            )
+            .reset_index()
+        )
+        ints = pa.int64()
+        if not fine_blocks:
+            _write(
+                pa.table(
+                    {
+                        "tok": pa.array(g["tok"], pa.string()),
+                        "df": pa.array(g["df"], ints),
+                        "max_tf": pa.array(g["max_tf"], ints),
+                        "min_dl": pa.array(g["min_dl"], ints),
+                        "bmax_tf": pa.array(g["max_tf"], ints),
+                        "bmin_dl": pa.array(g["min_dl"], ints),
+                        "min_doc": pa.array(g["min_doc"], ints),
+                        "max_doc": pa.array(g["max_doc"], ints),
+                    }
+                ),
+                os.path.join(tmp, STATS),
+                name,
+                link_roots=[os.path.join(tmp, BLOCKS)] if want_blocks else (),
+            )
+            continue
+        _write(
+            pa.table(
+                {
+                    "tok": pa.array(g["tok"], pa.string()),
+                    "df": pa.array(g["df"], ints),
+                    "max_tf": pa.array(g["max_tf"], ints),
+                    "min_dl": pa.array(g["min_dl"], ints),
+                }
+            ),
+            os.path.join(tmp, STATS),
+            name,
+        )
+        if want_blocks:
+            pdf = pdf.sort_values(
+                ["tok", "doc_id"], kind="mergesort"
+            ).reset_index(drop=True)
+            pdf["blk"] = pdf.groupby("tok").cumcount() // block
+            b = (
+                pdf.groupby(["tok", "blk"], sort=True)
+                .agg(
+                    min_doc=("doc_id", "min"),
+                    max_doc=("doc_id", "max"),
+                    bmax_tf=("tf", "max"),
+                    bmin_dl=("dl", "min"),
+                )
+                .reset_index()
+                .sort_values(["tok", "min_doc"], kind="mergesort")
+            )
+            _write(
+                pa.table(
+                    {
+                        "tok": pa.array(b["tok"], pa.string()),
+                        "min_doc": pa.array(b["min_doc"], ints),
+                        "max_doc": pa.array(b["max_doc"], ints),
+                        "bmax_tf": pa.array(b["bmax_tf"], ints),
+                        "bmin_dl": pa.array(b["bmin_dl"], ints),
+                    }
+                ),
+                os.path.join(tmp, BLOCKS),
+                name,
+            )
+    crow = pa.table(
+        {
+            "n_docs": pa.array([int(n_docs)], pa.int64()),
+            "sum_dl": pa.array([sum_dl], pa.int64()),
+        }
+    )
+    cdir = os.path.join(tmp, CORPUS)
+    os.makedirs(cdir, exist_ok=True)
+    pq.write_table(
+        crow,
+        os.path.join(cdir, f"part-00000-{uuid.uuid4().hex}-c000.snappy.parquet"),
+    )
+
+
+def _tree_bytes(root: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+    )
+
+
 def extend_bm25_index(
     spark: SparkSession,
     store,
@@ -268,6 +468,7 @@ def extend_bm25_index(
     key: tuple,
     docs_new: DataFrame,
     meta_extra: dict | None = None,
+    n_docs: int | None = None,
 ) -> str:
     """Append a NEW batch (doc_ids disjoint from the standing corpus —
     the caller's contract, same as every standing artifact) as a new
@@ -276,56 +477,83 @@ def extend_bm25_index(
     full rebuild over the grown corpus (pinned by
     ``tests/test_bm25.py``). O(batch) per ingest. ``meta_extra``
     merges into the version's ``meta.json`` atomically with the commit
-    (streaming replay markers)."""
+    (streaming replay markers). ``n_docs`` is the batch's document
+    count INCLUDING token-less docs when the caller already knows it
+    (the streaming sink does) — it saves the one count job the
+    driver-side small-batch path otherwise runs."""
 
     def build(tmp: str) -> None:
-        post = postings_for(docs_new).localCheckpoint()  # one tokenize pass
-        post.sortWithinPartitions("bucket", "tok", "doc_id").write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(os.path.join(tmp, POSTINGS))
-        # stats AND the batch's block bounds from ONE per-term agg —
-        # extensions record one block per (tok, batch) covering the
-        # batch's full doc_id range (sound: every batch row is covered
-        # and the bounds are the batch's max_tf/min_dl; coarser than
-        # the base build's BM25_BLOCK chunks, but an epoch batch's
-        # skipping value is negligible while the full-build path's
-        # per-tok Window shuffle measured as real per-epoch cost in
-        # st_stream_clean_ingest)
-        agg = (
-            post.groupBy("tok")
-            .agg(
-                F.count("*").alias("df"),
-                F.max("tf").alias("max_tf"),
-                F.min("dl").alias("min_dl"),
-                F.min("doc_id").alias("min_doc"),
-                F.max("doc_id").alias("max_doc"),
+        # ONE tokenize pass, materialized as the batch's postings files
+        # in a scratch dir whose read-back feeds every derived write —
+        # the streaming hot path's JOB COUNT is the cost that matters
+        # over an MB-scale epoch batch (profiled in
+        # st_stream_clean_ingest): 3 write jobs per epoch now
+        # (postings, stats+blocks combined, corpus) where the r12 shape
+        # ran 6 (two localCheckpoints, four writes); the scratch files
+        # then MOVE into the version tree instead of a second write
+        scratch = os.path.join(tmp, "_batch_postings")
+        postings_for(docs_new).sortWithinPartitions(
+            "bucket", "tok", "doc_id"
+        ).write.partitionBy("bucket").parquet(scratch)
+        # blocks coverage must stay COMPLETE to be sound: the batch
+        # contributes block rows only when the (hard-linked) base has a
+        # blocks dir; a pre-block-max base stays block-less and the
+        # probe keeps term-level bounds. Extensions record one coarse
+        # block per (tok, batch) covering the batch's full doc_id range
+        # (sound: every batch row is covered and the bounds are the
+        # batch's max_tf/min_dl; an epoch batch's finer skipping value
+        # is negligible).
+        want_blocks = os.path.isdir(os.path.join(tmp, BLOCKS))
+        if _tree_bytes(scratch) <= EXTEND_DRIVER_STATS_MAX_BYTES:
+            # MB-scale batch: derive stats/blocks/corpus driver-side —
+            # zero further Spark jobs (see EXTEND_DRIVER_STATS_MAX_BYTES)
+            nd = docs_new.count() if n_docs is None else int(n_docs)
+            _driver_stats_corpus(scratch, tmp, nd, want_blocks)
+        else:
+            post = spark.read.schema(_POSTINGS_SCHEMA).parquet(scratch)
+            agg = (
+                post.groupBy("tok")
+                .agg(
+                    F.count("*").alias("df"),
+                    F.max("tf").alias("max_tf"),
+                    F.min("dl").alias("min_dl"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc"),
+                )
+                .withColumn("bucket", bucket_of(F.col("tok")))
             )
-            .withColumn("bucket", bucket_of(F.col("tok")))
-            .localCheckpoint()  # vocab-sized; feeds two writes
-        )
-        agg.select("tok", "df", "max_tf", "min_dl", "bucket").sortWithinPartitions(
-            "bucket", "tok"
-        ).write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(tmp, STATS)
-        )
-        if os.path.isdir(os.path.join(tmp, BLOCKS)):
-            # block coverage must stay COMPLETE to be sound: append the
-            # batch's blocks only when the (hard-linked) base has a
-            # blocks dir; a pre-block-max base stays block-less and the
-            # probe keeps term-level bounds
+            # stats + blocks from ONE WRITE JOB: every index read is
+            # explicit-schema (parquet projects columns), so the batch
+            # writes a single combined file per bucket carrying the
+            # stats columns AND the block-bound aliases, hard-linked
+            # into both dirs (the batch has exactly one block row per
+            # term, so the (bucket, tok) sort serves both layouts)
+            stats_scratch = os.path.join(tmp, "_batch_stats")
             agg.select(
                 "tok",
-                "min_doc",
-                "max_doc",
+                "df",
+                "max_tf",
+                "min_dl",
                 F.col("max_tf").alias("bmax_tf"),
                 F.col("min_dl").alias("bmin_dl"),
+                "min_doc",
+                "max_doc",
                 "bucket",
-            ).sortWithinPartitions("bucket", "tok", "min_doc").write.mode(
-                "append"
-            ).partitionBy("bucket").parquet(os.path.join(tmp, BLOCKS))
-        corpus_row(docs_new, post).write.mode("append").parquet(
-            os.path.join(tmp, CORPUS)
-        )
+            ).sortWithinPartitions("bucket", "tok").write.partitionBy(
+                "bucket"
+            ).parquet(stats_scratch)
+            _adopt_scratch(
+                stats_scratch,
+                [os.path.join(tmp, STATS)]
+                + ([os.path.join(tmp, BLOCKS)] if want_blocks else []),
+            )
+            corpus_row(docs_new, post).write.mode("append").parquet(
+                os.path.join(tmp, CORPUS)
+            )
+        # append the batch's postings by MOVING the scratch files into
+        # the version tree (same filesystem; spark part- names are
+        # job-unique, so no collision with the hard-linked base files)
+        _adopt_scratch(scratch, [os.path.join(tmp, POSTINGS)])
         # tmp is relinked from the CURRENT version (the CAS winner's on
         # a retry), so its meta carries the up-to-date counter; this
         # extension appends exactly one corpus row on top of it. A

@@ -71,7 +71,14 @@ TRAIN_CAP = 262144  # sample stride s = ceil(n / TRAIN_CAP)
 # scale the committed rule keeps the sf10-measured fraction of cells
 # (NPROBE_TAIL_NUM / NPROBE_TAIL_DEN), which the measured trend says
 # is an over-probe — rehearse before trusting a cheaper point.
-NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 21), (250_000, 86)]
+# The mid bracket was widened 21 -> 42 in r13 (VERDICT r12 watch #2):
+# at the sf0.1 corpus (2000 vectors) the mean sat EXACTLY on the 0.9
+# floor with min 0.8 — admission-bound, not rerank-bound (the float
+# probe at 21 scored 0.894; ivf_serving_plan's calibration) — and one
+# measured doubling buys mean/min 1.0/1.0 with margin (28/32 both
+# plateaued at 0.94/0.8; the bracket's corpora are small, so the wider
+# scan is cheap where it applies).
+NPROBE_STEPS: list[tuple[int, int]] = [(600, 7), (2500, 42), (250_000, 86)]
 NPROBE_TAIL_NUM, NPROBE_TAIL_DEN = 86, 3576
 
 

@@ -863,3 +863,166 @@ def ivf_pruned_topk(
         .select("q_id", "c_id", "cosine", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# -- serving-tier auto-selection (VERDICT r12 next #5) -------------------
+#
+# SCALE.md §ivf-sq8-d256 measured the split: the coded SQ8 two-stage
+# holds the 0.9 recall floor at rerank=20 on STRUCTURED tiers (planted
+# families, cos gaps >> the ~±0.04 coded-dot noise) but needs rerank in
+# the thousands on NOISE tiers (~0.005 gaps), where the float probe of
+# the admitted cells is the better plan. r12 shipped the knobs
+# (rerank=, coded=False); this makes tier selection a MEASURED call
+# instead of the caller's guess: calibrate once per index version
+# (offline — the ground-truth scan is a deliberate full pass, the
+# analog of compact), serve with the returned plan.
+
+IVF_TIER_SAMPLE = 64  # self-query sample for calibration
+IVF_TIER_RERANK_MAX = 640  # widest coded shortlist worth paying before
+# the float probe wins outright (SCALE.md: the noise tier needed ~5000)
+# calibration ladder: the committed operating point first, then two
+# measured widenings — read at call time so deployments (and tests)
+# can pin their own budget ladder
+IVF_TIER_RERANK_STEPS = (IVF_RERANK, IVF_RERANK * 8, IVF_TIER_RERANK_MAX)
+_TIER_PLAN_MEMO: dict = {}
+
+
+def ivf_serving_plan(
+    spark: SparkSession,
+    index_dir: str,
+    topk: int = 5,
+    floor: float = 0.9,
+    sample: int = IVF_TIER_SAMPLE,
+    match_cols: tuple = (),
+) -> dict:
+    """Measure the index's gap class and return the serving plan:
+    ``{"coded": bool, "rerank": int | None, "nprobe": int, ...}`` plus
+    the measured recalls behind the choice.
+
+    Procedure (all MEASURED, nothing assumed): ``sample`` corpus
+    vectors become self-queries; one exact full scan yields their true
+    top-``topk`` (the offline ground-truth cost — run this like
+    compaction, not per query); then (1) the float probe steps nprobe
+    x1/x2/x4/x8 from the size rule until ADMISSION recall (which the
+    float probe equals by construction) clears ``floor``, and (2) the
+    coded two-stage at that nprobe steps rerank 20/160/640 until it
+    clears ``floor`` — first hit wins (coded = fewer scan bytes); if
+    none does, the plan is the float probe (the noise-tier verdict).
+    Results memoized per (index_dir, topk, floor) — version dirs are
+    immutable."""
+    from pyspark.sql import Window
+
+    from opencypher_datalayer_spark.benchqueries.similarity import _dot
+
+    memo_key = (index_dir, int(topk), float(floor), int(sample))
+    if memo_key in _TIER_PLAN_MEMO:
+        return _TIER_PLAN_MEMO[memo_key]
+
+    vectors = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .select("vec_id", "v", "nrm")
+        .dropDuplicates(["vec_id"])
+    )
+    qdf = (
+        vectors.orderBy("vec_id")
+        .limit(int(sample))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .localCheckpoint()
+    )
+    # ground truth: exact cosine top-k by full scan (self excluded),
+    # same (cosine DESC, c_id ASC) 6dp tie rule as every probe
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    truth_rows = (
+        vectors.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= topk)
+        .select("q_id", "c_id")
+        .collect()
+    )
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(int(r.q_id), set()).add(int(r.c_id))
+    n_true = sum(len(v) for v in truth.values())
+
+    def recall(df: DataFrame) -> float:
+        hits = sum(
+            1 for r in df.collect() if int(r.c_id) in truth.get(int(r.q_id), ())
+        )
+        return hits / n_true if n_true else 1.0
+
+    ids, _cq = read_codebook(spark, index_dir)
+    n_corpus = vectors.count()
+    base_np = ivf_nprobe(int(n_corpus))
+    plan = {"topk": int(topk), "floor": float(floor), "steps": []}
+    nprobe, admit = base_np, 0.0
+    for mult in (1, 2, 4, 8):
+        nprobe = min(base_np * mult, len(ids))
+        admit = recall(
+            ivf_pruned_topk(
+                spark, index_dir, qdf, topk=topk, nprobe=nprobe,
+                coded=False, match_cols=match_cols,
+            )
+        )
+        plan["steps"].append({"nprobe": nprobe, "float_recall": round(admit, 4)})
+        if admit >= floor or nprobe >= len(ids):
+            break
+    for rr in IVF_TIER_RERANK_STEPS:
+        if rr >= n_corpus:
+            # a coded stage reranking >= the corpus re-reads everything
+            # the float probe reads PLUS the coded scan — strictly more
+            # work, never the right plan
+            continue
+        cr = recall(
+            ivf_pruned_topk(
+                spark, index_dir, qdf, topk=topk, nprobe=nprobe,
+                rerank=rr, coded=True, match_cols=match_cols,
+            )
+        )
+        plan["steps"].append({"nprobe": nprobe, "rerank": rr, "coded_recall": round(cr, 4)})
+        if cr >= floor:
+            plan.update(coded=True, rerank=rr, nprobe=nprobe, measured_recall=round(cr, 4))
+            break
+    else:
+        # noise tier: no affordable coded budget orders the gaps — serve
+        # the exact float scan of the admitted cells
+        plan.update(coded=False, rerank=None, nprobe=nprobe, measured_recall=round(admit, 4))
+    _TIER_PLAN_MEMO[memo_key] = plan
+    return plan
+
+
+def ivf_auto_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    match_cols: tuple = (),
+    plan: dict | None = None,
+) -> DataFrame:
+    """:func:`ivf_pruned_topk` behind the measured serving plan: the
+    calibrated (coded, rerank, nprobe) choice of
+    :func:`ivf_serving_plan` — family-tier corpora get the coded SQ8
+    two-stage, noise-tier corpora the float probe, both meeting the
+    calibration floor by measurement."""
+    plan = plan or ivf_serving_plan(spark, index_dir, topk=topk, match_cols=match_cols)
+    return ivf_pruned_topk(
+        spark,
+        index_dir,
+        queries,
+        topk=topk,
+        nprobe=plan["nprobe"],
+        rerank=plan["rerank"],
+        coded=plan["coded"],
+        match_cols=match_cols,
+    )

@@ -123,6 +123,7 @@ class UdaService:
                     self._error(500, f"{type(e).__name__}: {e}")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
         self.port = self._server.server_address[1]
         self._thread: threading.Thread | None = None
 
@@ -252,3 +253,66 @@ class UdaService:
                 }
             )
         return out
+
+
+# -- console entrypoint (cmd/main.go parity) -----------------------------
+
+
+def resolve_config_location(argv: list[str] | None = None) -> str:
+    """The reference's config resolution, ``cmd/main.go:10-18``: the
+    first command argument wins, else the ``DATALAYER_CONFIG_PATH``
+    environment variable. A FOLDER location (the reference's service
+    runner convention — ``testconfig/`` holds ``config.json``) resolves
+    to the ``config.json`` inside it; a file path is used as-is."""
+    import os
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    loc = args[0] if args else os.environ.get("DATALAYER_CONFIG_PATH", "")
+    if not loc:
+        raise SystemExit(
+            "usage: python -m opencypher_datalayer_spark.service_http"
+            " <config-folder-or-file>  (or set DATALAYER_CONFIG_PATH)"
+        )
+    if os.path.isdir(loc):
+        loc = os.path.join(loc, "config.json")
+    return loc
+
+
+def main(argv: list[str] | None = None, wait: bool = True) -> "UdaService":
+    """Boot the HTTP facade standalone — the ``StartAndWait`` analog of
+    the reference's ``cdl.NewServiceRunner(...).StartAndWait()``. The
+    listen port comes from the config's ``layer_config.port`` (the
+    reference's service-runner key; 0 = pick a free port), overridable
+    via ``DATALAYER_PORT``; ``DATALAYER_STORAGE_ROOT`` selects durable
+    storage (unset = in-memory store). With ``wait=False`` returns the
+    started service (tests drive it this way)."""
+    import json as _json
+    import os
+    import threading as _threading
+
+    from opencypher_datalayer_spark.session import get_spark
+
+    cfg_path = resolve_config_location(argv)
+    with open(cfg_path) as f:
+        port_s = (_json.load(f).get("layer_config") or {}).get("port", "0")
+    port = int(os.environ.get("DATALAYER_PORT", port_s))
+    spark = get_spark(app_name="opencypher_datalayer_uda")
+    layer = DataLayer.from_config_path(
+        spark, cfg_path, storage_root=os.environ.get("DATALAYER_STORAGE_ROOT") or None
+    )
+    svc = UdaService(layer, host=os.environ.get("DATALAYER_HOST", "127.0.0.1"), port=port)
+    svc.start()
+    print(f"UDA service listening on {svc.host}:{svc.port}", flush=True)
+    if wait:
+        try:
+            _threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            svc.stop()
+    return svc
+
+
+if __name__ == "__main__":
+    main()

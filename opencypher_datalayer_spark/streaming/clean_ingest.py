@@ -119,9 +119,8 @@ class StreamingCleanIngest:
         from opencypher_datalayer_spark.operators.bm25_index import WORK_TOKENIZE
         from opencypher_datalayer_spark.operators.scale import rebalance_rows
 
-        survivors = rebalance_rows(
-            survivors, survivors.count(), work_per_row=WORK_TOKENIZE
-        )
+        n_surv = survivors.count()
+        survivors = rebalance_rows(survivors, n_surv, work_per_row=WORK_TOKENIZE)
         marker = {"last_epoch": int(epoch_id)}
         if cur is None:
             self.store.commit(
@@ -137,6 +136,7 @@ class StreamingCleanIngest:
                 self.key,
                 survivors,
                 meta_extra=marker,
+                n_docs=n_surv,  # already counted for the re-split above
             )
         self.last_compact_signal = self.compact_signal()
 

@@ -92,11 +92,18 @@ def main() -> int:
             out["checkpoints"].append(cp)
             print(f"epoch {epoch + 1}: {cp}", file=sys.stderr, flush=True)
 
+    # drift metric: mean of the last 3 checkpoints over the first 3 —
+    # robust to single-probe session noise (max/min flagged a 0.75 s
+    # outlier as drift while the trend was flat)
+    def drift(xs):
+        k = min(3, len(xs))
+        return round(sum(xs[-k:]) / sum(xs[:k]), 3)
+
     lat = [c["maintained"]["probe_s"] for c in out["checkpoints"]]
     ctl = [c["control"]["probe_s"] for c in out["checkpoints"]]
-    out["maintained_flatness"] = round(max(lat) / min(lat), 3)
-    out["control_drift"] = round(max(ctl) / min(ctl), 3)
-    out["flat"] = out["maintained_flatness"] < 1.5
+    out["maintained_drift"] = drift(lat)
+    out["control_drift"] = drift(ctl)
+    out["flat"] = out["maintained_drift"] < 1.25
     print(json.dumps(out), flush=True)
     return 0
 

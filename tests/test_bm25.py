@@ -208,6 +208,43 @@ def test_generation_counters_match_ground_truth(spark, tmp_path):
     assert generations(spark, adir) == 1 and postings_generations(spark, adir) == 1
 
 
+def test_driver_side_extension_equals_spark_path(spark, tmp_path, monkeypatch):
+    """A small batch's extension derives stats/blocks/corpus DRIVER-side
+    (pandas over the scratch postings — zero extra Spark jobs); forcing
+    the cap to 0 runs the distributed path on the same batch. Both must
+    yield identical probe scores AND identical read-back frames — the
+    integer aggregates are exact either way."""
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    monkeypatch.setattr(bm, "BM25_BLOCK", 2)  # multi-block terms in the build
+    batch = CORPUS[3:] + [(50, ""), (51, "quick unseen zeta")]  # incl. token-less
+    frames = {}
+    for mode, cap in (("driver", bm.EXTEND_DRIVER_STATS_MAX_BYTES), ("spark", 0)):
+        monkeypatch.setattr(bm, "EXTEND_DRIVER_STATS_MAX_BYTES", cap)
+        store = ArtifactStore(str(tmp_path / mode))
+        store.commit(
+            KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS[:3]), t)
+        )
+        extend_bm25_index(spark, store, KIND, ("a",), _docs(spark, batch))
+        adir = store.current_dir(KIND, ("a",))
+        got = read_bm25_index(spark, adir)
+        frames[mode] = {
+            name: sorted(map(tuple, df.collect())) for name, df in got.items()
+        }
+        frames[mode]["probe"] = sorted(_probe(spark, adir).items())
+    assert frames["driver"] == frames["spark"]
+    # and the n_docs hint changes nothing (it only skips the count job)
+    store = ArtifactStore(str(tmp_path / "hint"))
+    store.commit(KIND, ("a",), lambda t: write_bm25_index(_docs(spark, CORPUS[:3]), t))
+    extend_bm25_index(
+        spark, store, KIND, ("a",), _docs(spark, batch), n_docs=len(batch)
+    )
+    adir = store.current_dir(KIND, ("a",))
+    got = {n: sorted(map(tuple, df.collect())) for n, df in read_bm25_index(spark, adir).items()}
+    got["probe"] = sorted(_probe(spark, adir).items())
+    assert got == frames["driver"]
+
+
 def test_generations_fallback_on_precounter_meta(spark, tmp_path):
     """A pre-counter index (meta without the counters — long-lived
     streaming keys) still answers the advisory correctly via the

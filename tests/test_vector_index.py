@@ -502,3 +502,66 @@ def test_float_probe_matches_inline_ivf(spark, sf_dir):
     ]
     want = [tuple(r) for r in sim_ivf_topk(spark, sf_dir).collect()]
     assert got == want and got
+
+
+def test_serving_plan_picks_tier_by_measurement(spark, tmp_path):
+    """VERDICT r12 next #5: the serving tier is a MEASURED call, not
+    the caller's guess. A family-tier corpus (planted clusters, cosine
+    gaps far above the SQ8 quantization noise) calibrates to the coded
+    two-stage at the default rerank and holds the floor there. A
+    quantization-degenerate corpus — every vector on the SAME int8
+    grid points (shared integer grid coordinates, sub-half-step
+    perturbations carrying all the cosine signal), so every stored
+    code is IDENTICAL and the coded ordering is pure tie-break noise —
+    fails the affordable coded steps (the >=corpus rungs are skipped:
+    a coded stage reranking the whole corpus is strictly more work
+    than the float scan) and calibrates to the FLOAT probe, which
+    meets the floor by admission. (The full-scale noise-tier
+    measurement is scripts/ivf_sq8_d256_rehearsal.py / SCALE.md
+    §ivf-sq8-d256.)"""
+    import numpy as np
+
+    from opencypher_datalayer_spark.operators.vector_index import (
+        ivf_auto_topk,
+        ivf_serving_plan,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, topk = 32, 3
+
+    def emb_df(mat):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<float>",
+        )
+
+    # family tier: 40 clusters x 8 members, in-family cos >> cross
+    centers = rng.normal(size=(40, dim))
+    fam = np.repeat(centers, 8, axis=0) + 0.05 * rng.normal(size=(320, dim))
+    # quantization-degenerate tier: shared small integer grid vector K
+    # times u (u a power of two; a planted 127u row pins every scale to
+    # exactly u), plus sub-half-step perturbations — codes all equal K
+    u = 1.0 / 64.0
+    K = rng.integers(-3, 4, size=dim).astype(np.float64)
+    noise = K[None, :] * u + 0.2 * u * rng.uniform(-1, 1, size=(320, dim))
+    noise = np.vstack([noise, np.full((1, dim), 127.0 * u)])  # scale pin
+
+    plans = {}
+    for name, mat in (("family", fam), ("noise", noise)):
+        d = str(tmp_path / name)
+        build_ivf_index(spark, emb_df(mat), d)
+        plan = ivf_serving_plan(spark, d, topk=topk)
+        plans[name] = plan
+        assert plan["measured_recall"] >= 0.9, (name, plan)
+        # the served result IS the calibrated plan's result
+        q = spark.createDataFrame(
+            [(9001, [float(x) for x in mat[5]], float(np.linalg.norm(mat[5])))],
+            "q_id long, qv array<double>, qn double",
+        )
+        assert ivf_auto_topk(spark, d, q, topk=topk, plan=plan).count() == topk
+    assert plans["family"]["coded"] and plans["family"]["rerank"] == 20
+    noise_plan = plans["noise"]
+    assert not noise_plan["coded"] and noise_plan["rerank"] is None
+    # the failing coded steps were genuinely measured, not assumed
+    coded_steps = [s for s in noise_plan["steps"] if "coded_recall" in s]
+    assert coded_steps and all(s["coded_recall"] < 0.9 for s in coded_steps)

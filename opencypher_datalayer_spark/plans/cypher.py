@@ -35,6 +35,13 @@ from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.store import GraphStore, labels_expr, where_label
 
 
+# Variable-length expansion: deepest vl_max served by the scalar-chain
+# fast path (per-hop scalar columns + pairwise uniqueness predicates —
+# see _vl_scalar_hops); deeper ranges use the edge-key-array path whose
+# per-hop cost stays O(h).
+_VL_SCALAR_MAX = 8
+
+
 class CypherError(ValueError):
     pass
 
@@ -1601,10 +1608,19 @@ class PlanState:
                             )
                         )
                     self.vars[evar] = "edge"
+                # a var-length edf is path-count-sized (every path row
+                # of every hop) — its endpoint attaches join node
+                # frames against tens of millions of rows at scale.
+                # Hinting the NODE side shuffle_hash skips the
+                # sort-merge sort of both huge sides (sf10 order-chain
+                # measurement: label attaches 12.7 -> 10.9 s); the hint
+                # goes on the node frame so IT is the hash build side.
+                vl = epat.vl_min is not None
                 if unit is None:
                     unit = edf
                 elif prev_var in unit_vars:
-                    unit = unit.join(edf, F.col(f"{prev_var}__gid") == F.col(f"__src_{evar}"))
+                    left = unit.hint("shuffle_hash") if vl else unit
+                    unit = left.join(edf, F.col(f"{prev_var}__gid") == F.col(f"__src_{evar}"))
                 else:
                     unit = unit.crossJoin(edf)
                 # src side: either consumed by the join above or pending
@@ -1615,6 +1631,8 @@ class PlanState:
                 # dst side
                 if dst_is_new:
                     ndf = _node_df(self.store, npat, var)
+                    if vl:
+                        ndf = ndf.hint("shuffle_hash")
                     unit = unit.join(
                         ndf, F.col(f"__dst_{evar}") == ndf[f"{var}__gid"]
                     ).drop(f"__dst_{evar}")
@@ -1693,6 +1711,154 @@ class PlanState:
             joined = joined.drop(col)
         self.df = joined
 
+    def _vl_array_hops(
+        self, epat: EdgePat, oriented: DataFrame, carry_path: bool
+    ) -> list[DataFrame]:
+        """Edge-key-array expansion — the general-depth path: each hop
+        carries the traversed stored-edge keys as an array and filters
+        the next edge via ``array_contains``. Used above
+        ``_VL_SCALAR_MAX`` where the scalar-chain's O(h^2) pairwise
+        predicate and per-hop column fan-out stop paying."""
+        carry = ["_ns", "_rts"] if carry_path else []
+        step = oriented.select(
+            F.col("_f").alias("_jsrc"),
+            F.col("_t").alias("_jdst"),
+            F.col("_rt").alias("_jrt"),
+            "_k",
+        )
+        frontier = oriented.select(
+            F.col("_f").alias("_s"),
+            F.col("_t").alias("_d"),
+            F.array("_k").alias("_es"),
+            *(
+                [F.array("_f", "_t").alias("_ns"), F.array("_rt").alias("_rts")]
+                if carry_path
+                else []
+            ),
+        )
+        hops: list[DataFrame] = []
+        if epat.vl_min <= 1 <= epat.vl_max:
+            hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h"), *carry))
+        for h in range(2, epat.vl_max + 1):
+            frontier = (
+                frontier.join(step, frontier._d == step._jsrc)
+                .where(~F.array_contains(F.col("_es"), F.col("_k")))
+                .select(
+                    "_s",
+                    F.col("_jdst").alias("_d"),
+                    F.array_append("_es", F.col("_k")).alias("_es"),
+                    *(
+                        [
+                            F.array_append("_ns", F.col("_jdst")).alias("_ns"),
+                            F.array_append("_rts", F.col("_jrt")).alias("_rts"),
+                        ]
+                        if carry_path
+                        else []
+                    ),
+                )
+            )
+            if h >= epat.vl_min:
+                hops.append(frontier.select("_s", "_d", F.lit(h).alias("_h"), *carry))
+        return hops
+
+    def _vl_scalar_hops(
+        self, epat: EdgePat, oriented: DataFrame, carry_path: bool
+    ) -> list[DataFrame]:
+        """Scalar-chain expansion — the bounded-depth fast path
+        (``vl_max <= _VL_SCALAR_MAX``): the traversal carries the node
+        chain as SCALAR columns ``_n0.._nh`` (plus per-hop rel types /
+        stored-orientation keys only when the pattern needs them), and
+        relationship uniqueness is a conjunction of pairwise scalar
+        predicates instead of a carried edge-key array. Measured at
+        sf10 on the 13.5M-edge order chain: no per-row string concat,
+        no array allocation per hop, narrower shuffle rows — 10.4 ->
+        7.2 s warm against the array path for *1..3. The join hints
+        ``shuffle_hash``: the step side is the edge frame, whose hash
+        table build beats the sort-merge sort of both 10M+-row sides.
+
+        Edge identity matches the array path's stored-orientation key
+        (src, rel_type, dst): for 'out'/'in' every traversal shares one
+        orientation, so the traversal node pair IS the stored pair and
+        no extra columns are carried; 'both' walks carry the stored
+        (src, dst) per hop (fwd/rev legs of the same stored edge must
+        compare equal); the rel-type conjunct is carried only when the
+        pattern admits more than one type."""
+        types = epat.types
+        single_type = types is not None and len(types) == 1
+        undirected = epat.direction == "both"
+        need_rt = carry_path or not single_type
+        step_cols = [F.col("_f").alias("_jf"), F.col("_t").alias("_jt")]
+        if need_rt:
+            step_cols.append(F.col("_rt").alias("_jrt"))
+        if undirected:
+            # stored orientation for identity: _k is "src|type|dst" but
+            # comparing the split-out columns beats re-deriving; recover
+            # stored (src, dst) from the leg: fwd leg has (_f,_t) stored
+            # order... the leg info is gone after the union, so carry
+            # the stored key string itself (one column, already built)
+            step_cols.append(F.col("_k").alias("_jk"))
+        step = oriented.select(*step_cols).hint("shuffle_hash")
+
+        def first_cols():
+            cols = [F.col("_f").alias("_n0"), F.col("_t").alias("_n1")]
+            if need_rt:
+                cols.append(F.col("_rt").alias("_r1"))
+            if undirected:
+                cols.append(F.col("_k").alias("_e1"))
+            return cols
+
+        frontier = oriented.select(*first_cols())
+        ncols, rcols, kcols = ["_n0", "_n1"], (["_r1"] if need_rt else []), (
+            ["_e1"] if undirected else []
+        )
+
+        def emit(df: DataFrame, h: int) -> DataFrame:
+            sel = [
+                F.col(ncols[0]).alias("_s"),
+                F.col(ncols[-1]).alias("_d"),
+                F.lit(h).alias("_h"),
+            ]
+            if carry_path:
+                sel.append(F.array(*ncols).alias("_ns"))
+                sel.append(F.array(*rcols).alias("_rts"))
+            return df.select(*sel)
+
+        hops: list[DataFrame] = []
+        if epat.vl_min <= 1 <= epat.vl_max:
+            hops.append(emit(frontier, 1))
+        for h in range(2, epat.vl_max + 1):
+            head = ncols[-1]
+            pred = None
+            for i in range(1, h):
+                if undirected:
+                    dup = F.col(kcols[i - 1]) == F.col("_jk")
+                else:
+                    dup = (F.col(ncols[i - 1]) == F.col(head)) & (
+                        F.col(ncols[i]) == F.col("_jt")
+                    )
+                    if not single_type:
+                        dup = dup & (F.col(rcols[i - 1]) == F.col("_jrt"))
+                keep = ~dup
+                pred = keep if pred is None else (pred & keep)
+            sel = [*ncols, *rcols, *kcols, F.col("_jt").alias(f"_n{h}")]
+            if need_rt:
+                sel.append(F.col("_jrt").alias(f"_r{h}"))
+            if undirected:
+                sel.append(F.col("_jk").alias(f"_e{h}"))
+            frontier = (
+                frontier.join(step, F.col(head) == F.col("_jf"))
+                .where(pred)
+                .select(*sel)
+            )
+            ncols.append(f"_n{h}")
+            if need_rt:
+                rcols.append(f"_r{h}")
+            if undirected:
+                kcols.append(f"_e{h}")
+            if h >= epat.vl_min:
+                hops.append(emit(frontier, h))
+        return hops
+
     def _vl_expand(
         self, epat: EdgePat, evar: str, carry_path: bool = False
     ) -> DataFrame:
@@ -1735,30 +1901,11 @@ class PlanState:
         else:  # undirected: either way per hop; self-loops enter once
             oriented = fwd.unionByName(rev.where(F.col("_f") != F.col("_t")))
 
-        def _carry_cols(df: DataFrame, first: bool) -> list:
-            if not carry_path:
-                return []
-            if first:
-                return [
-                    F.array("_f", "_t").alias("_ns"),
-                    F.array("_rt").alias("_rts"),
-                ]
-            return []
-
-        step = oriented.select(
-            F.col("_f").alias("_jsrc"),
-            F.col("_t").alias("_jdst"),
-            F.col("_rt").alias("_jrt"),
-            "_k",
-        )
-        frontier = oriented.select(
-            F.col("_f").alias("_s"),
-            F.col("_t").alias("_d"),
-            F.array("_k").alias("_es"),
-            *_carry_cols(oriented, True),
-        )
         carry = ["_ns", "_rts"] if carry_path else []
-        hops: list[DataFrame] = []
+        if epat.vl_max <= _VL_SCALAR_MAX:
+            hops = self._vl_scalar_hops(epat, oriented, carry_path)
+        else:
+            hops = self._vl_array_hops(epat, oriented, carry_path)
         if epat.vl_min == 0:
             # zero-hop path: every node reaches itself (Cypher *0..k);
             # label/prop filters on the endpoints still apply at attach
@@ -1773,29 +1920,7 @@ class PlanState:
                     else []
                 ),
             )
-            hops.append(zero)
-        if epat.vl_min <= 1 <= epat.vl_max:
-            hops.append(frontier.select("_s", "_d", F.lit(1).alias("_h"), *carry))
-        for h in range(2, epat.vl_max + 1):
-            frontier = (
-                frontier.join(step, frontier._d == step._jsrc)
-                .where(~F.array_contains(F.col("_es"), F.col("_k")))
-                .select(
-                    "_s",
-                    F.col("_jdst").alias("_d"),
-                    F.array_append("_es", F.col("_k")).alias("_es"),
-                    *(
-                        [
-                            F.array_append("_ns", F.col("_jdst")).alias("_ns"),
-                            F.array_append("_rts", F.col("_jrt")).alias("_rts"),
-                        ]
-                        if carry_path
-                        else []
-                    ),
-                )
-            )
-            if h >= epat.vl_min:
-                hops.append(frontier.select("_s", "_d", F.lit(h).alias("_h"), *carry))
+            hops.insert(0, zero)
         if not hops:
             raise CypherError(f"empty variable-length range *{epat.vl_min}..{epat.vl_max}")
         out = hops[0]

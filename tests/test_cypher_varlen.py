@@ -248,3 +248,39 @@ def test_path_functions_require_path_binding(spark):
     st = _store(spark, [("a", "x", "b")])
     with pytest.raises(CypherError, match="bound path variable"):
         run_cypher(st, "MATCH (s)-[:x]->(t) RETURN nodes(s) AS ns")
+
+
+def test_scalar_chain_path_matches_array_path(spark, monkeypatch):
+    """r13: vl_max <= _VL_SCALAR_MAX runs the scalar-chain fast path
+    (per-hop scalar columns, pairwise uniqueness predicates) — it must
+    be row-identical to the general edge-key-array path on an
+    adversarial graph: a 2-cycle (edge reuse bait in both
+    orientations), BOTH stored orientations of the same node pair
+    (distinct edges that an unordered-pair identity would wrongly
+    merge), parallel edges of different types, and a self-loop —
+    across directed, reversed, undirected, multi-type, and named-path
+    queries."""
+    from opencypher_datalayer_spark.plans import cypher as cy
+
+    st = _store(
+        spark,
+        [
+            ("a", "x", "b"), ("b", "x", "a"),        # both orientations
+            ("b", "x", "c"), ("c", "x", "c"),        # chain + self-loop
+            ("a", "y", "b"), ("c", "y", "a"),        # second rel type
+        ],
+    )
+    queries = [
+        "MATCH (p)-[r:x*1..4]->(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+        "MATCH (p)<-[r:x*2..3]-(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+        "MATCH (p)-[r:x*1..3]-(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+        "MATCH (p)-[r:x|y*1..3]->(q) RETURN p.gid AS s, q.gid AS d, r.hops AS h",
+        "MATCH pp = (p)-[:x|y*1..3]-(q) RETURN p.gid AS s, nodes(pp) AS ns, "
+        "relationships(pp) AS rs",
+    ]
+    for q in queries:
+        fast = sorted(rows(run_cypher(st, q)))
+        monkeypatch.setattr(cy, "_VL_SCALAR_MAX", 0)
+        slow = sorted(rows(run_cypher(st, q)))
+        monkeypatch.undo()
+        assert fast == slow and fast, q

@@ -161,6 +161,37 @@ def _maybe_broadcast_sets(df: DataFrame, sf_dir: str) -> DataFrame:
 SLIM_BYTES_PER_TEXT_BYTE = 4
 SLIM_BROADCAST_MAX_BYTES = 1 << 30
 
+# Vectorized stage-A gate (r13, VERDICT r12 next #3): the slim payload
+# as a numpy CSR is ~1 int32 per text byte (quarter slice of ~1 shingle
+# per char); below the cap it ships ONCE per python worker and the raw
+# candidate stream is gated by the Arrow kernel BEFORE the pair dedup
+# (operators/staged_verify.py stage_a_np_survivors) — at sf10 that
+# moves a 117.8M-row dropDuplicates shuffle to survivor scale (~1e-3)
+# and replaces ~97 s of boxed per-row array_intersect. Above the cap
+# the JVM staged verify runs unchanged (per-worker CSR copies stop
+# fitting executor memory first — same degrade shape as every
+# broadcast gate here).
+SLIM_CSR_BYTES_PER_TEXT_BYTE = 1
+SLIM_CSR_MAX_BYTES = 512 << 20
+
+_SLIM_CSR_CACHE: dict = {}
+register_memo_cache(_SLIM_CSR_CACHE)
+
+
+def _slim_csr_bc(spark: SparkSession, slim_df: DataFrame, sf_dir: str, hash_family: str):
+    """Broadcast numpy CSR of the standing artifact's slim payload,
+    memoized per (corpus fingerprint, family). The collect is bounded
+    by the SLIM_CSR_MAX_BYTES gate at every call site."""
+    from opencypher_datalayer_spark.operators.staged_verify import slim_csr
+
+    key = (_docs_fingerprint(sf_dir), hash_family)
+    bc = _SLIM_CSR_CACHE.get(key)
+    if bc is None:
+        rows = slim_df.select("doc_id", "lo32", "dq", "n", "nh").collect()
+        bc = spark.sparkContext.broadcast(slim_csr(rows))
+        _SLIM_CSR_CACHE[key] = bc
+    return bc
+
 # Cap for broadcasting an exploded PREFIX frame (16 B/row, ~20% of
 # shingle volume ~= 4x docs parquet bytes) in the asymmetric candidate
 # joins (containment, incremental): small enough that the driver-side
@@ -546,30 +577,54 @@ def dedup_ngram_jaccard(
     s_ab = F.col("a.n") + F.col("b.n")
     from opencypher_datalayer_spark.operators.scale import parallel_dedup
 
-    # parallel_dedup, not plain dropDuplicates: the verify's per-row
-    # array_intersect work is ~1000x the candidate row's bytes, and
-    # AQE's bytes-based coalesce serialized stage A on one core
-    cand = parallel_dedup(
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & _jaccard_feasible(pos_bound, s_ab, t),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
-        "doc_a",
-        "doc_b",
-    )
-    # staged verify (shared engine): the feasibility gate is the exact
-    # emit predicate applied to the sound slim bound (_jaccard_feasible,
-    # ADVICE r6 #1), so no emittable pair is ever dropped; the stage-A
-    # slim payloads come pre-computed from the artifact
-    exact = _staged_verify(
-        sets,
-        cand,
-        sf_dir,
-        lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
-        slim=slim,
-    )
+    raw = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & _jaccard_feasible(pos_bound, s_ab, t),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if _docs_bytes(sf_dir) * SLIM_CSR_BYTES_PER_TEXT_BYTE <= SLIM_CSR_MAX_BYTES:
+        # vectorized stage A over the RAW (pre-dedup) pair stream, pair
+        # dedup at survivor scale — see SLIM_CSR_BYTES_PER_TEXT_BYTE.
+        # The CSR always comes from the FULL-corpus artifact slim (the
+        # collapse mode's candidates reference a keeper subset of the
+        # same ids, so lookups and the memo key stay corpus-level).
+        from opencypher_datalayer_spark.operators.staged_verify import (
+            NP_GATE_EPS,
+            exact_overlap,
+            stage_a_np_survivors,
+        )
+
+        bc = _slim_csr_bc(spark, art[SLIM], sf_dir, hash_family)
+        surv = stage_a_np_survivors(
+            raw,
+            bc,
+            # strictly more permissive than the JVM gate's
+            # F.round(ub/(s-ub), 6) >= t (see NP_GATE_EPS) — extra
+            # survivors are re-judged exactly in stage B
+            lambda ub, na, nb: ub / (na + nb - ub) >= (t - NP_GATE_EPS),
+        )
+        exact = exact_overlap(
+            parallel_dedup(surv, "doc_a", "doc_b"),
+            sets,
+            hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir),
+        )
+    else:
+        # parallel_dedup, not plain dropDuplicates: the verify's per-row
+        # array_intersect work is ~1000x the candidate row's bytes, and
+        # AQE's bytes-based coalesce serialized stage A on one core
+        cand = parallel_dedup(raw, "doc_a", "doc_b")
+        # staged verify (shared engine): the feasibility gate is the
+        # exact emit predicate applied to the sound slim bound
+        # (_jaccard_feasible, ADVICE r6 #1), so no emittable pair is
+        # ever dropped; stage-A slim payloads come from the artifact
+        exact = _staged_verify(
+            sets,
+            cand,
+            sf_dir,
+            lambda ub, na, nb: _jaccard_feasible(ub, na + nb, t),
+            slim=slim,
+        )
     return (
         exact.withColumn(
             "jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)

@@ -300,8 +300,69 @@ def test_staged_verify_matches_naive_above_broadcast_gates(
     expected = _naive_jaccard(texts, dedup.JACCARD_T)
     monkeypatch.setattr(dedup, "BROADCAST_SETS_MAX_BYTES", 0)
     monkeypatch.setattr(dedup, "SLIM_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(dedup, "SLIM_CSR_MAX_BYTES", 0)  # JVM stage A too
     got = {
         (r.doc_a, r.doc_b, r.jaccard)
         for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
     }
     assert got == expected and got
+
+
+def test_vectorized_stage_a_matches_jvm_path(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 next #3): the Arrow-kernel stage A (numpy CSR
+    broadcast + batch sort intersect, gating the RAW pre-dedup pair
+    stream) must produce the same final pairs as the JVM staged verify
+    AND the naive oracle — its gate is strictly more permissive than
+    the JVM's rounded gate, and stage B re-judges exactly."""
+    sf = str(tmp_path)
+    texts = _mk_corpus(7, n_docs=48)
+    _write(sf, texts)
+    expected = _naive_jaccard(texts, dedup.JACCARD_T)
+    got_kernel = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got_kernel == expected and got_kernel
+    monkeypatch.setattr(dedup, "SLIM_CSR_MAX_BYTES", 0)  # force JVM path
+    got_jvm = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got_jvm == got_kernel
+
+
+def test_slim_csr_kernel_intersect_is_exact():
+    """Unit pin of the kernel's sort-based intersection: padded
+    sentinel slots can never count as matches (negative, parity-split
+    by side, distinct per slot), zero-length rows work, and the
+    intersect equals the set intersection for every constructed pair —
+    including value 0 and extreme int32 values."""
+    import numpy as np
+
+    from opencypher_datalayer_spark.operators.staged_verify import (
+        NP_BUCKETS,
+        _lo_intersect,
+        slim_csr,
+    )
+
+    rows = [
+        {"doc_id": 1, "lo32": [0, 5, 7, 2147483647], "dq": 0, "n": 16, "nh": 12},
+        {"doc_id": 2, "lo32": [5, 0], "dq": 1, "n": 9, "nh": 6},
+        {"doc_id": 3, "lo32": [], "dq": 0, "n": 4, "nh": 4},
+        # bucket-colliding values (0 and NP_BUCKETS share bucket 0):
+        # the tier-1 count bound must stay an UPPER bound on these
+        {"doc_id": 4, "lo32": [7, NP_BUCKETS, 2 * NP_BUCKETS], "dq": 0, "n": 8, "nh": 3},
+    ]
+    csr = slim_csr(rows)
+    ids = csr["ids"]
+    sets = {r["doc_id"]: set(r["lo32"]) for r in rows}
+    for da in sets:
+        for db in sets:
+            if da >= db:
+                continue
+            ia = np.array([ids.searchsorted(da)])
+            ib = np.array([ids.searchsorted(db)])
+            true_i = len(sets[da] & sets[db])
+            assert int(_lo_intersect(csr, ia, ib)[0]) == true_i, (da, db)
+            ub1 = int(np.minimum(csr["cnt"][ia], csr["cnt"][ib]).sum())
+            assert ub1 >= true_i, (da, db)  # tier-1 dominates

@@ -1181,17 +1181,38 @@ def dedup_ngram_containment(
         "doc_a",
         "doc_b",
     )
-    # staged verify (shared engine, _staged_verify): the feasibility
-    # gate is the exact rounded emit predicate on the sound slim bound
-    # (_containment_feasible) — never the float ceil(t*na), which
-    # overshoots when na % 5 == 0 (ADVICE r6 #1 sibling)
-    exact = _staged_verify(
-        sets,
-        cand,
-        sf_dir,
-        lambda ub, na, nb: _containment_feasible(ub, na, t),
-        slim=slim,
-    )
+    # staged verify: the feasibility gate is the exact rounded emit
+    # predicate on the sound slim bound (_containment_feasible) — never
+    # the float ceil(t*na), which overshoots when na % 5 == 0 (ADVICE
+    # r6 #1 sibling). Below the CSR gate the bound runs in the
+    # vectorized kernel (the Jaccard path's two-tier Arrow stage A) —
+    # here AFTER the pair dedup: the containment candidate join has no
+    # positional filter, so its raw dup factor is unbounded and the
+    # dedup must stay upstream.
+    if _docs_bytes(sf_dir) * SLIM_CSR_BYTES_PER_TEXT_BYTE <= SLIM_CSR_MAX_BYTES:
+        from opencypher_datalayer_spark.operators.staged_verify import (
+            NP_GATE_EPS,
+            exact_overlap,
+            stage_a_np_survivors,
+        )
+
+        bc = _slim_csr_bc(spark, art[SLIM], sf_dir, hash_family)
+        surv = stage_a_np_survivors(
+            cand,
+            bc,
+            lambda ub, na, nb: ub / na >= (t - NP_GATE_EPS),
+        )
+        exact = exact_overlap(
+            surv, sets, hint_sets=lambda df: _maybe_broadcast_sets(df, sf_dir)
+        )
+    else:
+        exact = _staged_verify(
+            sets,
+            cand,
+            sf_dir,
+            lambda ub, na, nb: _containment_feasible(ub, na, t),
+            slim=slim,
+        )
     return (
         exact.withColumn(
             "containment", F.round(F.col("i").cast("double") / F.col("na"), 6)

@@ -358,6 +358,14 @@ def _driver_stats_corpus(
             os.link(os.path.join(d, fname), os.path.join(ld, fname))
 
     block = BM25_BLOCK  # call-time module global (tests shrink it)
+    # the relation dirs must EXIST even for a zero-postings corpus
+    # (every doc token-less): the readers' explicit schemas handle
+    # empty dirs, but a missing stats/ path is an AnalysisException —
+    # the zero-row-build lesson, re-found by the Hypothesis model the
+    # day this went driver-side
+    os.makedirs(os.path.join(tmp, STATS), exist_ok=True)
+    if want_blocks:
+        os.makedirs(os.path.join(tmp, BLOCKS), exist_ok=True)
     sum_dl = 0
     for name in sorted(os.listdir(scratch)) if os.path.isdir(scratch) else []:
         if not name.startswith("bucket="):

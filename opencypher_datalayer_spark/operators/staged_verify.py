@@ -291,8 +291,15 @@ def stage_a_np_survivors(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = ids.searchsorted(pdf["doc_a"].to_numpy(dtype=np.int64))
-            ib = ids.searchsorted(pdf["doc_b"].to_numpy(dtype=np.int64))
+            da = pdf["doc_a"].to_numpy(dtype=np.int64)
+            db = pdf["doc_b"].to_numpy(dtype=np.int64)
+            ia = np.minimum(ids.searchsorted(da), len(ids) - 1)
+            ib = np.minimum(ids.searchsorted(db), len(ids) - 1)
+            if not (np.array_equal(ids[ia], da) and np.array_equal(ids[ib], db)):
+                raise ValueError(
+                    "candidate doc_id missing from the slim CSR — the "
+                    "pair stream and the artifact must share one corpus"
+                )
             slack = np.minimum(csr["dq"][ia], csr["dq"][ib]).astype(
                 np.int64
             ) + np.minimum(csr["nh"][ia], csr["nh"][ib])

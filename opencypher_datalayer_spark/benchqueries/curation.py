@@ -525,8 +525,30 @@ def st_stream_clean_ingest(
         CLEAN_MIN_ALPHA,
         hash_family=family,
     )
+    # signatures (and the quality gate under them) are pure per-doc
+    # functions: compute them ONCE for the whole deterministic arrival
+    # sequence and slice per epoch — the st_stream_neardup idiom, via
+    # the sink's own apply_sigs entry point (pinned observably
+    # identical to per-batch apply by tests/test_stream_clean_ingest).
+    # One grouped job supplies every epoch's exact signature count.
+    from opencypher_datalayer_spark.operators import minhash as mh
+    from opencypher_datalayer_spark.operators.textkit import quality_floor
+
+    clean_all = docs.where(quality_floor(CLEAN_MIN_TOKENS, CLEAN_MIN_ALPHA))
+    sig_all = mh.signatures_for(clean_all, family).localCheckpoint()
+    counts = {
+        int(r["k"]): int(r["c"])
+        for r in sig_all.groupBy(
+            (F.col("doc_id") % STREAM_NBATCH).alias("k")
+        ).agg(F.count("*").alias("c")).collect()
+    }
     for k in range(STREAM_NBATCH):
-        sink.apply(docs.where(F.col("doc_id") % STREAM_NBATCH == k), k)
+        sink.apply_sigs(
+            docs.where(F.col("doc_id") % STREAM_NBATCH == k),
+            sig_all.where(F.col("doc_id") % STREAM_NBATCH == k),
+            k,
+            batch_rows=counts.get(k, 0),
+        )
     adir = sink.index_dir()
     queries = (
         docs.join(sink.kept().select("doc_id"), "doc_id")

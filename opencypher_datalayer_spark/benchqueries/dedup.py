@@ -1976,8 +1976,21 @@ def st_stream_neardup(
     # of one per epoch; the live-stream path computes per batch and is
     # pinned equivalent by tests/test_stream_neardup.py)
     sig_all = mh.signatures_for(docs, hash_family).localCheckpoint()
+    # exact per-epoch row counts in ONE grouped job (the filter would
+    # otherwise run one count job per epoch to gate its broadcast hint
+    # and derive the survivor count driver-side)
+    counts = {
+        int(r["k"]): int(r["c"])
+        for r in sig_all.groupBy(
+            (F.col("doc_id") % STREAM_NBATCH).alias("k")
+        ).agg(F.count("*").alias("c")).collect()
+    }
     for k in range(STREAM_NBATCH):
-        filt.apply_sigs(sig_all.where(F.col("doc_id") % STREAM_NBATCH == k), k)
+        filt.apply_sigs(
+            sig_all.where(F.col("doc_id") % STREAM_NBATCH == k),
+            k,
+            batch_rows=counts.get(k, 0),
+        )
     # checkpoint decouples the result from the state dir, which the NEXT
     # invocation wipes — a frame returned earlier must stay collectable
     return (

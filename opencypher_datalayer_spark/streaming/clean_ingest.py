@@ -102,16 +102,54 @@ class StreamingCleanIngest:
         ):
             return  # foreachBatch replay of a committed epoch: no-op
         clean = batch.where(quality_floor(self.min_tokens, self.min_alpha))
-        self.filter.apply(clean, epoch_id)
-        kept_now = (
-            self.filter.kept()
-            .where(F.col("batch") == int(epoch_id))
-            .select("doc_id")
+        kept_now, n_kept = self.filter.apply(clean, epoch_id)
+        self._ingest_survivors(batch, kept_now, n_kept, epoch_id, cur)
+
+    def apply_sigs(
+        self,
+        batch: DataFrame,
+        sig: DataFrame,
+        epoch_id: int,
+        batch_rows: int | None = None,
+    ) -> None:
+        """``apply`` for a micro-batch whose QUALITY-PASSING rows'
+        MinHash signatures are already computed and materialized:
+        ``sig`` must equal ``signatures_for(batch.where(quality_floor(
+        min_tokens, min_alpha)), hash_family)`` — both the gate and the
+        signatures are pure per-doc functions, so precomputing them
+        once for a deterministic replay and slicing per epoch is
+        observably identical to ``apply`` (the
+        ``StreamingNearDupFilter.apply_sigs`` idiom, pinned equivalent
+        by ``tests/test_stream_clean_ingest.py``); it just avoids one
+        quality-count and one signature explode+groupBy job chain per
+        epoch. ``batch_rows`` is ``sig``'s exact row count when the
+        caller knows it (one grouped count job for every epoch)."""
+        cur = self.store.current_dir(self.kind, self.key)
+        if cur is not None and int(index_meta(cur).get("last_epoch", -1)) >= int(
+            epoch_id
+        ):
+            return  # foreachBatch replay of a committed epoch: no-op
+        kept_now, n_kept = self.filter.apply_sigs(
+            sig, epoch_id, batch_rows=batch_rows
         )
+        self._ingest_survivors(batch, kept_now, n_kept, epoch_id, cur)
+
+    def _ingest_survivors(
+        self,
+        batch: DataFrame,
+        kept_now: DataFrame,
+        n_kept: int | None,
+        epoch_id: int,
+        cur: str | None,
+    ) -> None:
         # left-semi against the batch (never a collected id list — a
-        # clean batch can be batch-sized), localCheckpoint so the
-        # extension write doesn't re-run the whole filter read
-        survivors = batch.join(kept_now, "doc_id", "left_semi").localCheckpoint()
+        # clean batch can be batch-sized) using the kept frame the
+        # filter just returned (its lineage never reads the state this
+        # epoch wrote — no kept-log re-read job); localCheckpoint so
+        # the extension write doesn't re-run the filter chain
+        survivors = batch.join(
+            kept_now.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
         # a file-source micro-batch arrives as ONE split and a
         # checkpointed frame has no file layout for the builders'
         # rebalance probe to see — re-split here ahead of the token
@@ -119,7 +157,9 @@ class StreamingCleanIngest:
         from opencypher_datalayer_spark.operators.bm25_index import WORK_TOKENIZE
         from opencypher_datalayer_spark.operators.scale import rebalance_rows
 
-        n_surv = survivors.count()
+        # the fused filter path hands the exact survivor count back
+        # driver-side; only the distributed fallback pays a count job
+        n_surv = n_kept if n_kept is not None else survivors.count()
         survivors = rebalance_rows(survivors, n_surv, work_per_row=WORK_TOKENIZE)
         marker = {"last_epoch": int(epoch_id)}
         if cur is None:

@@ -208,6 +208,7 @@ def dedup_batch_against(
     corpus_sig: DataFrame | None,
     agree_r: int = AGREE_R,
     batch_rows: int | None = None,
+    out: dict | None = None,
 ) -> DataFrame:
     """One micro-batch step on already-computed signatures: corpus
     filter, then within-batch component collapse. Returns the surviving
@@ -215,6 +216,16 @@ def dedup_batch_against(
     query. ``batch_rows`` gates the batch-side broadcast hint; when the
     caller does not know it, the hint is WITHHELD (the safe default —
     AQE still broadcasts a genuinely small side at runtime).
+
+    ``out`` (optional dict) is filled with driver-side facts the caller
+    can reuse without extra Spark jobs: ``fused=True`` and
+    ``n_dropped=<int>`` when the driver union-find path ran — the
+    result then equals ``batch_sig`` minus exactly ``n_dropped``
+    distinct doc_ids, and its lineage is ``batch_sig`` plus a broadcast
+    local id list (NO filter-state read, so it is safe to write twice
+    without a checkpoint). The distributed fallback sets
+    ``fused=False`` (result lineage includes the corpus state; callers
+    must materialize before overwriting state).
 
     Hot path: ONE fused band join of the batch against (corpus UNION
     batch) with the signatures carried on the band rows, one collect of
@@ -245,6 +256,8 @@ def dedup_batch_against(
     budget = min(driver_edge_budget(), PAIR_COLLECT_BUDGET)
     pdf = pairs.limit(budget + 1).toPandas()
     if len(pdf) > budget:
+        if out is not None:
+            out["fused"] = False
         return _dedup_batch_two_pass(batch_sig, corpus_sig, agree_r, small)
 
     is_corp = pdf["is_corpus"].to_numpy()
@@ -258,6 +271,9 @@ def dedup_batch_against(
     }
     labels = _union_find_min(list(within))
     dropped = sorted(corpus_dropped | {x for x, mn in labels.items() if mn < x})
+    if out is not None:
+        out["fused"] = True
+        out["n_dropped"] = len(dropped)
     if not dropped:
         return batch_sig
     spark = batch_sig.sparkSession
@@ -391,7 +407,9 @@ class StreamingNearDupFilter:
         os.rename(tmp, self.sigs_dir)
         shutil.rmtree(old)
 
-    def apply(self, batch: DataFrame, epoch_id: int) -> None:
+    def apply(
+        self, batch: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, int | None]:
         """Process one micro-batch (the ``foreachBatch`` contract).
 
         A replayed epoch re-filters against strictly-earlier state and
@@ -415,22 +433,47 @@ class StreamingNearDupFilter:
             rebalance_rows(b, n, work_per_row=mh.SIGNATURE_WORK_PER_DOC),
             self.hash_family,
         ).localCheckpoint()
-        self.apply_sigs(sig, epoch_id)
+        return self.apply_sigs(sig, epoch_id)
 
-    def apply_sigs(self, sig: DataFrame, epoch_id: int) -> None:
+    def apply_sigs(
+        self, sig: DataFrame, epoch_id: int, batch_rows: int | None = None
+    ) -> tuple[DataFrame, int | None]:
         """``apply`` for a batch whose signatures are already computed
-        (and materialized). The registry replay computes signatures once
-        for all arrival batches and slices per epoch — signatures are a
-        pure per-doc function, so this is observably identical to
-        ``apply``; it just avoids one explode+groupBy job per epoch."""
-        # materialize the survivors once: both writes consume them, and
-        # the second must not re-read state this epoch just overwrote
+        (and materialized — the frame must NOT derive from this
+        filter's own state dirs). The registry replay computes
+        signatures once for all arrival batches and slices per epoch —
+        signatures are a pure per-doc function, so this is observably
+        identical to ``apply``; it just avoids one explode+groupBy job
+        per epoch. ``batch_rows`` is the exact row count of ``sig``
+        when the caller already knows it (one grouped count job for all
+        epochs instead of one count per epoch).
+
+        Returns ``(kept, n_kept)``: this epoch's surviving signature
+        rows and, when derivable driver-side (the fused union-find
+        path), their exact count — so downstream consumers (the
+        clean-ingest sink) neither re-read the kept log nor re-count
+        the survivors."""
+        n_sig = sig.count() if batch_rows is None else int(batch_rows)
+        facts: dict = {}
         kept = dedup_batch_against(
             sig,
             self.corpus_sigs(before_epoch=epoch_id),
             self.agree_r,
-            batch_rows=sig.count(),
-        ).localCheckpoint()
+            batch_rows=n_sig,
+            out=facts,
+        )
+        if facts.get("fused"):
+            # fused-path result lineage = materialized ``sig`` + a
+            # broadcast local drop list (dedup_batch_against contract):
+            # both state writes below can consume it directly — neither
+            # re-reads the state this epoch overwrites — so the
+            # checkpoint job is pure overhead here
+            n_kept: int | None = n_sig - facts["n_dropped"]
+        else:
+            # distributed fallback: lineage includes the corpus state —
+            # materialize before overwriting it (the original contract)
+            kept = kept.localCheckpoint()
+            n_kept = None
         epoch = F.lit(int(epoch_id)).cast("long")
         (
             kept.withColumn("epoch", epoch)
@@ -448,3 +491,4 @@ class StreamingNearDupFilter:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.kept_dir)
         )
+        return kept, n_kept

@@ -256,3 +256,57 @@ def test_maintain_if_due_keeps_chain_bounded(spark, tmp_path, monkeypatch):
     )
     scored = {r.doc_id for r in bm25_scores(spark, sink.index_dir(), q).collect()}
     assert scored == set(range(6))
+
+
+def test_apply_sigs_matches_per_batch_apply(spark, tmp_path):
+    """The pre-signed replay entry point (quality gate + signatures
+    computed once, sliced per epoch) is observably identical to the
+    per-batch ``apply`` contract: same kept set, same index content,
+    same replay no-op — the guarantee the registry replay's job-count
+    optimization rests on."""
+    from opencypher_datalayer_spark.operators import minhash as mh
+
+    batches = [
+        [(0, GOOD0), (1, SHORT)],
+        [(2, NEARDUP0), (3, GOOD1)],
+    ]
+    a = _sink(spark, tmp_path / "a")
+    for k, rows in enumerate(batches):
+        a.apply(_docs(spark, rows), k)
+
+    b = _sink(spark, tmp_path / "b")
+    all_docs = _docs(spark, [r for rows in batches for r in rows])
+    clean = all_docs.where(quality_floor(3, 0.0))
+    sig_all = mh.signatures_for(clean, b.filter.hash_family).localCheckpoint()
+    counts = {
+        int(r["k"]): int(r["c"])
+        for r in sig_all.groupBy((F.col("doc_id") % 2).alias("k"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for k, rows in enumerate(batches):
+        b.apply_sigs(
+            _docs(spark, rows),
+            sig_all.where(F.col("doc_id") % 2 == k),
+            k,
+            batch_rows=counts.get(k, 0),
+        )
+
+    kept_a = sorted((r.doc_id, r.batch) for r in a.kept().collect())
+    kept_b = sorted((r.doc_id, r.batch) for r in b.kept().collect())
+    assert kept_a == kept_b == [(0, 0), (3, 1)]
+    q = spark.createDataFrame(
+        [(9, ["alpha", "words", "short"])], "q_id bigint, toks array<string>"
+    )
+    score_a = sorted(map(tuple, bm25_scores(spark, a.index_dir(), q).collect()))
+    score_b = sorted(map(tuple, bm25_scores(spark, b.index_dir(), q).collect()))
+    assert score_a == score_b
+    # replayed epoch is a no-op through the pre-signed path too
+    meta_before = index_meta(b.index_dir())
+    b.apply_sigs(
+        _docs(spark, batches[1]),
+        sig_all.where(F.col("doc_id") % 2 == 1),
+        1,
+        batch_rows=counts.get(1, 0),
+    )
+    assert index_meta(b.index_dir()) == meta_before

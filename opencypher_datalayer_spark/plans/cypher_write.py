@@ -399,9 +399,24 @@ class _Exec:
                 raise CypherError("expression MATCH supports only {gid: <expr>}")
             var = pat.var or "_n"
             self.rows = self.rows.withColumn(f"{var}__gid", self.val(exprs["gid"]))
-            matched = self.nodes.select(F.col("gid").alias("__match_gid"))
+            # Join-order inversion (store.py C3 idiom): a direct
+            # rows-semi-store join plans the STORE as the probe side of
+            # a shuffle (SortMergeJoin — a lineage-only store frame has
+            # no size stats and never auto-broadcasts). ``rows`` is the
+            # driver-provided $items batch — bounded by the UDA
+            # protocol's batch_size — so broadcast IT against the store
+            # scan (shuffle-free, small output), then semi-join the
+            # bounded hit set back. The store never shuffles.
+            wanted = self.rows.select(
+                F.col(f"{var}__gid").alias("__match_gid")
+            ).dropDuplicates()
+            hits = self.nodes.select(F.col("gid").alias("__match_gid")).join(
+                F.broadcast(wanted), "__match_gid", "left_semi"
+            )
             self.rows = self.rows.join(
-                matched, F.col(f"{var}__gid") == F.col("__match_gid"), "left_semi"
+                F.broadcast(hits),
+                F.col(f"{var}__gid") == F.col("__match_gid"),
+                "left_semi",
             )
             self.node_vars.add(var)
         else:
@@ -462,8 +477,10 @@ class _Exec:
         return self.created[var]
 
     def _matched_of(self, item) -> DataFrame:
+        # both sides are item-bounded; broadcast the created set so the
+        # branch selector never plans a shuffle
         return self._gids_of(item.var).join(
-            self._created_of(item), "gid", "left_anti"
+            F.broadcast(self._created_of(item)), "gid", "left_anti"
         )
 
     # -- CREATE --
@@ -553,7 +570,13 @@ class _Exec:
         self.rows = self.rows.withColumn(f"{var}__gid", self.val(pat.props["gid"]))
         self.node_vars.add(var)
         gids = self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
-        missing = gids.join(self.nodes.select("gid"), "gid", "left_anti")
+        # inverted anti-join (store.py C3 idiom): semi-join the store
+        # against the broadcast item gids (shuffle-free store scan,
+        # item-bounded output), then a broadcast anti of tiny vs tiny —
+        # instead of shuffling the whole store for a SortMergeJoin
+        # whose left side is a driver-bounded $items batch
+        existing = self.nodes.select("gid").join(F.broadcast(gids), "gid", "left_semi")
+        missing = gids.join(F.broadcast(existing), "gid", "left_anti")
         if track_created:
             # remember what this MERGE inserted for ON CREATE/ON MATCH
             # branch selection. Materialized via localCheckpoint: the
@@ -601,7 +624,15 @@ class _Exec:
             )
             .dropDuplicates()
         )
-        new = keys.join(self.edges, ["src", "rel_type", "dst"], "left_anti").select(
+        # inverted anti-join (same idiom as _merge_node): the edge
+        # store never shuffles — it is semi-probed by the broadcast
+        # item keys, and the anti runs tiny vs tiny
+        existing = self.edges.select("src", "rel_type", "dst").join(
+            F.broadcast(keys), ["src", "rel_type", "dst"], "left_semi"
+        )
+        new = keys.join(
+            F.broadcast(existing), ["src", "rel_type", "dst"], "left_anti"
+        ).select(
             "src", "rel_type", "dst", F.lit(None).cast("string").alias("source")
         )
         self.edges = self.edges.unionByName(new)

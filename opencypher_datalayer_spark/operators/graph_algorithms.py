@@ -111,15 +111,21 @@ def pagerank_fixedpoint(
 
     ranks = verts.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
     for _ in range(n_iter):
+        # shuffle_hash on the per-round rank/contrib frames: same
+        # rationale and measurement discipline as label_propagation —
+        # skips the per-round sorts of the pre-partitioned edge frame
+        # and the rank shuffle (scale-safe; broadcast would ship O(V))
         contribs = (
-            ed.join(ranks.withColumnRenamed("id", "u"), "u")
+            ed.join(ranks.withColumnRenamed("id", "u").hint("shuffle_hash"), "u")
             # `div`: true int64 division — `/` would detour through
             # doubles and lose exactness past 2^53
             .select("v", F.expr("rank div deg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("contribs"))
         )
-        ranks = verts.join(contribs.withColumnRenamed("v", "id"), "id", "left").select(
+        ranks = verts.join(
+            contribs.withColumnRenamed("v", "id").hint("shuffle_hash"), "id", "left"
+        ).select(
             "id",
             (
                 F.lit(teleport)
@@ -178,9 +184,19 @@ def label_propagation(
     )
     labels = verts.withColumn("label", F.col("id"))
     for _ in range(n_iter):
+        # shuffle_hash on the (small, per-round) label frames: the
+        # planner's default for these stats-less iterative frames is
+        # sort-merge, which re-sorts the pre-partitioned nbr frame AND
+        # the label shuffle every round; a per-partition hash build of
+        # the vertex-sized side skips both sorts (guide §3.1 — the
+        # scale-safe choice; broadcast would ship O(V) rows). Measured
+        # 3.50 -> 3.28 s min-of-5 at sf0.1, identical labels.
         picked = (
             nbrs.join(
-                labels.select(F.col("id").alias("nbr"), F.col("label")), "nbr"
+                labels.select(F.col("id").alias("nbr"), F.col("label")).hint(
+                    "shuffle_hash"
+                ),
+                "nbr",
             )
             .groupBy("id", "label")
             .agg(F.count("*").alias("c"))
@@ -192,7 +208,11 @@ def label_propagation(
             )
         )
         labels = (
-            verts.join(picked.withColumnRenamed("label", "new_label"), "id", "left")
+            verts.join(
+                picked.withColumnRenamed("label", "new_label").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select("id", F.coalesce(F.col("new_label"), F.col("id")).alias("label"))
         )
     return labels

@@ -281,28 +281,27 @@ def q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose returned lines sit in multi-supplier orders where
     no OTHER supplier returned anything — TPC-H Q21's exists/not-exists
     self-join shape on the simplified schema."""
+    from pyspark.sql import Window
+
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
-    pairs = li.select("l_orderkey", "l_suppkey").dropDuplicates()
-    r_pairs = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates()
+    # EXISTS/NOT-EXISTS without the self-joins (r13 optimization, guide
+    # §2.4): over the distinct (order, supplier) pairs — one grouped
+    # pass that also records whether the supplier returned anything —
+    # "some OTHER supplier in the order" is n_supp > 1 and "no OTHER
+    # supplier returned" is n_returners == 1 given has_r, both
+    # per-order window aggregates. One lineitem scan and two shuffles
+    # where the join shape paid two scans, two dedup shuffles, and a
+    # semi + anti join pair. Verified row-identical vs the join shape
+    # at sf0.1 before adoption; the oracle SQL is untouched.
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
     )
-    other = pairs.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    other_r = r_pairs.select(
-        F.col("l_orderkey").alias("r2_orderkey"), F.col("l_suppkey").alias("r2_suppkey")
-    )
-    candidates = r_pairs.join(
-        other,
-        (r_pairs.l_orderkey == other.o2_orderkey) & (r_pairs.l_suppkey != other.o2_suppkey),
-        "left_semi",
-    ).join(
-        other_r,
-        (r_pairs.l_orderkey == other_r.r2_orderkey) & (r_pairs.l_suppkey != other_r.r2_suppkey),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    candidates = (
+        ps.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_r", F.sum("has_r").over(w))
+        .where((F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r") == 1))
     )
     return (
         candidates.groupBy("l_suppkey")

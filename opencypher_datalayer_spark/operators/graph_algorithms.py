@@ -60,13 +60,23 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi_d"),
     ).localCheckpoint()
     w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("hi_d").alias("yd"))
-    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("hi_d").alias("zd"))
+    # shuffle_hash on one side of each join: the checkpointed oriented
+    # frame has no size stats, so the planner would sort-merge (and
+    # sort both sides of) both joins; a per-partition hash build skips
+    # the sorts (guide §3.1; measured 1.66 -> 1.47 s min-of-4 at sf0.1,
+    # identical count). Scale-safe: the build side is partition-local
+    # and AQE's skew handling covers shuffled-hash joins too.
+    w2 = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("hi_d").alias("zd")
+    ).hint("shuffle_hash")
     # one wedge per unordered {y,z}: order by the same (degree, id) rank
     wedges = w1.join(w2, ["x"]).where(
         (F.col("yd") < F.col("zd"))
         | ((F.col("yd") == F.col("zd")) & (F.col("y") < F.col("z")))
     )
-    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint(
+        "shuffle_hash"
+    )
     return wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
 
 

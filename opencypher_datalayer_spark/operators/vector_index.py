@@ -179,7 +179,14 @@ def read_scales(spark: SparkSession, index_dir: str) -> list[float]:
             "quantizer over the standing vectors and rewrites the "
             "index in the coded layout"
         )
-    rows = spark.read.parquet(sdir).collect()
+    # driver-side pyarrow read (r13): a one-row frame on the artifact
+    # store's posix tree — a Spark read+collect here cost 2 scheduler
+    # jobs per call, and the streaming extension path calls it every
+    # epoch (the index_meta / _driver_stats_corpus idiom). pyarrow's
+    # dataset discovery skips '_'-prefixed files (_SUCCESS).
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(sdir).to_pylist()
     return [float(x) for x in rows[0]["scales"]] if rows else []
 
 
@@ -305,13 +312,19 @@ def read_codebook(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.n
     are EXACT integers (stored ``array<long>``), so loading reproduces
     the trained int-valued float64 arrays bit-for-bit — assignment and
     probe ranking decisions are identical to the training session's."""
-    cents = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
-        .orderBy("cell")
-        .collect()
-    )
-    ids = np.array([r.cell for r in cents], dtype=np.int64)
-    cq = np.array([r.cq for r in cents], dtype=np.float64)
+    # driver-side pyarrow read (r13): K rows of ints on the artifact
+    # store's posix tree — the Spark read+sort+collect cost 2-4
+    # scheduler jobs per call, paid on every probe cold-start and every
+    # streaming extension epoch (twice: the rebalance hint and the
+    # frozen-quantizer read inside build(tmp)). Stable argsort keeps
+    # the exact (cell-ordered) layout the Spark orderBy produced.
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids"), columns=["cell", "cq"])
+    cells = np.asarray(t.column("cell").to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(cells, kind="stable")
+    ids = cells[order]
+    cq = np.array(t.column("cq").to_pylist(), dtype=np.float64)[order]
     return ids, cq
 
 

@@ -209,7 +209,10 @@ def _write_meta(out_dir: str, meta: dict) -> None:
 
 
 def write_bm25_index(
-    docs: DataFrame, out_dir: str, meta_extra: dict | None = None
+    docs: DataFrame,
+    out_dir: str,
+    meta_extra: dict | None = None,
+    n_docs: int | None = None,
 ) -> None:
     """Materialize the index for ``docs`` (``doc_id``, ``text``) under
     an artifact version dir. The tokenize/explode pass runs ONCE — the
@@ -218,7 +221,11 @@ def write_bm25_index(
     of re-running the pass per output (a build paid the whole pass
     three times before; the read-back also replaces a localCheckpoint
     job, and at scale a parquet scan of what was just written beats
-    re-materializing it to executor-local disk)."""
+    re-materializing it to executor-local disk). ``n_docs`` is the
+    exact document count INCLUDING token-less docs when the caller
+    already knows it (the streaming sink's bootstrap epoch does) — it
+    makes the small-corpus driver-side path count-job-free, so a
+    bootstrap consumes ``docs`` exactly once (the postings write)."""
     # (tok, doc_id)-sorted row groups: the probe pushes `tok IN (query
     # terms)` into the scan, so parquet footer stats skip every row
     # group holding only other terms' postings — the posting-list
@@ -235,7 +242,7 @@ def write_bm25_index(
         _driver_stats_corpus(
             os.path.join(out_dir, POSTINGS),
             out_dir,
-            docs.count(),
+            docs.count() if n_docs is None else int(n_docs),
             want_blocks=True,
             fine_blocks=True,
         )

@@ -90,12 +90,23 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
-        .localCheckpoint()
     )
 
     cap = driver_edge_budget() if driver_threshold is None else driver_threshold
-    if cap and und.limit(cap + 1).count() <= cap:
-        return _driver_union_find(und)
+    if cap:
+        # budget check and collect FUSED into one limited Arrow pull:
+        # <= cap rows back means the pull IS the complete edge set (the
+        # limit never truncated), so the driver path pays one pass over
+        # the edge computation instead of three (checkpoint + count +
+        # collect — two fixed jobs of pure overhead per CC call on the
+        # near-dup hot paths). CollectLimit computes any upstream
+        # shuffle once and fetches partitions incrementally, so the
+        # over-budget probe costs one round of fetches, not a recompute.
+        pdf = und.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            return _driver_union_find_pdf(und, pdf)
+    # over budget: materialize once, then the distributed loop
+    und = und.localCheckpoint()
     labels = (
         und.select(F.col("a").alias("id"))
         .dropDuplicates()
@@ -146,10 +157,15 @@ def _driver_union_find(und: DataFrame) -> DataFrame:
     each round O(m) in C. Replaces the r6 per-Row dict union-find
     (~15 us/edge in Python) with ~40 ns/edge, which is what lets the
     handover be sized by memory instead of patience (VERDICT r6 #2)."""
+    return _driver_union_find_pdf(und, und.toPandas())
+
+
+def _driver_union_find_pdf(und: DataFrame, pdf) -> DataFrame:
+    """The numpy solve over an already-collected edge pandas frame
+    (``und`` supplies the session and output schema only)."""
     import numpy as np
 
     spark = und.sparkSession
-    pdf = und.toPandas()
     out_schema = (
         f"id {und.schema['a'].dataType.simpleString()}, "
         f"comp {und.schema['b'].dataType.simpleString()}"

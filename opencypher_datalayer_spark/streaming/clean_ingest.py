@@ -145,28 +145,38 @@ class StreamingCleanIngest:
         # left-semi against the batch (never a collected id list — a
         # clean batch can be batch-sized) using the kept frame the
         # filter just returned (its lineage never reads the state this
-        # epoch wrote — no kept-log re-read job); localCheckpoint so
-        # the extension write doesn't re-run the filter chain
-        survivors = batch.join(
-            kept_now.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint()
-        # a file-source micro-batch arrives as ONE split and a
-        # checkpointed frame has no file layout for the builders'
-        # rebalance probe to see — re-split here ahead of the token
-        # explode (the neardup sink's rebalance_rows lesson)
+        # epoch wrote — no kept-log re-read job)
+        survivors = batch.join(kept_now.select("doc_id"), "doc_id", "left_semi")
         from opencypher_datalayer_spark.operators.bm25_index import WORK_TOKENIZE
         from opencypher_datalayer_spark.operators.scale import rebalance_rows
 
-        # the fused filter path hands the exact survivor count back
-        # driver-side; only the distributed fallback pays a count job
-        n_surv = n_kept if n_kept is not None else survivors.count()
+        if n_kept is not None:
+            # fused filter path: survivor count is driver-side fact and
+            # the index write below is the frame's ONLY action (both
+            # builders are count-job-free given n_docs), so the
+            # localCheckpoint the old shape paid here was one pure
+            # overhead job per epoch — the kept frame's lineage is the
+            # caller-materialized sig plus a broadcast drop list, never
+            # the state this epoch overwrites
+            n_surv = n_kept
+        else:
+            # distributed fallback: pay the checkpoint (the extension
+            # write must not re-run the filter chain twice) + count
+            survivors = survivors.localCheckpoint()
+            n_surv = survivors.count()
+        # a file-source micro-batch arrives as ONE split with no file
+        # layout for the builders' rebalance probe to see — re-split
+        # here ahead of the token explode (the neardup sink's
+        # rebalance_rows lesson)
         survivors = rebalance_rows(survivors, n_surv, work_per_row=WORK_TOKENIZE)
         marker = {"last_epoch": int(epoch_id)}
         if cur is None:
             self.store.commit(
                 self.kind,
                 self.key,
-                lambda tmp: write_bm25_index(survivors, tmp, meta_extra=marker),
+                lambda tmp: write_bm25_index(
+                    survivors, tmp, meta_extra=marker, n_docs=n_surv
+                ),
             )
         else:
             extend_bm25_index(

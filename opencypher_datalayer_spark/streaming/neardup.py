@@ -129,6 +129,12 @@ BATCH_BROADCAST_MAX_BYTES = 512 << 20
 # and is set-deduped on the driver)
 PAIR_COLLECT_BUDGET = 2_000_000
 
+# sigs epoch-partition byte size up to which the kept-log partition is
+# written driver-side (pyarrow column read + one-file write) instead of
+# a second Spark write job per micro-batch — the bm25 extension's
+# EXTEND_DRIVER_STATS_MAX_BYTES idiom; above it the Spark write runs
+DRIVER_KEPT_MAX_BYTES = 64 * 1024 * 1024
+
 
 def _fits_broadcast(n_rows: int) -> bool:
     return n_rows * BATCH_BROADCAST_BYTES_PER_DOC <= BATCH_BROADCAST_MAX_BYTES
@@ -482,13 +488,65 @@ class StreamingNearDupFilter:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.sigs_dir)
         )
-        (
-            kept.select("doc_id")
-            .withColumn("batch", epoch)
-            .withColumn("epoch", epoch)
-            .write.mode("overwrite")
-            .partitionBy("epoch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.kept_dir)
-        )
+        if not self._write_kept_driver_side(epoch_id, n_kept):
+            (
+                kept.select("doc_id")
+                .withColumn("batch", epoch)
+                .withColumn("epoch", epoch)
+                .write.mode("overwrite")
+                .partitionBy("epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.kept_dir)
+            )
         return kept, n_kept
+
+    def _write_kept_driver_side(self, epoch_id: int, n_kept: int | None) -> bool:
+        """Write this epoch's kept-log partition with pyarrow on the
+        driver, derived from the sigs partition the caller just wrote
+        (the kept log is exactly that partition's ``doc_id`` column
+        plus constant ``batch``/``epoch``) — one less Spark write job
+        per micro-batch, same on-disk layout. Only taken when the
+        fused path supplied the exact count (``n_kept``; the
+        distributed fallback's kept frame must flow through Spark) and
+        the epoch partition is small enough to read driver-side
+        (``DRIVER_KEPT_MAX_BYTES`` — the bm25 extension's driver-stats
+        gate idiom; a mega-batch falls back to the Spark write).
+        Returns True when the partition was written (or there was
+        nothing to write — mirroring the dynamic-overwrite no-op on an
+        empty frame)."""
+        if n_kept is None:
+            return False
+        if n_kept == 0:
+            # dynamic partition overwrite of an empty frame writes no
+            # partition dir — mirror that exactly (deterministic replay
+            # re-keeps the same rows, so a stale partition cannot occur)
+            return True
+        sig_part = os.path.join(self.sigs_dir, f"epoch={int(epoch_id)}")
+        files = [
+            os.path.join(sig_part, f)
+            for f in (os.listdir(sig_part) if os.path.isdir(sig_part) else [])
+            if f.endswith(".parquet")
+        ]
+        if not files or sum(os.path.getsize(f) for f in files) > DRIVER_KEPT_MAX_BYTES:
+            return False
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = pa.concat_tables(
+            pq.read_table(f, columns=["doc_id"]) for f in files
+        ).column("doc_id").cast(pa.int64())
+        batch = pa.array([int(epoch_id)] * len(ids), pa.int64())
+        part = os.path.join(self.kept_dir, f"epoch={int(epoch_id)}")
+        if os.path.isdir(part):  # replayed epoch: overwrite, like dynamic mode
+            shutil.rmtree(part)
+        os.makedirs(part, exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": ids, "batch": batch}),
+            os.path.join(
+                part, f"part-00000-{uuid.uuid4().hex}-c000.snappy.parquet"
+            ),
+        )
+        return True

@@ -58,8 +58,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opencypher_datalayer_spark.functions.localframe import local_df
 from opencypher_datalayer_spark.operators.artifacts import ArtifactStore
-from opencypher_datalayer_spark.operators.components import connected_components
+from opencypher_datalayer_spark.operators.components import (
+    connected_components,
+    driver_edge_budget,
+)
 from opencypher_datalayer_spark.operators.ivf_codebook import (
     ASSIGN_A,
     assign_cells,
@@ -87,6 +91,15 @@ DUP_COS = 0.55
 # (a replayed mega-batch) the hint is withheld and AQE picks the join.
 BATCH_BROADCAST_BYTES_PER_VEC = 6 * 300
 BATCH_BROADCAST_MAX_BYTES = 512 << 20
+
+# Driver-count shape gates (the text filter's dedup_batch_against
+# idiom): dup/drop decisions for a micro-batch are collected to the
+# driver and the survivor COUNT becomes arithmetic — no survivor
+# checkpoint, no count job, extend_ivf_index told its exact delta.
+# A replayed mega-batch (ids over the cap, or a pair list past the
+# union-find budget) falls back to the distributed frame shape.
+VEC_DRIVER_IDS_MAX = 5_000_000
+VEC_PAIR_COLLECT_BUDGET = 2_000_000
 
 
 def _cos(av, an, bv, bn) -> F.Column:
@@ -327,7 +340,10 @@ class StreamingVectorIngest:
         assign = assign_cells(
             emb_b.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
         ).localCheckpoint()
-        use_kernel = self._use_kernel(emb)
+        # batch vectors must share the codebook's dimension (assignment
+        # requires it), so the kernel decision reads the centroid shape
+        # instead of paying a first() job on the batch every epoch
+        use_kernel = len(ids) > 0 and cq.shape[1] >= VEC_KERNEL_MIN_DIM
 
         # corpus filter: pruned scan of ONLY the batch's assigned cells
         admitted = sorted(
@@ -365,8 +381,50 @@ class StreamingVectorIngest:
                 .select("vec_id")
                 .dropDuplicates()
             )
-        surv = assign.join(dup_of_corpus, "vec_id", "left_anti").localCheckpoint()
+        if nb <= VEC_DRIVER_IDS_MAX:
+            # driver-count shape: the corpus-dup id set is bounded by
+            # the batch, so collect it; the within-batch collapse then
+            # runs over (checkpointed assign − broadcast id list) and,
+            # when the pair list fits the union-find budget, the
+            # dropped set and the survivor count are driver arithmetic
+            # — no survivor checkpoint, no count job in the extension
+            dup_ids = {int(r.vec_id) for r in dup_of_corpus.collect()}
+            surv = assign
+            if dup_ids:
+                surv = assign.join(
+                    F.broadcast(
+                        local_df(spark, [(d,) for d in sorted(dup_ids)], "vec_id long")
+                    ),
+                    "vec_id",
+                    "left_anti",
+                )
+            within = self._within_dropped_driver(surv, use_kernel)
+            if within is not None:
+                dropped = sorted(dup_ids | set(within))
+                accepted = batch_df
+                if dropped:
+                    accepted = batch_df.join(
+                        F.broadcast(
+                            local_df(spark, [(d,) for d in dropped], "vec_id long")
+                        ),
+                        "vec_id",
+                        "left_anti",
+                    )
+                new_cur = extend_ivf_index(
+                    spark,
+                    self.store,
+                    self.kind,
+                    self.key,
+                    accepted,
+                    meta_extra={"last_epoch": int(epoch_id)},
+                    n_rows=nb - len(dropped),
+                )
+                self.last_compact_signal = needs_compact(spark, new_cur)
+                return
 
+        # distributed fallback (a replayed mega-batch): frames, not
+        # driver lists — the original shape, checkpointed and counted
+        surv = assign.join(dup_of_corpus, "vec_id", "left_anti").localCheckpoint()
         keep_ids = self._collapse_within(surv, use_kernel)
         accepted = batch_df.join(keep_ids, "vec_id")
         new_cur = extend_ivf_index(
@@ -402,9 +460,31 @@ class StreamingVectorIngest:
         assign = assign_cells(
             emb.withColumn("vq", vq_expr()), ids, cq, ASSIGN_A
         ).localCheckpoint()
-        keep_ids = self._collapse_within(assign, self._use_kernel(emb))
-        survivors = emb.join(keep_ids, "vec_id").localCheckpoint()
-        n_keep = survivors.count()
+        use_kernel = len(ids) > 0 and cq.shape[1] >= VEC_KERNEL_MIN_DIM
+        dropped = (
+            self._within_dropped_driver(assign, use_kernel)
+            if nb <= VEC_DRIVER_IDS_MAX
+            else None
+        )
+        if dropped is not None:
+            # driver-count shape (see apply): survivor count is
+            # arithmetic; the checkpoint stays because _write_ivf_vnrm
+            # consumes the frame twice (scales aggregate + write)
+            survivors = emb
+            if dropped:
+                survivors = emb.join(
+                    F.broadcast(
+                        local_df(spark, [(d,) for d in dropped], "vec_id long")
+                    ),
+                    "vec_id",
+                    "left_anti",
+                )
+            survivors = survivors.localCheckpoint()
+            n_keep = nb - len(dropped)
+        else:
+            keep_ids = self._collapse_within(assign, use_kernel)
+            survivors = emb.join(keep_ids, "vec_id").localCheckpoint()
+            n_keep = survivors.count()
 
         def build(tmp: str) -> None:
             _write_ivf_vnrm(spark, survivors, tmp, codebook=(nb, ids, cq))
@@ -423,35 +503,59 @@ class StreamingVectorIngest:
         new_cur = self.store.commit(self.kind, self.key, build)
         self.last_compact_signal = needs_compact(spark, new_cur)
 
+    def _within_edges(self, assign: DataFrame, use_kernel: bool) -> DataFrame:
+        """Distinct within-batch near-dup ``(doc_a, doc_b)`` pairs of an
+        assignment frame — shared by the driver-count and frame paths."""
+        if use_kernel:
+            return _dup_pairs_within(assign, self.dup_cos)
+        a = assign.select(
+            F.col("vec_id").alias("doc_a"),
+            "cell",
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+        )
+        b = assign.select(
+            F.col("vec_id").alias("doc_b"),
+            "cell",
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
+        return (
+            a.join(b, "cell")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(
+                _cos(F.col("av"), F.col("an"), F.col("bv"), F.col("bn"))
+                >= self.dup_cos
+            )
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+
+    def _within_dropped_driver(
+        self, assign: DataFrame, use_kernel: bool
+    ) -> list[int] | None:
+        """Dropped ``vec_id``s of the within-batch collapse, decided on
+        the driver (one limited Arrow pull + union-find — the text
+        filter's ``dedup_batch_against`` idiom): each component keeps
+        its minimum id, everything else drops. Returns ``None`` when
+        the pair list exceeds the driver budget (mega-batch fallback
+        signal)."""
+        from opencypher_datalayer_spark.streaming.neardup import _union_find_min
+
+        budget = min(driver_edge_budget(), VEC_PAIR_COLLECT_BUDGET)
+        pdf = self._within_edges(assign, use_kernel).limit(budget + 1).toPandas()
+        if len(pdf) > budget:
+            return None
+        labels = _union_find_min(
+            list(zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()))
+        )
+        return sorted(int(x) for x, mn in labels.items() if mn < x)
+
     def _collapse_within(self, assign: DataFrame, use_kernel: bool = False) -> DataFrame:
         """Keep set of a batch assignment frame: shared-cell + cosine
         edges -> connected components -> component minimum survives.
         Returns a ``vec_id`` frame."""
-        if use_kernel:
-            edges = _dup_pairs_within(assign, self.dup_cos)
-        else:
-            a = assign.select(
-                F.col("vec_id").alias("doc_a"),
-                "cell",
-                F.col("v").alias("av"),
-                F.col("nrm").alias("an"),
-            )
-            b = assign.select(
-                F.col("vec_id").alias("doc_b"),
-                "cell",
-                F.col("v").alias("bv"),
-                F.col("nrm").alias("bn"),
-            )
-            edges = (
-                a.join(b, "cell")
-                .where(F.col("doc_a") < F.col("doc_b"))
-                .where(
-                    _cos(F.col("av"), F.col("an"), F.col("bv"), F.col("bn"))
-                    >= self.dup_cos
-                )
-                .select("doc_a", "doc_b")
-                .dropDuplicates()
-            )
+        edges = self._within_edges(assign, use_kernel)
         labels = connected_components(edges, src="doc_a", dst="doc_b")
         dropped = labels.where(F.col("comp") != F.col("id")).select(
             F.col("id").alias("vec_id")

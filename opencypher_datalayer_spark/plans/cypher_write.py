@@ -54,6 +54,13 @@ from opencypher_datalayer_spark.plans.cypher import (
 )
 from opencypher_datalayer_spark.store import GraphStore, _detach_edges, labels_expr
 
+# Store row-count bound (GraphStore.size_hint) up to which the write
+# planner broadcasts the STORE side of item-vs-store joins instead of
+# running the store-never-shuffles inversion — ~200k gid rows is
+# ~12 MB framed, far under the broadcast cap, and the small-store plan
+# halves the per-site broadcast count (measurements in _Exec.__init__).
+SMALL_STORE_ROWS_MAX = 200_000
+
 # ----------------------------------------------------------------------
 # Write-statement AST
 # ----------------------------------------------------------------------
@@ -318,6 +325,24 @@ class _Exec:
         self.edge_vars: dict[str, _EdgeBinding] = {}
         # gids the last MERGE inserted, per variable (ON CREATE/ON MATCH)
         self.created: dict[str, DataFrame] = {}
+        # plan-shape gate (measured at sf0.1 and in the 4-core test
+        # suite): when the store is KNOWN small (GraphStore.size_hint is
+        # a driver-maintained upper bound), every item-vs-store site
+        # broadcasts THE STORE side — one broadcast join, no shuffle,
+        # none of the inversion's two-broadcast fixed cost per site
+        # (old SMJ shape 3.6 s / inversion 5.1 s min at sf0.1; the
+        # 5-statement template-sequence test 34 s -> 115 s under the
+        # blanket inversion). A big or unknown store keeps the
+        # scale-correct inversion: the store never shuffles and is
+        # never a broadcast build side.
+        self.small_store = (
+            store.size_hint is not None
+            and store.size_hint <= SMALL_STORE_ROWS_MAX
+        )
+        # upper bound on rows this statement can add (for the caller's
+        # size_hint propagation): counted at the MERGE/CREATE sites
+        self.added_bound = 0
+        self._n_items = 1  # no UNWIND: literal clauses add O(1) rows
 
     # -- expression evaluation over the driving rows --
 
@@ -350,6 +375,7 @@ class _Exec:
                 raise CypherError(f"parameter ${c.param} must be a list of maps")
             self.rows = _items_df(self.spark, c.var, items)
             self.item_vars.add(c.var)
+            self._n_items = max(1, len(items))  # per-pattern add bound
         elif isinstance(c, MatchClause):
             self._match(c)
         elif isinstance(c, MergeClause):
@@ -399,6 +425,19 @@ class _Exec:
                 raise CypherError("expression MATCH supports only {gid: <expr>}")
             var = pat.var or "_n"
             self.rows = self.rows.withColumn(f"{var}__gid", self.val(exprs["gid"]))
+            if self.small_store:
+                # known-small store: broadcast the STORE side once —
+                # single shuffle-free join (see _Exec.__init__ gate)
+                matched = F.broadcast(
+                    self.nodes.select(F.col("gid").alias("__match_gid"))
+                )
+                self.rows = self.rows.join(
+                    matched,
+                    F.col(f"{var}__gid") == F.col("__match_gid"),
+                    "left_semi",
+                )
+                self.node_vars.add(var)
+                return
             # Join-order inversion (store.py C3 idiom): a direct
             # rows-semi-store join plans the STORE as the probe side of
             # a shuffle (SortMergeJoin — a lineage-only store frame has
@@ -570,13 +609,22 @@ class _Exec:
         self.rows = self.rows.withColumn(f"{var}__gid", self.val(pat.props["gid"]))
         self.node_vars.add(var)
         gids = self.rows.select(F.col(f"{var}__gid").alias("gid")).dropDuplicates()
-        # inverted anti-join (store.py C3 idiom): semi-join the store
-        # against the broadcast item gids (shuffle-free store scan,
-        # item-bounded output), then a broadcast anti of tiny vs tiny —
-        # instead of shuffling the whole store for a SortMergeJoin
-        # whose left side is a driver-bounded $items batch
-        existing = self.nodes.select("gid").join(F.broadcast(gids), "gid", "left_semi")
-        missing = gids.join(F.broadcast(existing), "gid", "left_anti")
+        self.added_bound += self._n_items
+        if self.small_store:
+            # known-small store: one anti against the broadcast store
+            missing = gids.join(
+                F.broadcast(self.nodes.select("gid")), "gid", "left_anti"
+            )
+        else:
+            # inverted anti-join (store.py C3 idiom): semi-join the store
+            # against the broadcast item gids (shuffle-free store scan,
+            # item-bounded output), then a broadcast anti of tiny vs tiny —
+            # instead of shuffling the whole store for a SortMergeJoin
+            # whose left side is a driver-bounded $items batch
+            existing = self.nodes.select("gid").join(
+                F.broadcast(gids), "gid", "left_semi"
+            )
+            missing = gids.join(F.broadcast(existing), "gid", "left_anti")
         if track_created:
             # remember what this MERGE inserted for ON CREATE/ON MATCH
             # branch selection. Materialized via localCheckpoint: the
@@ -624,17 +672,28 @@ class _Exec:
             )
             .dropDuplicates()
         )
-        # inverted anti-join (same idiom as _merge_node): the edge
-        # store never shuffles — it is semi-probed by the broadcast
-        # item keys, and the anti runs tiny vs tiny
-        existing = self.edges.select("src", "rel_type", "dst").join(
-            F.broadcast(keys), ["src", "rel_type", "dst"], "left_semi"
-        )
-        new = keys.join(
-            F.broadcast(existing), ["src", "rel_type", "dst"], "left_anti"
-        ).select(
-            "src", "rel_type", "dst", F.lit(None).cast("string").alias("source")
-        )
+        self.added_bound += self._n_items
+        if self.small_store:
+            # known-small store: one anti against the broadcast edge keys
+            new = keys.join(
+                F.broadcast(self.edges.select("src", "rel_type", "dst")),
+                ["src", "rel_type", "dst"],
+                "left_anti",
+            ).select(
+                "src", "rel_type", "dst", F.lit(None).cast("string").alias("source")
+            )
+        else:
+            # inverted anti-join (same idiom as _merge_node): the edge
+            # store never shuffles — it is semi-probed by the broadcast
+            # item keys, and the anti runs tiny vs tiny
+            existing = self.edges.select("src", "rel_type", "dst").join(
+                F.broadcast(keys), ["src", "rel_type", "dst"], "left_semi"
+            )
+            new = keys.join(
+                F.broadcast(existing), ["src", "rel_type", "dst"], "left_anti"
+            ).select(
+                "src", "rel_type", "dst", F.lit(None).cast("string").alias("source")
+            )
         self.edges = self.edges.unionByName(new)
         self.edge_vars[epat.var or "_r"] = _EdgeBinding(
             keys.select(F.col("src").alias("gid")).dropDuplicates(),
@@ -857,4 +916,7 @@ def run_cypher_write(
     ex = _Exec(store, spark, params or {})
     for c in clauses:
         ex.apply(c)
-    return GraphStore(ex.nodes, ex.edges)
+    # size_hint stays an UPPER BOUND: each MERGE/CREATE site counted the
+    # most rows it can add; unknown stays unknown (inversion plan shape)
+    hint = None if store.size_hint is None else store.size_hint + ex.added_bound
+    return GraphStore(ex.nodes, ex.edges, size_hint=hint)

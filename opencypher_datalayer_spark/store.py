@@ -87,10 +87,19 @@ class GraphStore:
 
     nodes: DataFrame
     edges: DataFrame
+    # Driver-maintained UPPER BOUND on max(nodes, edges) row count, or
+    # None when unknown (e.g. a store loaded from storage). Not a
+    # semantic field — the Cypher write planner uses it to pick the
+    # small-store plan shape (broadcast the store side: one broadcast
+    # per join site) over the scale-safe inversion (the store never
+    # shuffles but every site pays two broadcasts of fixed driver
+    # cost). Wrong-high is safe (falls back to the inversion);
+    # wrong-low is impossible by construction (writes only add).
+    size_hint: int | None = None
 
     @staticmethod
     def empty(spark: SparkSession) -> "GraphStore":
-        return GraphStore(empty_nodes(spark), empty_edges(spark))
+        return GraphStore(empty_nodes(spark), empty_edges(spark), size_hint=0)
 
     # ------------------------------------------------------------------
     # Write path
@@ -206,7 +215,11 @@ class GraphStore:
     def checkpointed(self) -> "GraphStore":
         """Truncate lineage after a batch chain (local analog of a table
         commit): without this, N applied batches build an N-deep plan."""
-        return GraphStore(self.nodes.localCheckpoint(), self.edges.localCheckpoint())
+        return GraphStore(
+            self.nodes.localCheckpoint(),
+            self.edges.localCheckpoint(),
+            size_hint=self.size_hint,
+        )
 
     def counts(self) -> tuple[int, int]:
         return self.nodes.count(), self.edges.count()

@@ -229,20 +229,29 @@ def write_bm25_index(
     # (tok, doc_id)-sorted row groups: the probe pushes `tok IN (query
     # terms)` into the scan, so parquet footer stats skip every row
     # group holding only other terms' postings — the posting-list
-    # locality of a real inverted index, in parquet form
-    postings_for(docs).sortWithinPartitions(
-        "bucket", "tok", "doc_id"
-    ).write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
+    # locality of a real inverted index, in parquet form. A bootstrap
+    # batch with a caller-known count builds them driver-side (one
+    # Arrow collect — see BM25_DRIVER_BUILD_*); bigger corpora take
+    # the distributed write.
+    nd_built = _driver_postings_build(docs, os.path.join(out_dir, POSTINGS), n_docs)
+    if nd_built is None:
+        postings_for(docs).sortWithinPartitions(
+            "bucket", "tok", "doc_id"
+        ).write.partitionBy("bucket").parquet(os.path.join(out_dir, POSTINGS))
     if _tree_bytes(os.path.join(out_dir, POSTINGS)) <= EXTEND_DRIVER_STATS_MAX_BYTES:
         # MB-scale corpus (a streaming bootstrap epoch, a test fixture):
         # derive stats/blocks/corpus driver-side with exact pandas int
         # aggregation — one Spark job total instead of four (see
         # EXTEND_DRIVER_STATS_MAX_BYTES; equivalence pinned by
         # tests/test_bm25.py::test_driver_side_*)
+        if nd_built is not None:
+            nd = nd_built
+        else:
+            nd = docs.count() if n_docs is None else int(n_docs)
         _driver_stats_corpus(
             os.path.join(out_dir, POSTINGS),
             out_dir,
-            docs.count() if n_docs is None else int(n_docs),
+            nd,
             want_blocks=True,
             fine_blocks=True,
         )
@@ -328,6 +337,130 @@ def _adopt_scratch(scratch: str, dst_roots: list[str]) -> None:
 # cost in st_stream_clean_ingest; above the cap (a bulk backfill) the
 # Spark path runs unchanged.
 EXTEND_DRIVER_STATS_MAX_BYTES = 64 * 1024 * 1024
+
+# Batch size gates for the DRIVER-SIDE POSTINGS build (the step past
+# driver-side stats: tokenize + tf/dl + bucket computed in Python from
+# ONE Arrow collect of the batch, written with pyarrow) — profiled at
+# sf0.1 the Spark postings write costs ~5 scheduler jobs / ~1.5 s per
+# MB-scale streaming epoch, almost all fixed overhead. The doc gate
+# bounds the Python tokenize loop (~1-2 M postings/s), the byte gate
+# bounds driver memory; above either, the distributed write runs
+# unchanged (the sf10 rehearsal's 125k-doc epochs take that path).
+BM25_DRIVER_BUILD_MAX_DOCS = 25_000
+BM25_DRIVER_BUILD_MAX_BYTES = 32 * 1024 * 1024
+
+# Java's default \s (what Spark's split sees) is exactly the ASCII set
+# [ \t\n\x0B\f\r]; Python's bytes-pattern \s matches the same set, so
+# splitting the UTF-8 BYTES reproduces the JVM tokenizer bit-for-bit
+# (multi-byte UTF-8 units are all >= 0x80 and can never contain them).
+import re as _re
+
+_WS_BYTES = _re.compile(rb"\s+")
+
+
+def _xxh64_py(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 returning Spark's SIGNED int64 — the exact
+    value ``F.xxhash64(string_col)`` computes over the UTF-8 bytes
+    (Spark's fixed seed is 42). Differential-pinned against the engine
+    over the corpus vocabulary by ``tests/test_bm25.py``; used by the
+    driver-side postings build, whose bucket assignment must agree
+    with :func:`bucket_of` or probes would prune to the wrong bucket."""
+    M = (1 << 64) - 1
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            v1 = (rotl((v1 + int.from_bytes(data[i : i + 8], "little") * P2) & M, 31) * P1) & M
+            v2 = (rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * P2) & M, 31) * P1) & M
+            v3 = (rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * P2) & M, 31) * P1) & M
+            v4 = (rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & M, 31) * P1) & M
+            h = (h * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = (rotl((int.from_bytes(data[i : i + 8], "little") * P2) & M, 31) * P1) & M
+        h = (rotl(h ^ k, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _driver_postings_build(docs: DataFrame, scratch: str, n_docs: int | None):
+    """Driver-side twin of the batch postings write: tokenize, tf/dl,
+    and xxhash64 bucket computed in Python from ONE Arrow collect of
+    ``docs``, written as one (tok, doc_id)-sorted parquet file per
+    bucket under ``scratch`` — the exact content :func:`postings_for`
+    + the sorted dynamic-partition write produce (tokens pinned by the
+    bytes-\\s split above, buckets by the ``_xxh64_py`` twin;
+    equivalence pinned by ``tests/test_bm25.py``). Returns the batch's
+    exact doc count on success, or ``None`` (nothing written) when the
+    gates say the batch belongs on the distributed path."""
+    if n_docs is None or n_docs > BM25_DRIVER_BUILD_MAX_DOCS:
+        return None
+    pdf = docs.select("doc_id", "text").toPandas()
+    total_bytes = sum(len(t) for t in pdf["text"] if t)
+    if total_bytes > BM25_DRIVER_BUILD_MAX_BYTES:
+        return None  # caller re-runs the Spark write; rare (gate race)
+    import uuid
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_bucket: dict[int, list] = {}
+    bucket_cache: dict[bytes, int] = {}
+    for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+        toks = [t for t in _WS_BYTES.split((text or "").encode("utf-8")) if t]
+        dl = len(toks)
+        for t, tf in Counter(toks).items():
+            b = bucket_cache.get(t)
+            if b is None:
+                b = bucket_cache[t] = _xxh64_py(t) % N_BUCKETS
+            by_bucket.setdefault(b, []).append((t, int(doc_id), tf, dl))
+    os.makedirs(scratch, exist_ok=True)
+    ints = pa.int64()
+    for b, rows in by_bucket.items():
+        rows.sort()  # (tok, doc_id) — the probe's row-group pruning order
+        d = os.path.join(scratch, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "tok": pa.array([r[0].decode("utf-8") for r in rows], pa.string()),
+                    "doc_id": pa.array([r[1] for r in rows], ints),
+                    "tf": pa.array([r[2] for r in rows], ints),
+                    "dl": pa.array([r[3] for r in rows], ints),
+                }
+            ),
+            os.path.join(d, f"part-00000-{uuid.uuid4().hex}-c000.snappy.parquet"),
+        )
+    return len(pdf)
 
 
 def _driver_stats_corpus(
@@ -507,9 +640,15 @@ def extend_bm25_index(
         # ran 6 (two localCheckpoints, four writes); the scratch files
         # then MOVE into the version tree instead of a second write
         scratch = os.path.join(tmp, "_batch_postings")
-        postings_for(docs_new).sortWithinPartitions(
-            "bucket", "tok", "doc_id"
-        ).write.partitionBy("bucket").parquet(scratch)
+        # MB-scale epoch batch with a caller-known count: build the
+        # batch postings driver-side from one Arrow collect — the
+        # Spark write below costs ~5 scheduler jobs of fixed overhead
+        # per streaming epoch (profiled; see BM25_DRIVER_BUILD_*)
+        nd_built = _driver_postings_build(docs_new, scratch, n_docs)
+        if nd_built is None:
+            postings_for(docs_new).sortWithinPartitions(
+                "bucket", "tok", "doc_id"
+            ).write.partitionBy("bucket").parquet(scratch)
         # blocks coverage must stay COMPLETE to be sound: the batch
         # contributes block rows only when the (hard-linked) base has a
         # blocks dir; a pre-block-max base stays block-less and the
@@ -522,7 +661,10 @@ def extend_bm25_index(
         if _tree_bytes(scratch) <= EXTEND_DRIVER_STATS_MAX_BYTES:
             # MB-scale batch: derive stats/blocks/corpus driver-side —
             # zero further Spark jobs (see EXTEND_DRIVER_STATS_MAX_BYTES)
-            nd = docs_new.count() if n_docs is None else int(n_docs)
+            if nd_built is not None:
+                nd = nd_built  # the collect's own row count — exact
+            else:
+                nd = docs_new.count() if n_docs is None else int(n_docs)
             _driver_stats_corpus(scratch, tmp, nd, want_blocks)
         else:
             post = spark.read.schema(_POSTINGS_SCHEMA).parquet(scratch)
@@ -818,7 +960,9 @@ class _ProbeCtx:
     on the small-corpus fallback so no job runs twice."""
 
     def __init__(self, spark: SparkSession, adir: str, queries: DataFrame):
-        self.qt = queries.select(
+        from opencypher_datalayer_spark.functions.localframe import local_df
+
+        qt = queries.select(
             "q_id", F.explode(F.array_distinct("toks")).alias("tok")
         ).withColumn("bucket", bucket_of(F.col("tok")))
         # the query vocabulary is bounded by contract (a handful of term
@@ -829,9 +973,21 @@ class _ProbeCtx:
         # instead of every term sharing a bucket. Above the pushdown cap
         # (a degenerate mega-query) the IN-list is skipped and the scan
         # degrades to bucket-level pruning + the join.
-        vocab_rows = self.qt.select("tok", "bucket").distinct().collect()
-        self.buckets = sorted({r.bucket for r in vocab_rows})  # <= N_BUCKETS
-        self.terms = [r.tok for r in vocab_rows]
+        #
+        # The collected rows then REPLACE the frame: every downstream
+        # broadcast/collect of qt re-ran the caller's queries subtree
+        # (for the streaming probe that subtree is a corpus join + sort
+        # + limit — several jobs per broadcast); a LocalRelation rebuilt
+        # from the one collect makes each of those a zero-job scan.
+        rows = qt.collect()
+        self.qt = local_df(
+            spark,
+            [(int(r.q_id), r.tok, int(r.bucket)) for r in rows],
+            "q_id long, tok string, bucket int",
+            n_slices=1,
+        )
+        self.buckets = sorted({r.bucket for r in rows})  # <= N_BUCKETS
+        self.terms = sorted({r.tok for r in rows})
         self.frames = read_bm25_index(spark, adir)
         self.n_docs, self.sum_dl = (
             self.frames[CORPUS].agg(F.sum("n_docs"), F.sum("sum_dl")).collect()[0]

@@ -647,3 +647,82 @@ def test_full_compact_merges_postings_files_and_stays_neutral(spark, tmp_path):
     # blocks present and rebuilt (readable, covers the hot term)
     blocks = read_bm25_index(spark, new)[bm.BLOCKS]
     assert blocks.where(blocks.tok == "quick").count() >= 1
+
+
+def test_xxh64_twin_matches_engine(spark, sf_dir):
+    """The driver-side postings build's pure-Python xxhash64 must agree
+    with Spark's for EVERY token it could ever bucket — differential
+    over the real corpus vocabulary plus crafted shapes (every tail
+    length class of the algorithm, multi-byte UTF-8, digits)."""
+    from pyspark.sql import functions as F
+
+    from opencypher_datalayer_spark.operators.bm25_index import _xxh64_py
+    from opencypher_datalayer_spark.operators.textkit import tokens
+    from opencypher_datalayer_spark.sources.tables import load_table
+
+    vocab = [
+        r.tok
+        for r in load_table(spark, "documents", sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .collect()
+    ]
+    crafted = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "abcdefghijklmno", "abcdefghijklmnop",
+        "x" * 31, "x" * 32, "x" * 33, "x" * 64, "x" * 65,
+        "w3p7", "état", "übergröße", "数据引擎", "mixé数",
+    ]
+    probe = sorted(set(vocab) | set(crafted))
+    got = {
+        r.s: r.h
+        for r in spark.createDataFrame([(s,) for s in probe], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s in probe:
+        assert _xxh64_py(s.encode("utf-8")) == got[s], repr(s)
+
+
+def test_driver_postings_build_equals_spark_write(spark, tmp_path, monkeypatch):
+    """A fresh build with a caller-known count takes the driver-side
+    postings path (one Arrow collect, pyarrow writes); the same corpus
+    with the gate closed takes the distributed write. Both must yield
+    identical read-back frames and probe scores — including under
+    Java-\\s whitespace runs, multi-byte UTF-8 tokens, >32-byte tokens
+    (the hash's striped path), and token-less docs."""
+    from opencypher_datalayer_spark.operators import bm25_index as bm
+
+    nasty = [
+        (0, "alpha\tbeta\n\ngamma  delta\x0b epsilon\r"),
+        (1, " leading and trailing "),
+        (2, "état übergröße 数据 mixé数 zeta"),
+        (3, "x" * 40 + " " + "x" * 40 + " plainword"),
+        (4, ""),  # token-less
+        (5, "alpha beta beta gamma gamma gamma"),
+    ]
+    monkeypatch.setattr(bm, "BM25_BLOCK", 2)  # multi-block fine blocks
+    frames = {}
+    for mode, cap in (("driver", bm.BM25_DRIVER_BUILD_MAX_DOCS), ("spark", -1)):
+        monkeypatch.setattr(bm, "BM25_DRIVER_BUILD_MAX_DOCS", cap)
+        store = ArtifactStore(str(tmp_path / mode))
+        store.commit(
+            KIND,
+            ("n",),
+            lambda t: write_bm25_index(_docs(spark, nasty), t, n_docs=len(nasty)),
+        )
+        adir = store.current_dir(KIND, ("n",))
+        got = read_bm25_index(spark, adir)
+        frames[mode] = {
+            name: sorted(map(tuple, df.collect())) for name, df in got.items()
+        }
+        q = spark.createDataFrame(
+            [(0, ["alpha", "gamma", "x" * 40, "数据"])],
+            "q_id bigint, toks array<string>",
+        )
+        frames[mode]["probe"] = sorted(
+            (r.q_id, r.doc_id, r.s_int)
+            for r in bm25_scores(spark, adir, q).collect()
+        )
+    assert frames["driver"] == frames["spark"]
+    assert any(frames["driver"]["probe"]), "probe must be non-vacuous"

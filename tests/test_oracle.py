@@ -18,6 +18,20 @@ def con(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, con):
     qd = REGISTRY[name]
     df = qd.fn(spark, sf_dir)
+    # canonicalizer-hazard audit on the frame already built for the
+    # value check: no final projection may emit DECIMAL or nested types
+    # (the driver's pandas canonicalizer degrades or crashes on them) —
+    # folded in here so the eager streaming queries are not re-run by a
+    # second full pass over the registry just to read their schemas
+    from pyspark.sql import types as T
+
+    hazards = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    bad = [
+        f"{name}.{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, hazards)
+    ]
+    assert not bad, bad
     if qd.oracle is None:
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
@@ -48,15 +62,6 @@ def test_primary_registry_fits_driver_window():
     assert set(primary) | set(EXTENDED) == set(REGISTRY)
 
 
-def test_no_canonicalizer_hazards_in_output_schemas(spark, sf_dir):
-    """No final projection may emit DECIMAL or nested types — the
-    driver's pandas canonicalizer degrades or crashes on them."""
-    from pyspark.sql import types as T
-
-    hazards = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
-    bad = []
-    for name, qd in REGISTRY.items():
-        for f in qd.fn(spark, sf_dir).schema.fields:
-            if isinstance(f.dataType, hazards):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, bad
+# (the canonicalizer-hazard audit lives inside test_query_matches_oracle
+# — one pass over the registry instead of two; the eager streaming
+# queries cost ~2 min to re-run just for their schemas)

@@ -153,7 +153,7 @@ def test_compact_shrinks_files_preserves_data(spark, tmp_path, backend):
     rewrites the snapshot range-clustered with fewer files and exactly
     the same rows."""
     storage = _seed(spark, str(tmp_path / "st"), n=40, buckets=4, backend=backend)
-    for k in range(5):
+    for k in range(3):  # 3 appends already out-fragment the 4-bucket rewrite
         batch = _batch(
             spark,
             [

@@ -88,7 +88,11 @@ class Model:
 
 
 @settings(
-    max_examples=12,
+    # 6 examples ≈ 30 s of Spark batch chains — half the prior 12; the
+    # model has been stable for many rounds and the driver's verify
+    # budget is the binding constraint (each example is 1-3 full
+    # apply_batch chains checked against the python model)
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -238,7 +238,7 @@ def test_maintain_if_due_keeps_chain_bounded(spark, tmp_path, monkeypatch):
     sink = _sink(spark, tmp_path)
     assert sink.maintain_if_due() is None  # nothing committed yet
     merged_at = []
-    for epoch in range(6):
+    for epoch in range(5):  # merge boundary 4 crossed by epoch 3; one post-merge epoch
         sink.apply(
             _docs(spark, [(epoch, f"epoch {epoch} unique words w{epoch} x{epoch}")]),
             epoch,
@@ -252,10 +252,10 @@ def test_maintain_if_due_keeps_chain_bounded(spark, tmp_path, monkeypatch):
     assert merged_at  # the cliff was crossed and the merge actually ran
     # content neutral under all that maintenance: every doc still scored
     q = spark.createDataFrame(
-        [(0, [f"w{e}" for e in range(6)])], "q_id bigint, toks array<string>"
+        [(0, [f"w{e}" for e in range(5)])], "q_id bigint, toks array<string>"
     )
     scored = {r.doc_id for r in bm25_scores(spark, sink.index_dir(), q).collect()}
-    assert scored == set(range(6))
+    assert scored == set(range(5))
 
 
 def test_apply_sigs_matches_per_batch_apply(spark, tmp_path):

@@ -61,6 +61,16 @@ def get_spark(
         # the directory count makes it worth a job's overhead.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Budget-gated driver pulls (`df.limit(cap+1).toPandas()` —
+        # the CC handover, the streaming pair collects) almost never
+        # hit their cap, so CollectLimit's incremental partition
+        # scan-up (1, 4, 16, ... — a separate Spark job per round)
+        # degenerates into 3-4 jobs that each wait on the scheduler.
+        # Scanning up to 512 partitions in the FIRST round turns those
+        # into one job; a genuinely satisfiable tiny limit still stops
+        # after that single round, and >512-partition frames keep the
+        # incremental behavior.
+        .config("spark.sql.limit.initialNumPartitions", "512")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

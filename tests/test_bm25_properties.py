@@ -54,7 +54,7 @@ def _python_bm25(corpus: list[str], qtoks: list[str]) -> dict[int, int]:
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpus=corpus_strategy, qtoks=query_strategy)
 def test_scores_match_python_model_and_extension_is_exact(spark, corpus, qtoks):
     store = ArtifactStore(tempfile.mkdtemp(prefix="bm25_prop_"))
@@ -78,7 +78,7 @@ def test_scores_match_python_model_and_extension_is_exact(spark, corpus, qtoks):
     assert probe(store.current_dir("m", ("split",))) == got
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpus=corpus_strategy, qtoks=query_strategy, k=st.integers(1, 4))
 def test_maxscore_topk_matches_naive_ranking(spark, corpus, qtoks, k):
     """The MaxScore guarantee, fuzzed: bm25_topk's per-query ranking by
